@@ -1,0 +1,74 @@
+"""Benchmark runner (driver contract, BASELINE.md).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+One shared SparkSession; per-query timing = full plan execution to a
+driver-side count/collect of the (small) result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: covers scan+agg, 3-way join, window, text-heavy, dedup,
+# similarity — the shapes that dominate a 100 TB ingest/analytics run.
+HEADLINE = [
+    "q_agg_stats",
+    "q_join_inner",
+    "q_window_rank",
+    "q_delta_anti_join",
+    "q_dedup_exact",
+    "q_group_count",
+    "q_agg_summary",
+    "q_topk",
+]
+
+
+def main() -> None:
+    t0 = time.time()
+    from rag_pipelines_spark.registry import load_all
+    from rag_pipelines_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("rag-pipelines-spark-bench")
+    # warm the JVM + parquet footers with a trivial action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry.get(name)
+        if q is None:
+            continue
+        start = time.time()
+        df = q.fn(spark, SF_DIR)
+        # force full execution; results are small aggregates/top-k
+        n = df.count()
+        timings[name] = round(time.time() - start, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "wall_total": round(time.time() - t0, 4),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""SparkSession builder tuned for both local testing and cluster scale.
+
+Local mode is a single JVM with N executor threads; the settings below are
+chosen so the *same* logical plans we test here behave well on a real
+cluster: AQE handles runtime coalescing and skew joins, shuffle partition
+count tracks core count instead of the 200 default, Arrow accelerates every
+pandas_udf / toPandas boundary, and the session timezone is pinned to UTC so
+timestamp semantics match the DuckDB oracle (naive-UTC parquet timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "rag-pipelines-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    AQE is on so that at 100 TB the runtime re-plans: small shuffle
+    partitions get coalesced, skewed join partitions get split, and
+    sort-merge joins downgrade to broadcast when a side turns out small.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # fixture `events.ts` is parquet TIMESTAMP(NANOS): read as long,
+        # converted to micros in io.table (Spark has no ns timestamps)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
