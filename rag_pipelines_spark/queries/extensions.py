@@ -1,1 +1,469 @@
-"""Placeholder — filled in later this round."""
+"""§2.11 — LLM-data-pipeline extensions (north star): exact/near dedup,
+embedding similarity search, text analytics, chunking, fingerprinting.
+
+Scale design notes (per operator, for the 100 TB case):
+  * near-dup (MinHash/SimHash/n-gram): always *block first* (bands/buckets),
+    never all-pairs — candidate pairs come from an equi-join on the bucket
+    key, so the shuffle is O(data), not O(data²).
+  * cosine top-k: brute force is the verifiable baseline; the scale path is
+    LSH bucketing (operators/similarity.py) where only same-bucket pairs
+    join. Dot products stay JVM-side via zip_with/aggregate — no Python.
+  * analytics/chunking: pure per-row column expressions — embarrassingly
+    parallel, no shuffle at all.
+
+Float determinism: per-element products are computed in double (exact for
+fp32 inputs), then summed as decimal(30,15) — order-independent; final
+cosine assembled in double from identical components (see _util docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from rag_pipelines_spark.registry import register
+from rag_pipelines_spark.queries._util import t
+
+# ---------------------------------------------------------------------------
+# Text analytics
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+
+
+@register(
+    "q_token_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(ws)) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(list_distinct(ws))) AS BIGINT) AS total_uniq_tokens,
+           MAX(len(ws)) AS max_tokens
+    FROM toks
+    GROUP BY lang
+    """,
+    doc="token counting per document, rolled up per language "
+    "(whitespace tokenizer; BPE-ish regex variant in operators/textstats.py)",
+)
+def q_token_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    return (
+        d.select("lang", F.size(ws).alias("n_tok"), F.size(F.array_distinct(ws)).alias("n_uniq"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_uniq").alias("total_uniq_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "q_lang_dist",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE) * 100.0
+               / (SELECT COUNT(*) FROM documents) AS pct
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="language distribution with percentage",
+)
+def q_lang_dist(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    total = d.count()  # tiny scalar; at scale use a window or crossjoin agg
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        (F.count("*").cast("double") * 100.0 / F.lit(total)).alias("pct"),
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, lang,
+               len(list_filter(ws, x -> x IN ('{_STOPWORDS[0]}','{_STOPWORDS[1]}','{_STOPWORDS[2]}','{_STOPWORDS[3]}','{_STOPWORDS[4]}'))) AS en_hits,
+               len(list_filter(ws, x -> x IN ('el','la','que','de','los'))) AS es_hits,
+               len(list_filter(ws, x -> x IN ('der','und','die','das','ein'))) AS de_hits,
+               len(ws) AS n_tok
+        FROM toks
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                WHEN de_hits > 0 THEN 'de'
+                ELSE 'und' END AS guessed_lang,
+           CAST(en_hits AS DOUBLE) / n_tok AS en_stopword_ratio
+    FROM hits
+    """,
+    doc="language-ID heuristic: stopword-hit voting (n-gram variant would "
+    "use the same shape over character shingles)",
+)
+def q_lang_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+
+    def hits(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(ws, lambda x: F.array_contains(arr, x)))
+
+    en = hits(_STOPWORDS[:5])
+    es = hits(["el", "la", "que", "de", "los"])
+    de = hits(["der", "und", "die", "das", "ein"])
+    guess = (
+        F.when((en >= es) & (en >= de) & (en > 0), "en")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("und")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        guess.alias("guessed_lang"),
+        (en.cast("double") / F.size(ws)).alias("en_stopword_ratio"),
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               length(text) AS n_chars_m,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                   AS n_punct,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN ('{_STOPWORDS[0]}','{_STOPWORDS[1]}','{_STOPWORDS[2]}','{_STOPWORDS[3]}','{_STOPWORDS[4]}','{_STOPWORDS[5]}','{_STOPWORDS[6]}','{_STOPWORDS[7]}','{_STOPWORDS[8]}','{_STOPWORDS[9]}'))) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_punct AS DOUBLE) / n_chars_m AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_chars_m AS DOUBLE) / n_tokens AS avg_token_len,
+           CASE WHEN n_tokens >= 20
+                     AND CAST(n_stop AS DOUBLE) / n_tokens > 0.01
+                     AND CAST(n_punct AS DOUBLE) / n_chars_m < 0.2
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM m
+    """,
+    doc="quality scoring: length/punctuation/stopword ratios + gate "
+    "(Gopher/C4-style heuristics, all pure column expressions)",
+)
+def q_quality_score(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda x: F.array_contains(stop_arr, x))
+    )
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
+        F.when((n_tokens >= 20) & (stop_ratio > 0.01) & (punct_ratio < 0.2), 1)
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_chunking",
+    oracle="""
+    WITH idx AS (
+        SELECT doc_id, text,
+               unnest(range(0, (length(text) - 1) // 80 + 1)) AS i
+        FROM documents
+    )
+    SELECT doc_id, i AS chunk_idx,
+           substring(text, 1 + i * 80, 100) AS chunk
+    FROM idx
+    WHERE substring(text, 1 + i * 80, 100) <> ''
+    """,
+    doc="fixed-size overlapping chunking (size=100, stride=80) via "
+    "explode(sequence) — pure column math, no shuffle",
+)
+def q_chunking(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    n_chunks = F.floor((F.length("text") - 1) / 80).cast("int")
+    exploded = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_chunks)).alias("i"),
+    )
+    out = exploded.select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("chunk_idx"),
+        F.expr("substring(text, 1 + i * 80, 100)").alias("chunk"),
+    )
+    return out.filter(F.col("chunk") != "")
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting / dedup extensions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split(lower(text), ' '))), ' ')) AS bag_fingerprint
+    FROM documents
+    """,
+    doc="document fingerprint: md5 over the sorted distinct token bag "
+    "(order-insensitive content signature; rolling-hash variant in "
+    "operators/dedup.py)",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    bag = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " "
+    )
+    return d.select("doc_id", F.md5(bag).alias("bag_fingerprint"))
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])) AS shingles
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               len(list_intersect(a.shingles, b.shingles)) AS n_common,
+               len(list_distinct(list_concat(a.shingles, b.shingles))) AS n_union
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
+    )
+    SELECT a_id, b_id,
+           CAST(n_common AS DOUBLE) / n_union AS jaccard
+    FROM pairs
+    """,
+    doc="word-3-gram shingle Jaccard between neighbor docs, lang-blocked "
+    "(the verification kernel of near-dedup; candidate generation at scale "
+    "= MinHash banding, operators/dedup.py)",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+            ),
+        )
+    )
+    sh = d.select("doc_id", "lang", shingles.alias("shingles"))
+    a = sh.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lang").alias("a_lang"),
+        F.col("shingles").alias("a_sh"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("shingles").alias("b_sh"),
+    )
+    pairs = a.join(b, (a.a_lang == b.b_lang) & (b.b_id == a.a_id + 1))
+    n_common = F.size(F.array_intersect("a_sh", "b_sh"))
+    n_union = F.size(F.array_union("a_sh", "b_sh"))
+    return pairs.select(
+        "a_id", "b_id", (n_common.cast("double") / n_union).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+_DOT_DEC = "decimal(30,15)"
+
+
+def _dot_dec(a, b):
+    """Order-independent exact dot product: double products (exact for fp32
+    inputs) summed as decimals via a left fold."""
+    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DOT_DEC))
+    # re-cast inside the fold: decimal addition widens (30,15)+(30,15)->(31,15)
+    return F.aggregate(
+        prods, F.lit(0).cast(_DOT_DEC), lambda acc, x: (acc + x).cast(_DOT_DEC)
+    )
+
+
+@register(
+    "q_cosine_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+        SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+    ),
+    pairs AS (
+        SELECT q_id, c_id, q_emb, c_emb FROM q, c WHERE q_id <> c_id
+    ),
+    el AS (
+        SELECT q_id, c_id,
+               unnest(q_emb) AS x, unnest(c_emb) AS y
+        FROM pairs
+    ),
+    dots AS (
+        SELECT q_id, c_id,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS na2,
+               CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS nb2
+        FROM el GROUP BY q_id, c_id
+    ),
+    scored AS (
+        SELECT q_id, c_id,
+               round(dot / (sqrt(na2) * sqrt(nb2)), 9) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY round(dot / (sqrt(na2) * sqrt(nb2)), 9) DESC,
+                                           c_id) AS rk
+        FROM dots
+    )
+    SELECT q_id, c_id, cosine, rk
+    FROM scored WHERE rk <= 5
+    """,
+    doc="exact cosine top-k (brute force baseline): JVM-side zip_with dot "
+    "products, window top-k per query. Scale path = LSH bucketing "
+    "(operators/similarity.py) so candidates come from an equi-join",
+)
+def q_cosine_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("q_id") != F.col("c_id"))
+    dots = pairs.select(
+        "q_id",
+        "c_id",
+        _dot_dec(F.col("q_emb"), F.col("c_emb")).cast("double").alias("dot"),
+        _dot_dec(F.col("q_emb"), F.col("q_emb")).cast("double").alias("na2"),
+        _dot_dec(F.col("c_emb"), F.col("c_emb")).cast("double").alias("nb2"),
+    )
+    # round to 9 decimals: Spark casts double->decimal via the shortest
+    # string repr while DuckDB rounds the exact binary expansion — at 9
+    # decimals both agree bitwise after the final decimal->double cast
+    cosine = F.round(F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 9)
+    w = W.partitionBy("q_id").orderBy(cosine.desc(), F.col("c_id"))
+    return (
+        dots.withColumn("cosine", cosine)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "c_id", "cosine", "rk")
+    )
+
+
+@register(
+    "q_embed_neardup",
+    oracle="""
+    WITH el AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               unnest(a.embedding) AS x, unnest(b.embedding) AS y
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND b.vec_id > a.vec_id
+    ),
+    dots AS (
+        SELECT a_id, b_id,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS na2,
+               CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS nb2
+        FROM el GROUP BY a_id, b_id
+    )
+    SELECT a_id, b_id, round(dot / (sqrt(na2) * sqrt(nb2)), 9) AS cosine
+    FROM dots
+    WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 9) >= 0.5
+    """,
+    doc="embedding-cosine near-dup pairs, blocked on label (at scale the "
+    "block key is an LSH bucket — same join shape, operators/similarity.py)",
+)
+def q_embed_neardup(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+    )
+    pairs = a.join(b, (a.a_label == b.b_label) & (b.b_id > a.a_id))
+    dots = pairs.select(
+        "a_id",
+        "b_id",
+        _dot_dec(F.col("a_emb"), F.col("b_emb")).cast("double").alias("dot"),
+        _dot_dec(F.col("a_emb"), F.col("a_emb")).cast("double").alias("na2"),
+        _dot_dec(F.col("b_emb"), F.col("b_emb")).cast("double").alias("nb2"),
+    )
+    cosine = F.round(F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 9)
+    return dots.select("a_id", "b_id", cosine.alias("cosine")).filter(
+        F.col("cosine") >= 0.5
+    )
+
+
+@register(
+    "q_near_dedup",
+    oracle=None,  # MinHashLSH hash family is engine-specific — rows-only
+    doc="near-dedup candidates via MinHashLSH over word shingles "
+    "(pyspark.ml); deterministic seed, banding via approxSimilarityJoin",
+)
+def q_near_dedup(spark, sf_dir):
+    from rag_pipelines_spark.operators.dedup import minhash_candidates
+
+    d = t(spark, sf_dir, "documents")
+    return minhash_candidates(d, id_col="doc_id", text_col="text", threshold=0.8)
+
+
+@register(
+    "q_simhash",
+    oracle=None,  # 64-bit simhash via xxhash64 — Spark-specific hash — rows-only
+    doc="64-bit SimHash per document (xxhash64 token hashes, per-bit "
+    "majority vote) — pure column expressions, no Python",
+)
+def q_simhash(spark, sf_dir):
+    from rag_pipelines_spark.operators.dedup import simhash64_df
+
+    d = t(spark, sf_dir, "documents")
+    return simhash64_df(d, id_col="doc_id", text_col="text")

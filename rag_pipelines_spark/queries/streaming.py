@@ -1,1 +1,146 @@
-"""Placeholder — filled in later this round."""
+"""§2.9 — event-time windows and incremental/streaming equivalents.
+
+The tumbling/sliding/session windows run here in *batch* mode (same
+`F.window`/`F.session_window` operators Structured Streaming uses), so the
+DuckDB oracle can hash-check their semantics; the true streaming runs
+(readStream + watermark + memory sink) live in streaming/incremental.py and
+its tests, plus the rows-only `q_stream_dedup` below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rag_pipelines_spark.registry import register
+from rag_pipelines_spark.queries._util import dsum, o_dsum, t
+
+
+@register(
+    "q_tumbling_agg",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           {o_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="declared: tumbling 1-hour event-time window "
+    "(streaming shape: withWatermark + window; batch-checked here)",
+)
+def q_tumbling_agg(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@register(
+    "q_sliding_agg",
+    oracle=f"""
+    WITH slots AS (
+        SELECT e.*,
+               time_bucket(INTERVAL '15 minutes', e.ts)
+                   - to_minutes(15 * s.k) AS window_start
+        FROM events e, (SELECT unnest([0, 1, 2, 3]) AS k) s
+    )
+    SELECT window_start, COUNT(*) AS n, {o_dsum('value')} AS total_value
+    FROM slots
+    GROUP BY window_start
+    """,
+    doc="declared: sliding window 1h every 15min — each event lands in 4 "
+    "overlapping windows (Spark window(ts,'1 hour','15 minutes'))",
+)
+def q_sliding_agg(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@register(
+    "q_session_agg",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    ids AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM ids
+    GROUP BY user_id, session_id
+    """,
+    doc="declared: 30-minute-gap session window (Spark session_window; oracle "
+    "= lag-gap-cumsum islands, the classic batch sessionization)",
+)
+def q_session_agg(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q_stream_dedup",
+    oracle=None,  # true Structured Streaming run — rows-only
+    doc="T2 incremental dedup: readStream over the events parquet, "
+    "dropDuplicates on a content key, availableNow trigger, memory sink. "
+    "ref: fda_watcher.py:373-416 (delta modes); checkpoint replaces Excel",
+)
+def q_stream_dedup(spark, sf_dir):
+    import os
+    import shutil
+    import uuid
+
+    # stream the same parquet through a file source with the on-disk schema
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        # file-stream source needs a directory; select the one table file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = stream.dropDuplicates(["user_id", "event_type"])
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = f"/root/repo/.scratch/ckpt-{name}"
+    os.makedirs(ckpt, exist_ok=True)
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    # deterministic projection: the distinct key set (first-seen row is
+    # arbitrary under parallel read, so don't expose non-key columns)
+    return spark.table(name).select("user_id", "event_type")

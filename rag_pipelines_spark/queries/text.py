@@ -1,1 +1,643 @@
-"""Placeholder — filled in later this round."""
+"""§2.8 — scalar text-function queries (F1-F22).
+
+The fixture `documents.text` is single-line synthetic prose, so each query
+*constructs* its exercise input deterministically from (doc_id, text) —
+identically in Spark and in the DuckDB oracle — then applies the operator
+under test. This keeps the checked surface the operator itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rag_pipelines_spark.functions.text import (
+    BOILERPLATE_RE,
+    CUTOFF_RE,
+    DOSAGE_RE,
+    HEADERS_STANDALONE,
+    citation_line,
+    extract_doi_doc_level,
+    extract_year,
+    fingerprint_key,
+    format_authors,
+    lev_sim,
+    norm_doi,
+    norm_text,
+    strip_boilerplate_lines,
+    strip_md_images,
+    unicode_normalize,
+    url_absolutize,
+)
+from rag_pipelines_spark.registry import register
+from rag_pipelines_spark.queries._util import t
+
+
+def _sq(s: str) -> str:
+    """Escape a regex/string constant for embedding in a DuckDB SQL literal."""
+    return s.replace("'", "''")
+
+
+# ---------------------------------------------------------------------------
+# F1 — MD5 fingerprint with url-or-title_date fallback key
+# ref: fda_watcher.py:86-93,327-329
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_md5_id",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN ''
+                    ELSE 'https://www.fda.gov/node/' || CAST(doc_id AS VARCHAR) END AS url,
+               substring(text, 1, 20) AS title,
+               '2024-01-15' AS d
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(COALESCE(NULLIF(url, ''), title || '_' || d)) AS rag_id,
+           md5(text) AS content_hash
+    FROM src JOIN documents USING (doc_id)
+    """,
+    doc="F1 md5 fingerprint + fallback key. ref: fda_watcher.py:86-93",
+)
+def q_md5_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    src = d.select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 4 == 0, "")
+        .otherwise(F.concat(F.lit("https://www.fda.gov/node/"), F.col("doc_id").cast("string")))
+        .alias("url"),
+        F.substring("text", 1, 20).alias("title"),
+        F.lit("2024-01-15").alias("d"),
+    )
+    return src.select(
+        "doc_id",
+        fingerprint_key("url", "title", "d").alias("rag_id"),
+        F.md5("text").alias("content_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 — boilerplate line removal
+# ref: json_split_and_clean.py:61-100,199-217
+# ---------------------------------------------------------------------------
+
+_BOILER_LINES_SQL = """
+        [ 'Follow the Oncology Center of Excellence on X (formerly Twitter)',
+          substring(text, 1, 60),
+          'Recommended Dosage',
+          'View full prescribing information for KEYTRUDA.',
+          substring(text, 61, 60),
+          'CDC: Coronavirus (COVID-19)',
+          'tail ' || lang ]
+"""
+
+
+@register(
+    "q_clean_boilerplate",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_BOILER_LINES_SQL} AS lines
+        FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+               list_filter(list_transform(lines, x -> trim(x)),
+                           x -> x <> ''
+                                AND NOT regexp_matches(x, '{_sq(BOILERPLATE_RE)}')
+                                AND x NOT IN ('{HEADERS_STANDALONE[0]}',
+                                              '{HEADERS_STANDALONE[1]}',
+                                              '{HEADERS_STANDALONE[2]}')),
+               chr(10)) AS cleaned
+    FROM raw
+    """,
+    doc="F2 boilerplate removal via higher-order filter. "
+    "ref: json_split_and_clean.py:61-100,199-217",
+)
+def q_clean_boilerplate(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Follow the Oncology Center of Excellence on X (formerly Twitter)"),
+            F.substring("text", 1, 60),
+            F.lit("Recommended Dosage"),
+            F.lit("View full prescribing information for KEYTRUDA."),
+            F.substring("text", 61, 60),
+            F.lit("CDC: Coronavirus (COVID-19)"),
+            F.concat(F.lit("tail "), F.col("lang")),
+        ).alias("raw"),
+    )
+    return raw.select("doc_id", strip_boilerplate_lines("raw").alias("cleaned"))
+
+
+# ---------------------------------------------------------------------------
+# F3 — cutoff truncation with dosage lookahead (the hard one)
+# ref: json_split_and_clean.py:35-59,104-197
+# ---------------------------------------------------------------------------
+
+_CUTOFF_LINES_SQL = """
+        [ 'Intro: ' || substring(text, 1, 50),
+          CASE WHEN doc_id % 3 = 0
+               THEN 'This review was conducted under Project Orbis.'
+               ELSE 'Body line one.' END,
+          CASE WHEN doc_id % 2 = 0
+               THEN 'Patients should receive 120 mg orally twice daily.'
+               ELSE 'Plain continuation line.' END,
+          substring(text, 51, 60),
+          'The application was granted priority review.',
+          'TAIL ' || substring(text, 111, 40) ]
+"""
+
+
+def _cutoff_raw_col():
+    return F.concat_ws(
+        "\n",
+        F.concat(F.lit("Intro: "), F.substring("text", 1, 50)),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("This review was conducted under Project Orbis."),
+        ).otherwise(F.lit("Body line one.")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("Patients should receive 120 mg orally twice daily."),
+        ).otherwise(F.lit("Plain continuation line.")),
+        F.substring("text", 51, 60),
+        F.lit("The application was granted priority review."),
+        F.concat(F.lit("TAIL "), F.substring("text", 111, 40)),
+    )
+
+
+@register(
+    "q_cutoff_sql",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_CUTOFF_LINES_SQL} AS lines
+        FROM documents
+    ),
+    num AS (
+        SELECT doc_id,
+               trim(unnest(lines)) AS line,
+               unnest(range(1, len(lines) + 1)) AS pos
+        FROM raw
+    ),
+    flag AS (
+        SELECT doc_id, pos, line,
+               regexp_matches(line, '{_sq(CUTOFF_RE)}') AS is_cut,
+               regexp_matches(line, '{_sq(DOSAGE_RE)}') AS is_dose
+        FROM num
+    ),
+    ahead AS (
+        SELECT *,
+               COALESCE(MAX(CASE WHEN is_dose THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 1 FOLLOWING AND 15 FOLLOWING), 0) = 1 AS dose_ahead
+        FROM flag
+    ),
+    cut AS (
+        SELECT *,
+               MIN(CASE WHEN is_cut AND NOT dose_ahead THEN pos END)
+                   OVER (PARTITION BY doc_id) AS cutpos
+        FROM ahead
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE (cutpos IS NULL OR pos < cutpos)
+                                  AND line <> ''), '') AS cleaned
+    FROM cut
+    GROUP BY doc_id
+    """,
+    doc="F3 cutoff-with-lookahead, declared window formulation. "
+    "ref: json_split_and_clean.py:35-59,104-197",
+)
+def q_cutoff_sql(spark, sf_dir):
+    from rag_pipelines_spark.operators.cleaning import cutoff_truncate
+
+    d = t(spark, sf_dir, "documents")
+    raw = d.select("doc_id", _cutoff_raw_col().alias("raw"))
+    return cutoff_truncate(raw, "doc_id", "raw", out_col="cleaned")
+
+
+@register(
+    "q_cutoff_trunc",
+    oracle=None,  # exact reference parity incl. colon-indirection lookahead —
+    # stateful line scan, not SQL-expressible; rows-only + unit parity tests
+    doc="F3 exact-parity cleaner (pandas_udf port of the full stateful scan). "
+    "ref: json_split_and_clean.py:16-243",
+)
+def q_cutoff_trunc(spark, sf_dir):
+    from rag_pipelines_spark.operators.cleaning import clean_corpus_exact_col
+
+    d = t(spark, sf_dir, "documents")
+    raw = d.select("doc_id", _cutoff_raw_col().alias("raw"))
+    return raw.select("doc_id", clean_corpus_exact_col("raw").alias("cleaned"))
+
+
+# ---------------------------------------------------------------------------
+# F4/F5/F6 — unicode / whitespace / markdown-image normalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_unicode_norm",
+    oracle="""
+    SELECT doc_id,
+           translate(substring(text, 1, 40) || ' – — − ‘quoted’ “double”',
+                     '–—−‘’“”',
+                     '---' || chr(39) || chr(39) || chr(34) || chr(34)) AS normed
+    FROM documents
+    """,
+    doc="F4 unicode dash/quote normalization. ref: json_split_and_clean.py:222-232",
+)
+def q_unicode_norm(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    raw = F.concat(F.substring("text", 1, 40), F.lit(" – — − ‘quoted’ “double”"))
+    return d.select("doc_id", unicode_normalize(raw).alias("normed"))
+
+
+@register(
+    "q_ws_collapse",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               '  ' || replace(substring(text, 1, 60), ' ', '   ')
+                    || chr(10) || chr(10) || chr(10) || chr(10) || 'tail  end ' AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(s, ' +', ' ', 'g'),
+                               chr(10) || '{{3,}}', chr(10) || chr(10), 'g')) AS collapsed
+    FROM raw
+    """.replace("{{", "{").replace("}}", "}"),
+    doc="F5 whitespace collapse. ref: json_split_and_clean.py:234-241",
+)
+def q_ws_collapse(spark, sf_dir):
+    from rag_pipelines_spark.functions.text import collapse_ws
+
+    d = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("  "),
+        F.regexp_replace(F.substring("text", 1, 60), " ", "   "),
+        F.lit("\n\n\n\ntail  end "),
+    )
+    return d.select("doc_id", collapse_ws(raw).alias("collapsed"))
+
+
+@register(
+    "q_md_image_strip",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               '![fig](img' || CAST(doc_id AS VARCHAR) || '.png) '
+                   || substring(text, 1, 50)
+                   || ' ![chart 2](a/b.png?w=1) tail' AS s
+        FROM documents
+    )
+    SELECT doc_id, regexp_replace(s, '!\\[.*?\\]\\(.*?\\)', '', 'g') AS stripped
+    FROM raw
+    """,
+    doc="F6 markdown image strip. ref: fda…/combine_json_to_jsonl.py:115-116",
+)
+def q_md_image_strip(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("![fig](img"),
+        F.col("doc_id").cast("string"),
+        F.lit(".png) "),
+        F.substring("text", 1, 50),
+        F.lit(" ![chart 2](a/b.png?w=1) tail"),
+    )
+    return d.select("doc_id", strip_md_images(raw).alias("stripped"))
+
+
+# ---------------------------------------------------------------------------
+# F8/F9 — DOI / year extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_doi_extract",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN 'References cited herein. ' ELSE '' END
+                   || 'doi: 10.' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                   || '/j.' || CAST(doc_id AS VARCHAR) || '.x); '
+                   || substring(text, 1, 80) AS s
+        FROM documents
+    ),
+    ext AS (
+        SELECT doc_id, s,
+               regexp_replace(
+                   regexp_extract(substring(s, 1, 5000),
+                                  '10\\.\\d{4,}/[^\\s\\]\\)>",;]+'),
+                   '[.,;:\\]\\)>]+$', '') AS cand
+        FROM raw
+    )
+    SELECT doc_id,
+           CASE WHEN length(cand) >= 10 AND contains(cand, '/')
+                     AND NOT regexp_matches(lower(substring(s, 1, 5000)),
+                                            'reference|cited|bibliography')
+                THEN cand END AS doi
+    FROM ext
+    """,
+    doc="F8 DOI regex extraction, doc-level bibliography guard. "
+    "ref: pdf_marker_extraction.py:134-163",
+)
+def q_doi_extract(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, "References cited herein. ").otherwise(""),
+        F.lit("doi: 10."),
+        (1000 + F.col("doc_id") % 9000).cast("string"),
+        F.lit("/j."),
+        F.col("doc_id").cast("string"),
+        F.lit(".x); "),
+        F.substring("text", 1, 80),
+    )
+    return d.select(
+        "doc_id", extract_doi_doc_level(raw).alias("doi")
+    )
+
+
+@register(
+    "q_year_extract",
+    oracle="""
+    SELECT doc_id,
+           COALESCE(NULLIF(regexp_extract(
+                CASE WHEN doc_id % 7 = 0 THEN 'No year in this citation'
+                     ELSE 'Author, A. (' || CAST(1990 + doc_id % 30 AS VARCHAR)
+                          || '). Some Title.' END,
+                '\\((\\d{4})\\)', 1), ''),
+               strftime(today(), '%Y')) AS year
+    FROM documents
+    """,
+    doc="F9 year extraction with current-year fallback. "
+    "ref: pdf…/combine_json_to_jsonl.py:40-43",
+)
+def q_year_extract(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    citation = F.when(F.col("doc_id") % 7 == 0, "No year in this citation").otherwise(
+        F.concat(
+            F.lit("Author, A. ("),
+            (1990 + F.col("doc_id") % 30).cast("string"),
+            F.lit("). Some Title."),
+        )
+    )
+    return d.select("doc_id", extract_year(citation).alias("year"))
+
+
+# ---------------------------------------------------------------------------
+# F10/F11/F12 — matching normalization + similarity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_norm",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+                lower(trim('A:B,c.D! ' || substring(text, 1, 60))),
+                '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS normed
+    FROM documents
+    """,
+    doc="F10 match-normalization. ref: pubmed_enrichment.py:254-260",
+)
+def q_text_norm(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    raw = F.concat(F.lit("A:B,c.D! "), F.substring("text", 1, 60))
+    return d.select("doc_id", norm_text(raw).alias("normed"))
+
+
+@register(
+    "q_doi_norm",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(
+                lower(trim(CASE doc_id % 3
+                    WHEN 0 THEN 'https://doi.org/10.1234/AbC.' || CAST(doc_id AS VARCHAR)
+                    WHEN 1 THEN 'DOI: 10.1234/AbC.' || CAST(doc_id AS VARCHAR)
+                    ELSE '10.1234/AbC.' || CAST(doc_id AS VARCHAR) END)),
+                '^https?://doi\\.org/', ''), '^doi:\\s*', '') AS doi
+    FROM documents
+    """,
+    doc="F11 DOI normalization. ref: pubmed_enrichment.py:262-268",
+)
+def q_doi_norm(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    raw = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://doi.org/10.1234/AbC."), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("DOI: 10.1234/AbC."), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("10.1234/AbC."), F.col("doc_id").cast("string")))
+    )
+    return d.select("doc_id", norm_doi(raw).alias("doi"))
+
+
+@register(
+    "q_levenshtein_sim",
+    oracle="""
+    SELECT doc_id,
+           1.0 - CAST(levenshtein(substring(text, 1, 30), substring(text, 11, 30))
+                      AS DOUBLE)
+               / GREATEST(length(substring(text, 1, 30)),
+                          length(substring(text, 11, 30))) AS sim
+    FROM documents
+    """,
+    doc="F12 normalized edit similarity (built-in proxy for SequenceMatcher). "
+    "ref: pubmed_enrichment.py:286-294",
+)
+def q_levenshtein_sim(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    a = F.substring("text", 1, 30)
+    b = F.substring("text", 11, 30)
+    return d.select("doc_id", lev_sim(a, b).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# F13/F14 — author formatting + citation assembly
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_author_format",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN []::VARCHAR[]
+                    ELSE list_slice(string_split(text, ' '), 1,
+                                    LEAST(1 + doc_id % 5, len(string_split(text, ' '))))
+               END AS authors
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(authors) = 0 THEN 'Unknown'
+                WHEN len(authors) = 1 THEN authors[1]
+                WHEN len(authors) <= 3
+                     THEN array_to_string(list_slice(authors, 1, len(authors) - 1), ', ')
+                          || ', & ' || authors[-1]
+                ELSE authors[1] || ' et al.' END AS formatted
+    FROM src
+    """,
+    doc="F13 author-list formatting (1 / <=3 / et-al branches). "
+    "ref: pubmed_enrichment.py:235-244",
+)
+def q_author_format(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n = F.least(1 + F.col("doc_id") % 5, F.size(words)).cast("int")
+    authors = F.when(
+        F.col("doc_id") % 11 == 0, F.array().cast("array<string>")
+    ).otherwise(F.slice(words, 1, n))
+    return d.select(
+        "doc_id", format_authors(authors).alias("formatted")
+    )
+
+
+@register(
+    "q_citation_concat",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'Smith, J. et al.. (' || CAST(1990 + doc_id % 30 AS VARCHAR)
+                     || '). ' || substring(text, 1, 20) || '. J ' || source
+                     || '. https://doi.org/10.1/' || CAST(doc_id AS VARCHAR)
+                ELSE 'Smith, J. et al.. (' || CAST(1990 + doc_id % 30 AS VARCHAR)
+                     || '). ' || substring(text, 1, 20) || '. J ' || source
+           END AS citation
+    FROM documents
+    """,
+    doc="F14 citation assembly with conditional DOI suffix. "
+    "ref: pubmed_enrichment.py:215-219",
+)
+def q_citation_concat(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    doi = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("10.1/"), F.col("doc_id").cast("string")),
+    ).otherwise(F.lit(""))
+    return d.select(
+        "doc_id",
+        citation_line(
+            F.lit("Smith, J. et al."),
+            (1990 + F.col("doc_id") % 30).cast("string"),
+            F.substring("text", 1, 20),
+            F.concat(F.lit("J "), F.col("source")),
+            doi,
+        ).alias("citation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F16 — URL absolutize
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_url_join",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id,
+               CASE doc_id % 3
+                   WHEN 0 THEN 'https://other.org/p/' || CAST(doc_id AS VARCHAR)
+                   WHEN 1 THEN '/node/' || CAST(doc_id AS VARCHAR)
+                   ELSE 'page-' || CAST(doc_id AS VARCHAR) END AS href
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN regexp_matches(trim(href), '^https?://') THEN trim(href)
+                WHEN trim(href) LIKE '/%' THEN 'https://www.fda.gov' || trim(href)
+                ELSE 'https://www.fda.gov/' || trim(href) END AS url
+    FROM src
+    """,
+    doc="F16 urljoin-lite. ref: fda_watcher.py:320-325",
+)
+def q_url_join(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    href = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://other.org/p/"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("/node/"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("page-"), F.col("doc_id").cast("string")))
+    )
+    return d.select(
+        "doc_id", url_absolutize(href, "https://www.fda.gov").alias("url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F21 — JSON field access (events.props)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_json_get",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           to_json({id: event_id, et: event_type}) AS packed
+    FROM events
+    """,
+    doc="F21 JSON decode (get_json_object) + encode (to_json(struct)). "
+    "ref: fda…/combine_json_to_jsonl.py:40-58,261-263",
+)
+def q_json_get(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("et"))
+        ).alias("packed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F22 — XML field extraction (rows-only; DuckDB has no XML functions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_xml_extract",
+    oracle=None,
+    doc="F22 xpath extraction over constructed PubMed-ish XML. "
+    "ref: pubmed_enrichment.py:185-233",
+)
+def q_xml_extract(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    xml = F.format_string(
+        "<PubmedArticle><ArticleTitle>%s</ArticleTitle>"
+        '<ArticleId IdType="doi">10.1/%s</ArticleId></PubmedArticle>',
+        F.substring("text", 1, 30),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.expr(
+            "xpath_string("
+            "concat('<PubmedArticle><ArticleTitle>', substring(text,1,30),"
+            "'</ArticleTitle><ArticleId IdType=\"doi\">10.1/', cast(doc_id as string),"
+            "'</ArticleId></PubmedArticle>'),"
+            "'/PubmedArticle/ArticleTitle/text()')"
+        ).alias("title"),
+        F.expr(
+            "xpath_string("
+            "concat('<PubmedArticle><ArticleTitle>', substring(text,1,30),"
+            "'</ArticleTitle><ArticleId IdType=\"doi\">10.1/', cast(doc_id as string),"
+            "'</ArticleId></PubmedArticle>'),"
+            "'/PubmedArticle/ArticleId[@IdType=\"doi\"]/text()')"
+        ).alias("doi"),
+    )
