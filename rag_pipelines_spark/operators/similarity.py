@@ -1,0 +1,202 @@
+"""Similarity search over embedding columns (north star §2.11).
+
+Three tiers, same output contract (query id, candidate id, cosine, rank):
+
+1. `cosine_topk_bruteforce` — exact baseline. Broadcast the (small) query
+   set against the corpus; dot products via JVM higher-order functions.
+   O(|Q|·N·d) but embarrassingly parallel, no shuffle of the corpus.
+2. `cosine_topk_lsh` — random-hyperplane LSH: sign-bit sketches bucket the
+   corpus; candidates come from an equi-join on (table, bucket), exact
+   cosine re-scores candidates only. Recall tunable via tables/bits.
+3. `cosine_topk_ivf` — IVF-style: k sampled centroids partition the corpus
+   (nearest-centroid assignment); queries probe `nprobe` nearest cells.
+   The centroid assignment is itself a broadcast dot-product pass.
+
+At 100 TB the corpus never moves: buckets/cells are computed in place and
+the join key is the bucket id — shuffle volume is O(candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    """JVM-side double dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    return df.withColumn(out, _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b))))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k: broadcast queries × corpus, window-rank per query."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
+    )
+    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_emb"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("q_id") != F.col("c_id"))
+    scored = with_cosine(pairs, "q_emb", "c_emb")
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes (xorshift-free LCG on the
+    driver — tiny, broadcast as literals)."""
+    state = seed or 1
+    planes = []
+    for _ in range(tables):
+        tbl = []
+        for _ in range(bits):
+            vec = []
+            for _ in range(dim):
+                state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+                vec.append(((state >> 33) / float(1 << 31)) - 1.0)
+            tbl.append(vec)
+        planes.append(tbl)
+    return planes
+
+
+def _bucket_expr(vec_col: str, table: list[list[float]]):
+    """Sign-bit bucket id for one LSH table: bit i = dot(v, plane_i) > 0."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(table):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(F.col(vec_col), lit_plane) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share a sign-sketch bucket in any table.
+
+    Equi-join on (table_idx, bucket) — no cartesian; exact cosine re-ranks
+    the candidate set.
+    """
+    planes = _hyperplanes(dim, bits, tables, seed)
+
+    def bucketize(df: DataFrame, idc: str, vecc: str, prefix: str) -> DataFrame:
+        parts = []
+        for ti, tbl in enumerate(planes):
+            parts.append(
+                df.select(
+                    F.col(idc).alias(f"{prefix}_id"),
+                    F.col(vecc).alias(f"{prefix}_emb"),
+                    F.lit(ti).alias(f"{prefix}_table"),
+                    _bucket_expr(vecc, tbl).alias(f"{prefix}_bucket"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    qb = bucketize(queries, id_col, vec_col, "q")
+    cb = bucketize(corpus, id_col, vec_col, "c")
+    cand = (
+        qb.join(
+            cb,
+            (qb.q_table == cb.c_table) & (qb.q_bucket == cb.c_bucket),
+        )
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_emb", "c_id", "c_emb")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = with_cosine(cand, "q_emb", "c_emb")
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k.
+
+    Centroids = deterministic sample of corpus vectors (hash-ordered, no
+    training pass — a k-means refinement drops in without changing the
+    dataflow). Corpus rows are assigned to their nearest centroid once;
+    queries probe their `nprobe` nearest cells only.
+    """
+    cents = (
+        corpus.select(F.col(id_col).alias("cent_src"), F.col(vec_col).alias("cent_emb"))
+        .withColumn("h", F.xxhash64(F.col("cent_src") + F.lit(seed)))
+        .orderBy("h")
+        .limit(n_cells)
+        .withColumn("cell", F.monotonically_increasing_id())
+        .select("cell", "cent_emb")
+    )
+
+    def assign(df: DataFrame, idc: str, vecc: str, prefix: str, probes: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "_sim", _dot(F.col(vecc), F.col("cent_emb"))
+        )
+        w = Window.partitionBy(idc).orderBy(F.col("_sim").desc(), F.col("cell"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= probes)
+            .select(
+                F.col(idc).alias(f"{prefix}_id"),
+                F.col(vecc).alias(f"{prefix}_emb"),
+                F.col("cell"),
+            )
+        )
+
+    qa = assign(queries, id_col, vec_col, "q", nprobe)
+    ca = assign(corpus, id_col, vec_col, "c", 1)
+    cand = (
+        qa.join(ca, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_emb", "c_id", "c_emb")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = with_cosine(cand, "q_emb", "c_emb")
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )

@@ -1,0 +1,79 @@
+"""Text analytics operators (north star §2.11): tokenization, language ID,
+quality scoring, rolling-hash fingerprints, chunking helpers.
+
+All pure JVM column expressions — per-row, no shuffle, safe at any scale.
+The query-registry entries (queries/extensions.py) exercise the same logic
+against the DuckDB oracle; these builders are the reusable surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# whitespace tokens (reference-style split) and a BPE-ish lexer: words,
+# numbers, or single punctuation marks — the shape subword tokenizers see
+WORD_SPLIT_RE = r"\s+"
+BPE_ISH_RE = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    """Token count under whitespace splitting."""
+    return F.size(F.split(F.trim(_c(col)), WORD_SPLIT_RE))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token count under a BPE-ish lexer (words / numbers / punct marks) —
+    a cheap, deterministic proxy for subword token budgeting."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_ISH_RE), F.lit(0)))
+
+
+def rolling_fingerprint(col: Column | str, base: int = 131, mod: int = (1 << 31) - 1) -> Column:
+    """Order-sensitive polynomial rolling hash over tokens.
+
+    fp = fold(tokens, 0, (acc, t) -> (acc*base + h(t)) % mod) with
+    h = xxhash64 folded into [0, mod). Stays within long range
+    (acc < 2^31, base=131 -> products < 2^39), so no ANSI overflow.
+    Distinguishes token *order* (the bag fingerprint in q_doc_fingerprint
+    deliberately does not).
+    """
+    toks = F.split(F.lower(F.trim(_c(col))), WORD_SPLIT_RE)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, tok: (acc * base + F.pmod(F.xxhash64(tok), F.lit(mod))) % mod,
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = _c(col)
+    return (
+        (F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))).cast("double")
+        / F.length(c)
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in stopwords])
+    toks = F.split(F.lower(_c(col)), WORD_SPLIT_RE)
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).cast(
+        "double"
+    ) / F.size(toks)
+
+
+def char_chunks(col: Column | str, size: int = 100, stride: int = 80):
+    """(chunk_idx, chunk) pairs as an array column; explode for rows.
+    Overlap = size - stride."""
+    c = _c(col)
+    n = F.floor((F.length(c) - 1) / stride).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.substring(c, F.lit(1) + i * stride, F.lit(size)).alias("chunk"),
+        ),
+    )

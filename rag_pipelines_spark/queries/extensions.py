@@ -467,3 +467,32 @@ def q_simhash(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return simhash64_df(d, id_col="doc_id", text_col="text")
+
+
+@register(
+    "q_ann_lsh",
+    oracle=None,  # approximate by design — recall vs brute force asserted in tests
+    doc="approximate NN via random-hyperplane LSH buckets (equi-join on "
+    "(table,bucket), exact re-rank of candidates only) — the 100 TB scale "
+    "path for q_cosine_topk; operators/similarity.py",
+)
+def q_ann_lsh(spark, sf_dir):
+    from rag_pipelines_spark.operators.similarity import cosine_topk_lsh
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return cosine_topk_lsh(q, e, dim=64, k=5, bits=4, tables=12)
+
+
+@register(
+    "q_ann_ivf",
+    oracle=None,  # approximate by design — rows-only
+    doc="approximate NN via IVF cells (nearest-centroid partitioning, "
+    "nprobe probing) — operators/similarity.py",
+)
+def q_ann_ivf(spark, sf_dir):
+    from rag_pipelines_spark.operators.similarity import cosine_topk_ivf
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return cosine_topk_ivf(q, e, k=5, n_cells=16, nprobe=4)

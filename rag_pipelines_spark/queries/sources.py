@@ -1,0 +1,110 @@
+"""§2.1 — source/sink queries (S-series): HTML scan, fetch enrichment,
+JSONL round-trip, binary ingest.
+
+q_enrich_fetch and q_jsonl_roundtrip are hash-checked: the fetch fake and
+the round-trip are deterministic, so DuckDB can reproduce the expected
+output directly from the fixture tables. q_html_scan and q_binary_ingest
+are rows-only (stdlib HTML parsing / binaryFile source have no DuckDB
+equivalent).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from rag_pipelines_spark.registry import register
+from rag_pipelines_spark.queries._util import t
+
+_FIXTURE_BIN = os.path.join(os.path.dirname(__file__), "../../tests/fixtures/bin")
+
+
+@register(
+    "q_enrich_fetch",
+    oracle="""
+    SELECT doc_id,
+           'https://www.fda.gov/node/' || CAST(doc_id AS VARCHAR) AS url,
+           'FETCHED:' || md5('https://www.fda.gov/node/' || CAST(doc_id AS VARCHAR))
+               AS text
+    FROM documents
+    """,
+    doc="S2 per-URL deep-scrape enrichment as mapInPandas col-append with "
+    "injectable transport (deterministic fake => hash-checkable). "
+    "ref: fda_watcher.py:110-268",
+)
+def q_enrich_fetch(spark, sf_dir):
+    from rag_pipelines_spark.sources.html_table import fetch_enrich
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://www.fda.gov/node/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+    )
+    return fetch_enrich(d, url_col="url", out_col="text")
+
+
+@register(
+    "q_jsonl_roundtrip",
+    oracle="SELECT doc_id, lang, source, text FROM documents",
+    doc="S5/S6/S9 JSONL sink + scan round-trip through the filesystem "
+    "(write.json then read with explicit schema). "
+    "ref: fda…/combine_json_to_jsonl.py:240-263",
+)
+def q_jsonl_roundtrip(spark, sf_dir):
+    import uuid
+
+    from rag_pipelines_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    path = f"/root/repo/.scratch/jsonl-rt-{uuid.uuid4().hex[:8]}"
+    src = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    write_jsonl(src, path)
+    return read_jsonl(
+        spark, path, "doc_id bigint, lang string, source string, text string"
+    )
+
+
+@register(
+    "q_html_scan",
+    oracle=None,  # stdlib HTML parsing — no DuckDB equivalent; rows-only
+    doc="S1 HTML-table scan: synthesized listing pages -> one row per <tr> "
+    "with >=3 cells (P6 structural filter included). ref: fda_watcher.py:274-355",
+)
+def q_html_scan(spark, sf_dir):
+    from rag_pipelines_spark.sources.html_table import parse_html_tables
+
+    d = t(spark, sf_dir, "documents")
+    # synthesize a deterministic listing page per source group
+    row = F.concat(
+        F.lit("<tr><td>"),
+        F.substring("text", 1, 30),
+        F.lit('</td><td>desc</td><td>01/15/2024</td><td><a href="/node/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">link</a></td></tr>'),
+    )
+    pages = (
+        d.groupBy("source")
+        .agg(F.concat_ws("", F.collect_list(row)).alias("body"))
+        .select(
+            F.concat(F.lit("https://www.fda.gov/listing/"), F.col("source")).alias("url"),
+            F.concat(F.lit("<html><table>"), F.col("body"), F.lit("</table></html>")).alias(
+                "html"
+            ),
+        )
+    )
+    return parse_html_tables(pages)
+
+
+@register(
+    "q_binary_ingest",
+    oracle=None,  # binaryFile source — rows-only
+    doc="S10/S11 binary ingest + stubbed Marker-style extraction "
+    "(mapInPandas, per-partition decoder init). "
+    "ref: pdf_marker_extraction.py:210-282,166-203",
+)
+def q_binary_ingest(spark, sf_dir):
+    from rag_pipelines_spark.sources.binary import extract_documents, read_binary_dir
+
+    binaries = read_binary_dir(spark, _FIXTURE_BIN, glob="*.pdfstub")
+    return extract_documents(binaries)

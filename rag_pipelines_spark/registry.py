@@ -53,6 +53,7 @@ def load_all() -> dict[str, Query]:
         extensions,
         joins,
         relational,
+        sources,
         streaming,
         text,
         windows,

@@ -1,0 +1,126 @@
+"""Binary/multimodal columns (S10/S11 + north-star multimodal ops).
+
+PDFs, images, audio, video are opaque `binary` columns with typed metadata
+structs. The scan is Spark's binaryFile source (distributed, predicate
+pushdown on path/length/modificationTime); decode / feature-extract runs as
+Arrow-batched mapInPandas with per-partition model/library init — exactly
+the reference's one-time Marker model load (pdf_marker_extraction.py:
+219-233) generalized to executors.
+
+The decode bodies are STUBBED (image/audio libs are not in this container):
+`decode_stub=True` produces a deterministic fake so the Spark-side plumbing
+— schema, batch shape, partition init, metadata struct — is real and
+tested; passing a real decoder swaps in actual extraction unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EXTRACT_SCHEMA = (
+    "path string, length bigint, content_md5 string, text string, "
+    "meta_title string, meta_doi string"
+)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Distributed binary-file scan (S10). Columns: path, modificationTime,
+    length, content."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+
+def _fake_decode(content: bytes, path: str) -> tuple[str, str, str]:
+    """Deterministic stand-in for Marker PDF->Markdown + metadata probe.
+
+    Returns (text, title, doi) derived only from the bytes, so tests are
+    stable. Real integration point: replace via the `decoder` parameter.
+    """
+    h = hashlib.md5(content).hexdigest()
+    return (
+        f"# Extracted {path.rsplit('/', 1)[-1]}\n\nbody:{h}",
+        f"Title {h[:8]}",
+        f"10.{int(h[:4], 16) % 9000 + 1000}/stub.{h[4:10]}",
+    )
+
+
+Decoder = Callable[[bytes, str], tuple[str, str, str]]
+
+
+def extract_documents(
+    binaries: DataFrame, decoder: Decoder | None = None
+) -> DataFrame:
+    """binary rows -> {text, metadata{title, doi}} extraction (S10/S11).
+
+    ref: pdf_marker_extraction.py:210-282 (converter), 166-203 (metadata
+    probe). mapInPandas so a real model loads once per partition, not per
+    row; the stub keeps the identical dataflow.
+    """
+    dec = decoder or _fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = dec  # per-partition init point (load models here)
+        for pdf in batches:
+            rows = []
+            for path, length, content in zip(
+                pdf["path"], pdf["length"], pdf["content"]
+            ):
+                blob = bytes(content) if content is not None else b""
+                text, title, doi = model(blob, path)
+                rows.append(
+                    {
+                        "path": path,
+                        "length": int(length),
+                        "content_md5": hashlib.md5(blob).hexdigest(),
+                        "text": text,
+                        "meta_title": title,
+                        "meta_doi": doi,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path",
+                    "length",
+                    "content_md5",
+                    "text",
+                    "meta_title",
+                    "meta_doi",
+                ],
+            )
+
+    return binaries.mapInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+def image_features_stub(
+    binaries: DataFrame, n_features: int = 8
+) -> DataFrame:
+    """Multimodal feature-extraction plumbing: binary -> float vector.
+
+    Deterministic fake features (md5-seeded) standing in for a real
+    image/audio encoder; schema and batch shape match the real thing
+    (array<float> column ready for the similarity operators).
+    """
+    schema = "path string, features array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                digest = hashlib.md5(blob).digest()
+                feats = [
+                    (digest[i % 16] - 128) / 128.0 for i in range(n_features)
+                ]
+                rows.append({"path": path, "features": feats})
+            yield pd.DataFrame(rows, columns=["path", "features"])
+
+    return binaries.mapInPandas(run, schema=schema)

@@ -1,0 +1,112 @@
+"""Incremental delta processing (T1/T2/T5) — Structured Streaming replaces
+the watcher's schedule-loop + master-Excel state.
+
+Two equivalent formulations (SURVEY §7 phase 5):
+
+(a) batch-incremental: `incremental_merge` — one availableNow-style run
+    that anti-joins arrivals against a parquet state table and appends the
+    delta (ref: fda_watcher.py:373-416 initial/delta modes; the Excel
+    becomes a parquet dir). Rerunnable: processing the same input twice
+    adds nothing (T5 resume, ref: pdf_marker_extraction.py:354-360).
+
+(b) streaming: `streaming_dedup_query` — file source + dropDuplicates
+    with state + checkpoint; `windowed_counts_query` adds watermarked
+    event-time aggregation (late data dropped past the watermark).
+
+The scheduler's daily 09:00 trigger (scheduler.py:19,102-123) maps to
+`trigger(availableNow=True)` under cron, or processingTime for a resident
+query — pacing knobs via maxFilesPerTrigger (T3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def incremental_merge(
+    spark: SparkSession,
+    arrivals: DataFrame,
+    state_path: str,
+    key: str = "rag_id",
+) -> DataFrame:
+    """Anti-join arrivals vs persisted state; append the delta; return it.
+
+    State read is the plan's only barrier (SURVEY §3.1). Append-mode write
+    keeps history (new-first ordering is a read-side orderBy); the state
+    side of the anti-join broadcasts when small, sort-merge otherwise —
+    Catalyst/AQE decides.
+    """
+    state_exists = os.path.isdir(state_path) and any(
+        n.endswith(".parquet") for n in os.listdir(state_path)
+    )
+    if state_exists:
+        state_keys = spark.read.parquet(state_path).select(key)
+        delta = arrivals.join(state_keys, key, "left_anti")
+    else:  # initial mode, ref: fda_watcher.py:373
+        delta = arrivals
+    # materialize BEFORE the append: writing into state_path invalidates
+    # any cached plan that scans it, so a lazy delta would re-evaluate
+    # against the post-write state and come back empty
+    delta = delta.dropDuplicates([key]).localCheckpoint(eager=True)
+    delta.write.mode("append").parquet(state_path)
+    return delta
+
+
+def streaming_dedup_query(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    key_cols: list[str],
+    checkpoint: str,
+    queryName: str = "incremental_dedup",
+    glob: str = "*.parquet",
+) -> StreamingQuery:
+    """File-source stream with stateful dropDuplicates (T2 streaming form)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 4)  # T3 pacing, ref: fda_watcher.py:54-55
+        .parquet(source_dir)
+    )
+    return (
+        stream.dropDuplicates(key_cols)
+        .writeStream.format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_counts_query(
+    events: DataFrame,
+    checkpoint: str,
+    queryName: str = "windowed_counts",
+    watermark: str = "1 hour",
+    window: str = "15 minutes",
+) -> StreamingQuery:
+    """Watermarked tumbling-window counts (declared capability, SURVEY §2.9).
+
+    Append mode only emits a window once the watermark passes its end —
+    late events beyond `watermark` are dropped, bounding state size (the
+    property that makes event-time aggregation feasible at 100 TB/day).
+    """
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

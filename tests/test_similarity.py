@@ -1,0 +1,59 @@
+"""Recall tests: approximate similarity operators vs the exact baseline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_pipelines_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from rag_pipelines_spark.session import get_spark
+
+    return get_spark("similarity-tests", shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    return e.filter(F.col("vec_id") < 20), e
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["q_id"], set()).add(r["c_id"])
+    return out
+
+
+def test_bruteforce_shape(frames):
+    q, corpus = frames
+    exact = _topk_sets(cosine_topk_bruteforce(q, corpus, k=5))
+    assert len(exact) == 20
+    assert all(len(v) == 5 for v in exact.values())
+
+
+def test_lsh_recall_vs_exact(frames):
+    q, corpus = frames
+    exact = _topk_sets(cosine_topk_bruteforce(q, corpus, k=5))
+    approx = _topk_sets(cosine_topk_lsh(q, corpus, dim=64, k=5, bits=4, tables=12))
+    hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
+    recall = hits / (5 * len(exact))
+    assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
+
+
+def test_ivf_recall_vs_exact(frames):
+    q, corpus = frames
+    exact = _topk_sets(cosine_topk_bruteforce(q, corpus, k=5))
+    approx = _topk_sets(cosine_topk_ivf(q, corpus, k=5, n_cells=8, nprobe=4))
+    hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
+    recall = hits / (5 * len(exact))
+    assert recall >= 0.4, f"IVF recall too low: {recall:.2f}"
