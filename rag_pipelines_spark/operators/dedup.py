@@ -115,7 +115,12 @@ def minhash_candidates(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    ws = F.split(F.lower(F.col(text_col)), r"\s+")
+    # token array materialized once per row — a raw split expression inside
+    # the lambda would re-split per element (O(tokens^2))
+    toks = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("ws")
+    )
+    ws = F.col("ws")
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(ws) - (shingle_size - 1), F.lit(1))),
@@ -124,7 +129,7 @@ def minhash_candidates(
             ),
         )
     )
-    docs = df.select(F.col(id_col), shingles.alias("shingles")).filter(
+    docs = toks.select(F.col(id_col), shingles.alias("shingles")).filter(
         F.size("shingles") > 0
     )
     tf = HashingTF(

@@ -274,7 +274,11 @@ def q_doc_fingerprint(spark, sf_dir):
 )
 def q_ngram_jaccard(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
+    # materialize the token array ONCE per row: referencing the split
+    # expression inside the transform lambda would re-split the text per
+    # element (O(tokens^2) — measured 8s -> 0.5s at sf0.1)
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
+    ws = F.col("ws")
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
@@ -286,7 +290,7 @@ def q_ngram_jaccard(spark, sf_dir):
             ),
         )
     )
-    sh = d.select("doc_id", "lang", shingles.alias("shingles"))
+    sh = toks.select("doc_id", "lang", shingles.alias("shingles"))
     a = sh.select(
         F.col("doc_id").alias("a_id"),
         F.col("lang").alias("a_lang"),
@@ -325,35 +329,33 @@ def _dot_dec(a, b):
 @register(
     "q_cosine_topk",
     oracle="""
-    WITH q AS (
-        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10
-    ),
-    c AS (
-        SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+    WITH norms AS (
+        SELECT vec_id, embedding,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS n2
+        FROM (SELECT vec_id, embedding, unnest(embedding) AS x FROM embeddings)
+        GROUP BY vec_id, embedding
     ),
     pairs AS (
-        SELECT q_id, c_id, q_emb, c_emb FROM q, c WHERE q_id <> c_id
-    ),
-    el AS (
-        SELECT q_id, c_id,
-               unnest(q_emb) AS x, unnest(c_emb) AS y
-        FROM pairs
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               q.embedding AS q_emb, c.embedding AS c_emb,
+               q.n2 AS qn2, c.n2 AS cn2
+        FROM norms q, norms c
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
     ),
     dots AS (
-        SELECT q_id, c_id,
+        SELECT q_id, c_id, qn2, cn2,
                CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
-                             AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                             AS DECIMAL(30,15))) AS DOUBLE) AS na2,
-               CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
-                             AS DECIMAL(30,15))) AS DOUBLE) AS nb2
-        FROM el GROUP BY q_id, c_id
+                             AS DECIMAL(30,15))) AS DOUBLE) AS dot
+        FROM (SELECT q_id, c_id, qn2, cn2,
+                     unnest(q_emb) AS x, unnest(c_emb) AS y FROM pairs)
+        GROUP BY q_id, c_id, qn2, cn2
     ),
     scored AS (
         SELECT q_id, c_id,
-               round(dot / (sqrt(na2) * sqrt(nb2)), 9) AS cosine,
+               round(dot / (sqrt(qn2) * sqrt(cn2)), 9) AS cosine,
                ROW_NUMBER() OVER (PARTITION BY q_id
-                                  ORDER BY round(dot / (sqrt(na2) * sqrt(nb2)), 9) DESC,
+                                  ORDER BY round(dot / (sqrt(qn2) * sqrt(cn2)), 9) DESC,
                                            c_id) AS rk
         FROM dots
     )
@@ -366,22 +368,34 @@ def _dot_dec(a, b):
 )
 def q_cosine_topk(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    # norms once per VECTOR, not per pair (3x less decimal-fold work)
+    norms = e.select(
+        "vec_id",
+        "embedding",
+        _dot_dec(F.col("embedding"), F.col("embedding")).cast("double").alias("n2"),
     )
-    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    q = norms.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("qn2"),
+    )
+    c = norms.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("n2").alias("cn2"),
+    )
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("q_id") != F.col("c_id"))
     dots = pairs.select(
         "q_id",
         "c_id",
+        "qn2",
+        "cn2",
         _dot_dec(F.col("q_emb"), F.col("c_emb")).cast("double").alias("dot"),
-        _dot_dec(F.col("q_emb"), F.col("q_emb")).cast("double").alias("na2"),
-        _dot_dec(F.col("c_emb"), F.col("c_emb")).cast("double").alias("nb2"),
     )
     # round to 9 decimals: Spark casts double->decimal via the shortest
     # string repr while DuckDB rounds the exact binary expansion — at 9
     # decimals both agree bitwise after the final decimal->double cast
-    cosine = F.round(F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 9)
+    cosine = F.round(F.col("dot") / (F.sqrt("qn2") * F.sqrt("cn2")), 9)
     w = W.partitionBy("q_id").orderBy(cosine.desc(), F.col("c_id"))
     return (
         dots.withColumn("cosine", cosine)
@@ -394,21 +408,25 @@ def q_cosine_topk(spark, sf_dir):
 @register(
     "q_embed_neardup",
     oracle="""
-    WITH el AS (
-        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    WITH norms AS (
+        SELECT vec_id, label, embedding,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS n2
+        FROM (SELECT vec_id, label, embedding, unnest(embedding) AS x
+              FROM embeddings)
+        GROUP BY vec_id, label, embedding
+    ),
+    el AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.n2 AS na2, b.n2 AS nb2,
                unnest(a.embedding) AS x, unnest(b.embedding) AS y
-        FROM embeddings a JOIN embeddings b
+        FROM norms a JOIN norms b
           ON a.label = b.label AND b.vec_id > a.vec_id
     ),
     dots AS (
-        SELECT a_id, b_id,
+        SELECT a_id, b_id, na2, nb2,
                CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
-                             AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                             AS DECIMAL(30,15))) AS DOUBLE) AS na2,
-               CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
-                             AS DECIMAL(30,15))) AS DOUBLE) AS nb2
-        FROM el GROUP BY a_id, b_id
+                             AS DECIMAL(30,15))) AS DOUBLE) AS dot
+        FROM el GROUP BY a_id, b_id, na2, nb2
     )
     SELECT a_id, b_id, round(dot / (sqrt(na2) * sqrt(nb2)), 9) AS cosine
     FROM dots
@@ -419,23 +437,31 @@ def q_cosine_topk(spark, sf_dir):
 )
 def q_embed_neardup(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
-    a = e.select(
+    norms = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _dot_dec(F.col("embedding"), F.col("embedding")).cast("double").alias("n2"),
+    )
+    a = norms.select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_label"),
         F.col("embedding").alias("a_emb"),
+        F.col("n2").alias("na2"),
     )
-    b = e.select(
+    b = norms.select(
         F.col("vec_id").alias("b_id"),
         F.col("label").alias("b_label"),
         F.col("embedding").alias("b_emb"),
+        F.col("n2").alias("nb2"),
     )
     pairs = a.join(b, (a.a_label == b.b_label) & (b.b_id > a.a_id))
     dots = pairs.select(
         "a_id",
         "b_id",
+        "na2",
+        "nb2",
         _dot_dec(F.col("a_emb"), F.col("b_emb")).cast("double").alias("dot"),
-        _dot_dec(F.col("a_emb"), F.col("a_emb")).cast("double").alias("na2"),
-        _dot_dec(F.col("b_emb"), F.col("b_emb")).cast("double").alias("nb2"),
     )
     cosine = F.round(F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 9)
     return dots.select("a_id", "b_id", cosine.alias("cosine")).filter(

@@ -111,3 +111,24 @@ def q_window_running(spark, sf_dir):
         "user_id",
         F.sum(dec("value")).over(w).cast("double").alias("running_value"),
     )
+
+
+@register(
+    "q_batch_assign",
+    oracle="""
+    SELECT doc_id,
+           CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 10 AS BIGINT)
+               AS batch_no
+    FROM documents
+    """,
+    doc="the reference's batch partitioner: record index -> 10-row batch "
+    "number (floor(row_number/N)). ref: fda_watcher.py:444-455. At scale "
+    "the global row_number becomes a per-partition id + offset scan",
+)
+def q_batch_assign(spark, sf_dir):
+    o = t(spark, sf_dir, "documents")
+    w = W.orderBy("doc_id")
+    return o.select(
+        "doc_id",
+        F.floor((F.row_number().over(w) - 1) / 10).alias("batch_no"),
+    )

@@ -1,0 +1,71 @@
+"""Physical-plan assertions (SURVEY §7 phase 7): the optimizations we rely
+on at 100 TB must actually appear in the plan — column pruning into the
+parquet scan, broadcast joins for dimension/state sides, partial+final
+hash aggregation, no cartesian products where an equi-block exists.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rag_pipelines_spark.registry import load_all
+
+SF = "/root/testdata/sf0.01"
+REG = load_all()
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from rag_pipelines_spark.session import get_spark
+
+    return get_spark("plan-tests", shuffle_partitions=8)
+
+
+def plan_of(spark, name: str) -> str:
+    df = REG[name].fn(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_join_inner_broadcasts_dims_and_prunes(spark):
+    plan = plan_of(spark, "q_join_inner")
+    assert "BroadcastHashJoin" in plan
+    # fact-side scan reads only the join key + aggregated column
+    assert "struct<l_orderkey:bigint,l_extendedprice:double>" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_delta_anti_join_is_broadcast(spark):
+    plan = plan_of(spark, "q_delta_anti_join")
+    assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_agg_partial_final_and_pruning(spark):
+    plan = plan_of(spark, "q_agg_stats")
+    # partial+final pairs
+    assert plan.count("HashAggregate") >= 2
+    # only the 3 referenced columns reach the scan
+    assert "struct<l_quantity:double,l_extendedprice:double,l_returnflag:string>" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "q_filter_nullkey")
+    assert "PushedFilters" in plan
+    assert "IsNotNull" in plan
+
+
+def test_fuzzy_join_is_equi_blocked_not_cartesian(spark):
+    plan = plan_of(spark, "q_fuzzy_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_no_cartesian(spark):
+    plan = plan_of(spark, "q_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "q_topk")
+    assert "TakeOrderedAndProject" in plan  # no global sort materialized
