@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
 # Cleaning rule data (ref: fda_rag_extraction/scripts/json_split_and_clean.py)
+# Rule lists compile to single alternation regexes via compile_rule_list
+# (defined below) so one JVM rlike replaces a per-line Python regex loop.
 # ---------------------------------------------------------------------------
 
 # Cutoff lines mark the end of useful content.
@@ -108,24 +110,46 @@ def fingerprint_key(url: Column | str, title: Column | str, date: Column | str) 
 # ---------------------------------------------------------------------------
 
 
-def strip_boilerplate_lines(col: Column | str) -> Column:
+def compile_rule_list(
+    patterns: list[str] | tuple[str, ...],
+    anchored: bool = False,
+    flags: str = "is",
+) -> str:
+    """Compile a rule list into ONE alternation regex (SURVEY §4.3c).
+
+    The reference loops 20 regexes per line in Python
+    (json_split_and_clean.py:203-207); compiling them into a single
+    `(?is)^(?:p1|p2|…)` lets one JVM `rlike` do the whole rule set.
+    `anchored=True` reproduces re.match (start-of-line) semantics.
+    """
+    body = "|".join(f"(?:{p})" for p in patterns)
+    prefix = f"(?{flags})" if flags else ""
+    return f"{prefix}^(?:{body})" if anchored else f"{prefix}{body}"
+
+
+def strip_boilerplate_lines(
+    col: Column | str,
+    boilerplate_re: str = BOILERPLATE_RE,
+    headers: tuple[str, ...] = HEADERS_STANDALONE,
+) -> Column:
     """Drop boilerplate/header lines from a multi-line text column.
 
     Declared column semantics (hash-checked): split on newline, trim each
-    line, drop empties, drop lines matching BOILERPLATE_RE at line start,
+    line, drop empties, drop lines matching `boilerplate_re` at line start,
     drop standalone repeated headers, rejoin with single newlines.
-    ref: json_split_and_clean.py:61-100,199-217.
+    ref: json_split_and_clean.py:61-100,199-217. Custom rule sets:
+    `strip_boilerplate_lines(c, compile_rule_list(my_rules, anchored=True))`.
 
     All work happens JVM-side via higher-order functions — no shuffle, no
     Python; scales linearly with text volume.
     """
     lines = F.transform(F.split(_c(col), "\n"), lambda l: F.trim(l))
-    headers = F.array(*[F.lit(h) for h in HEADERS_STANDALONE])
+    headers_arr = F.array(*[F.lit(h) for h in headers])
     kept = F.filter(
         lines,
         lambda l: (l != F.lit(""))
-        & ~l.rlike(BOILERPLATE_RE)
-        & ~F.array_contains(headers, l),
+        & ~l.rlike(boilerplate_re)
+        & ~F.array_contains(headers_arr, l),
     )
     return F.array_join(kept, "\n")
 
@@ -233,14 +257,16 @@ def extract_year(citation: Column | str) -> Column:
 
 
 def norm_text(col: Column | str) -> Column:
-    """lowercase, punctuation → space, collapse whitespace, trim.
+    """lowercase+strip, punctuation → space, collapse whitespace.
 
     ref: pubmed_enrichment.py:254-260 (DocumentVerifier.normalize_text).
+    Bug-compat: the reference strips BEFORE replacing punctuation and never
+    strips again, so trailing punctuation leaves one trailing space — we
+    reproduce that exactly (verified in tests/test_reference_parity.py).
     """
     out = F.lower(F.trim(_c(col)))
     out = F.regexp_replace(out, r"[^\w\s]", " ")
-    out = F.regexp_replace(out, r"\s+", " ")
-    return F.trim(out)
+    return F.regexp_replace(out, r"\s+", " ")
 
 
 def norm_doi(col: Column | str) -> Column:

@@ -399,9 +399,9 @@ def q_year_extract(spark, sf_dir):
     "q_text_norm",
     oracle="""
     SELECT doc_id,
-           trim(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(
                 lower(trim('A:B,c.D! ' || substring(text, 1, 60))),
-                '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS normed
+                '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g') AS normed
     FROM documents
     """,
     doc="F10 match-normalization. ref: pubmed_enrichment.py:254-260",

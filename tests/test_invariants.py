@@ -1,0 +1,78 @@
+"""Property tests: hash stability vs a local oracle, dedup invariants,
+simhash behavior (SURVEY §5.4)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from rag_pipelines_spark.functions.text import fingerprint_key
+from rag_pipelines_spark.operators.dedup import exact_dedup, simhash64_df
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from rag_pipelines_spark.session import get_spark
+
+    return get_spark("invariant-tests", shuffle_partitions=4)
+
+
+def test_fingerprint_matches_local_md5_batch(spark):
+    """fingerprint_key == md5(url) when url set, md5(title_date) otherwise —
+    checked against hashlib on a generated batch. ref: fda_watcher.py:86-93."""
+    rows = [
+        ("https://x/1", "Title A", "01/15/2024"),
+        ("", "Title B", "01/16/2024"),
+        ("  ", "pad url stays", "01/17/2024"),  # whitespace url is non-empty
+        ("https://x/2", "", ""),
+        ("", "", ""),
+    ]
+    df = spark.createDataFrame(rows, ["url", "title", "date"])
+    got = {
+        (r["url"], r["title"], r["date"]): r["fp"]
+        for r in df.withColumn("fp", fingerprint_key("url", "title", "date")).collect()
+    }
+    for url, title, date in rows:
+        basis = url if url != "" else f"{title}_{date}"
+        assert got[(url, title, date)] == hashlib.md5(basis.encode()).hexdigest()
+
+
+def test_exact_dedup_invariants(spark):
+    """|output| == |distinct keys|; representative = min(order_col);
+    idempotent."""
+    rows = [
+        ("k1", 3, "c"),
+        ("k1", 1, "a"),
+        ("k1", 2, "b"),
+        ("k2", 9, "z"),
+        ("k3", 5, "m"),
+        ("k3", 5, "m"),
+    ]
+    df = spark.createDataFrame(rows, ["key", "ord", "val"])
+    out = exact_dedup(df, ["key"], "ord")
+    got = {r["key"]: (r["ord"], r["val"]) for r in out.collect()}
+    assert len(got) == 3
+    assert got["k1"] == (1, "a")  # min-by, not arbitrary
+    again = exact_dedup(out, ["key"], "ord")
+    assert sorted(r["key"] for r in again.collect()) == sorted(got)
+
+
+def test_simhash_stability_and_locality(spark):
+    """Equal texts hash equal; a one-token change moves few bits; disjoint
+    texts differ."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "the quick brown fox jumps over the lazy cat again and again"),
+        (4, "entirely different content about spark partitions and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64_df(df, "doc_id", "text").collect()}
+    assert sh[1] == sh[2]
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert 0 < hamming(sh[1], sh[3]) <= 16  # near-dup stays close
+    assert hamming(sh[1], sh[4]) > hamming(sh[1], sh[3])  # unrelated is farther
