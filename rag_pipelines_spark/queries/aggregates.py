@@ -298,3 +298,36 @@ def q_pivot(spark, sf_dir):
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
     )
+
+
+@register(
+    "q_selective_agg",
+    oracle=f"""
+    SELECT {o_dsum("l_extendedprice * CAST(l_discount AS DECIMAL(18,2))", 4, 25)}
+               AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="declared: TPC-H Q6 shape — selective range predicates + single agg; "
+    "exercises predicate pushdown into the parquet scan",
+)
+def q_selective_agg(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= "1994-01-01")
+        & (F.col("l_shipdate") < "1995-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    revenue = (
+        F.col("l_extendedprice") * F.col("l_discount").cast("decimal(18,2)")
+    ).cast("decimal(25,4)")
+    return filtered.agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count("*").alias("n"),
+    )

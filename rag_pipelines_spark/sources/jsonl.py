@@ -49,3 +49,31 @@ def deadletter_split(
     write_jsonl(good, main_path)
     write_jsonl(bad, failed_path)
     return good, bad
+
+
+def write_per_record_json(df: DataFrame, path: str, key_col: str = "rag_id") -> None:
+    """S7 parity: one directory per record key (the reference's one file per
+    RAG_ID, json_split_and_clean.py:315-320). At 100 TB per-record files are
+    an anti-pattern — partitionBy gives the same key-addressable layout with
+    distributed writes; prefer plain JSONL + a key column for new designs.
+    """
+    df.write.mode("overwrite").partitionBy(key_col).json(path)
+
+
+def read_jsonl_glob(
+    spark: SparkSession,
+    pattern: str,
+    schema: StructType | str,
+    with_provenance: bool = True,
+) -> DataFrame:
+    """S8: recursive glob scan with per-row file provenance.
+
+    The reference globs sorted file lists (fda…/combine_json_to_jsonl.py:
+    126-151); Spark's reader handles the glob and `input_file_name()`
+    replaces the manual bookkeeping (deterministic content, not order —
+    order is a sort key downstream, never an input property).
+    """
+    df = spark.read.schema(schema).json(pattern)
+    if with_provenance:
+        df = df.withColumn("source_file", F.input_file_name())
+    return df

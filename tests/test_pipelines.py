@@ -190,3 +190,36 @@ class TestStreamingQueries:
         # the 00:00 window closed (watermark @ 01:00) and emitted in append mode
         emitted = {(str(r["window_start"]), r["event_type"]): r["n"] for r in rows}
         assert emitted.get(("2024-01-01 00:00:00", "click")) == 2
+
+
+class TestObservedMetrics:
+    def test_metrics_computed_in_same_pass(self, spark, tmp_path):
+        from rag_pipelines_spark.operators.metrics import observed_scrape_metrics
+
+        df = spark.createDataFrame(
+            [("a", "fetched text"), ("b", ""), ("c", "more text")],
+            ["rag_id", "text"],
+        )
+        observed, obs = observed_scrape_metrics(df)
+        observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+        m = obs.get
+        assert m["n_total"] == 3 and m["n_ok"] == 2 and m["n_failed"] == 1
+        assert abs(m["success_rate_pct"] - 200 / 3) < 1e-9
+
+    def test_per_record_json_roundtrip(self, spark, tmp_path):
+        from rag_pipelines_spark.sources.jsonl import (
+            read_jsonl_glob,
+            write_per_record_json,
+        )
+
+        df = spark.createDataFrame(
+            [("r1", "one"), ("r2", "two")], ["rag_id", "corpus"]
+        )
+        out = str(tmp_path / "records")
+        write_per_record_json(df, out, key_col="rag_id")
+        back = read_jsonl_glob(
+            spark, out + "/*/*.json", "corpus string", with_provenance=True
+        )
+        rows = back.collect()
+        assert {r["corpus"] for r in rows} == {"one", "two"}
+        assert all("rag_id=" in r["source_file"] for r in rows)

@@ -194,3 +194,57 @@ def test_extract_doi_matches_reference_on_clean_contexts(ref_pdfutils):
     # the last case documents the intentional difference: our hash-checked
     # variant rejects at document level; the reference checks +/-100 chars
     assert got[4] is None and ref_pdfutils.extract_doi(texts[4]) == "10.1234/ok"
+
+
+def test_verify_match_matches_reference_verifier(ref_enrich):
+    """verify_match verdicts vs DocumentVerifier.verify on difflib parity
+    (exact_ratio=True). Mapping: (True,True)->doi, (True,False)->title,
+    (False,*) with both DOIs -> conflict, else unverified."""
+    from pyspark.sql import functions as F
+
+    from rag_pipelines_spark.operators.enrich import verify_match
+    from rag_pipelines_spark.session import get_spark
+
+    spark = get_spark("parity-tests", shuffle_partitions=4)
+    verifier = ref_enrich.DocumentVerifier()
+
+    cases = [
+        # (local_title, local_doi, pm_title, pm_doi)
+        ("Any Title", "10.1/abc", "Other", "https://doi.org/10.1/ABC"),  # doi eq
+        ("Any Title", "10.1/abc", "Other", "10.2/zzz"),  # conflict
+        ("An Exact Title Match", "", "An Exact Title Match", ""),  # title 1.0
+        ("An Exact Title Match!", "", "An Exact Title Match", ""),  # ~0.97
+        ("Totally Different Words", "", "Nothing Alike Here", ""),  # low sim
+        ("", "", "Some Title", ""),  # no local title
+        ("T", "10.5/x", "T", ""),  # local doi only -> title path
+        ("", "", "", ""),  # nothing
+    ]
+
+    class FakePM:
+        def __init__(self, title, doi):
+            self.title, self.doi = title, doi
+
+    df = spark.createDataFrame(
+        [(i, *c) for i, c in enumerate(cases)],
+        ["i", "lt", "ld", "pt", "pd"],
+    )
+    got = {
+        r["i"]: r["v"]
+        for r in df.withColumn(
+            "v",
+            verify_match(
+                F.col("lt"), F.col("ld"), F.col("pt"), F.col("pd"), exact_ratio=True
+            ),
+        ).collect()
+    }
+    for i, (lt, ld, pt, pdoi) in enumerate(cases):
+        is_verified, allow_doi = verifier.verify(lt, ld, FakePM(pt, pdoi))
+        if is_verified and allow_doi:
+            expected = "doi"
+        elif is_verified:
+            expected = "title"
+        elif ld and pdoi:
+            expected = "conflict"
+        else:
+            expected = "unverified"
+        assert got[i] == expected, f"case {i}: {cases[i]} ref={is_verified},{allow_doi}"
