@@ -331,3 +331,26 @@ def q_selective_agg(spark, sf_dir):
         F.sum(revenue).cast("double").alias("revenue"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_extendedprice, 0.5) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="declared: exact percentiles (sort-based linear interpolation — "
+    "identical order stats both engines; approx variant is engine-specific "
+    "and lives in q_approx_distinct's rows-only tier)",
+)
+def q_percentiles(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.percentile("l_extendedprice", 0.5).alias("median_price"),
+    )

@@ -295,3 +295,23 @@ def q_intersect(spark, sf_dir):
     return d.filter(F.col("doc_id") % 2 == 0).intersect(
         d.filter(F.col("doc_id") % 3 == 0)
     )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value
+    FROM orders WHERE o_orderkey % 50 = 0
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+    doc="declared: unpivot/melt wide->long (Spark unpivot == stack)",
+)
+def q_unpivot(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice"),
+        F.col("o_custkey").cast("double").alias("o_custkey"),
+    ).unpivot("o_orderkey", ["o_totalprice", "o_custkey"], "metric", "value")

@@ -223,3 +223,30 @@ class TestObservedMetrics:
         rows = back.collect()
         assert {r["corpus"] for r in rows} == {"one", "two"}
         assert all("rag_id=" in r["source_file"] for r in rows)
+
+
+class TestStreamingPacing:
+    def test_max_files_per_trigger_multi_batch(self, spark, tmp_path):
+        """T3 pacing: N input files with maxFilesPerTrigger=4 -> multiple
+        micro-batches under availableNow, all rows processed exactly once."""
+        from rag_pipelines_spark.streaming.incremental import streaming_dedup_query
+
+        src = str(tmp_path / "paced_src")
+        schema = "rag_id string, source string"
+        for i in range(8):  # 8 single-row files
+            spark.createDataFrame([(f"id{i}", "s")], schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        q = streaming_dedup_query(
+            spark,
+            src,
+            schema,
+            key_cols=["rag_id"],
+            checkpoint=str(tmp_path / "ckpt"),
+            queryName="paced_dedup",
+        )
+        q.awaitTermination()
+        progress = q.recentProgress
+        assert len(progress) >= 2, "expected multiple micro-batches"
+        rows = spark.table("paced_dedup").collect()
+        assert sorted(r["rag_id"] for r in rows) == sorted(f"id{i}" for i in range(8))
