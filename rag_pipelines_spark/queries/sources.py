@@ -108,3 +108,24 @@ def q_binary_ingest(spark, sf_dir):
 
     binaries = read_binary_dir(spark, _FIXTURE_BIN, glob="*.pdfstub")
     return extract_documents(binaries)
+
+
+@register(
+    "q_multimodal_features",
+    oracle=None,  # binaryFile + stubbed encoder — rows-only
+    doc="multimodal plumbing end-to-end: binary scan -> stubbed feature "
+    "encoder (mapInPandas, array<float> out) -> pairwise cosine of the "
+    "resulting vectors (same similarity kernel as embeddings). Decode stub "
+    "is deterministic; swap a real image/audio model via the decoder param. "
+    "ref: pdf_marker_extraction.py:104-127 (device-aware model placement)",
+)
+def q_multimodal_features(spark, sf_dir):
+    from rag_pipelines_spark.operators.similarity import with_cosine
+    from rag_pipelines_spark.sources.binary import image_features_stub, read_binary_dir
+
+    binaries = read_binary_dir(spark, _FIXTURE_BIN, glob="*")
+    feats = image_features_stub(binaries, n_features=16)
+    a = feats.select(F.col("path").alias("a_path"), F.col("features").alias("fa"))
+    b = feats.select(F.col("path").alias("b_path"), F.col("features").alias("fb"))
+    pairs = a.crossJoin(b).filter(F.col("a_path") < F.col("b_path"))
+    return with_cosine(pairs, "fa", "fb").select("a_path", "b_path", "cosine")

@@ -147,3 +147,34 @@ def fetch_enrich(
             yield pdf.assign(**{out_col: fetched})[cols + [out_col]]
 
     return df.mapInPandas(run, schema=schema)
+
+
+def retrying_transport(
+    inner: Transport,
+    max_retries: int = 3,
+    base_delay: float = 1.0,
+    sleep=None,
+) -> Transport:
+    """T4: retry with exponential backoff around any transport.
+
+    ref: fda_watcher.py:45-47,253-262 — 3 attempts, delay doubling per
+    attempt, only retrying transient (connection-level) errors. `sleep` is
+    injectable so tests run without wall-clock waits. Spark task retries
+    cover machine-level failure above this.
+    """
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+
+    def fetch(url: str) -> str:
+        last: Exception | None = None
+        for attempt in range(max_retries):
+            try:
+                return inner(url)
+            except (ConnectionError, TimeoutError) as e:
+                last = e
+                if attempt < max_retries - 1:
+                    do_sleep(base_delay * (2**attempt))
+        raise last  # type: ignore[misc]
+
+    return fetch

@@ -89,12 +89,17 @@ def windowed_counts_query(
     queryName: str = "windowed_counts",
     watermark: str = "1 hour",
     window: str = "15 minutes",
+    sink_path: str | None = None,
 ) -> StreamingQuery:
     """Watermarked tumbling-window counts (declared capability, SURVEY §2.9).
 
     Append mode only emits a window once the watermark passes its end —
     late events beyond `watermark` are dropped, bounding state size (the
     property that makes event-time aggregation feasible at 100 TB/day).
+
+    `sink_path=None` uses the memory sink (single-run inspection only — it
+    cannot resume a checkpoint); pass a path for a parquet sink when the
+    query must stop/resume across runs.
     """
     agg = (
         events.withWatermark("ts", watermark)
@@ -102,10 +107,44 @@ def windowed_counts_query(
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
+    writer = agg.writeStream.outputMode("append").option(
+        "checkpointLocation", checkpoint
+    ).trigger(availableNow=True)
+    if sink_path is None:
+        return writer.format("memory").queryName(queryName).start()
+    return writer.format("parquet").option("path", sink_path).start()
+
+
+def incremental_stream_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_path: str,
+    checkpoint: str,
+    key: str = "rag_id",
+    glob: str = "*.parquet",
+):
+    """T2(a): streaming source -> foreachBatch(anti-join vs parquet state).
+
+    Each micro-batch runs `incremental_merge`: only keys absent from state
+    are appended. Combining foreachBatch with the checkpoint gives
+    end-to-end effectively-once: replayed batches re-anti-join against
+    state and add nothing (idempotence is tested batch-side).
+    ref: fda_watcher.py:373-416 — this IS the watcher loop, with the Excel
+    replaced by parquet state and the scheduler replaced by the trigger.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        incremental_merge(batch_df.sparkSession, batch_df, state_path, key=key)
+
     return (
-        agg.writeStream.format("memory")
-        .queryName(queryName)
-        .outputMode("append")
+        stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -250,3 +250,144 @@ class TestStreamingPacing:
         assert len(progress) >= 2, "expected multiple micro-batches"
         rows = spark.table("paced_dedup").collect()
         assert sorted(r["rag_id"] for r in rows) == sorted(f"id{i}" for i in range(8))
+
+
+class TestForeachBatchPipeline:
+    def test_stream_to_state_effectively_once(self, spark, tmp_path):
+        """T2(a): streaming foreachBatch anti-join into parquet state —
+        duplicate keys across micro-batches reach state exactly once."""
+        from rag_pipelines_spark.streaming.incremental import (
+            incremental_stream_pipeline,
+        )
+
+        src = str(tmp_path / "src")
+        state = str(tmp_path / "state")
+        schema = "rag_id string, v int"
+        # 3 files -> with maxFilesPerTrigger=4 still one batch; write 6 for 2+
+        batches = [
+            [("a", 1)], [("b", 2)], [("a", 3)],
+            [("c", 4)], [("b", 5)], [("d", 6)],
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        q = incremental_stream_pipeline(
+            spark, src, schema, state, checkpoint=str(tmp_path / "ckpt")
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(state)
+        ids = sorted(r["rag_id"] for r in final.collect())
+        assert ids == ["a", "b", "c", "d"], ids
+
+
+class TestRetryingTransport:
+    def test_backoff_then_success(self):
+        from rag_pipelines_spark.sources.html_table import retrying_transport
+
+        calls, sleeps = [], []
+        def flaky(url):
+            calls.append(url)
+            if len(calls) < 3:
+                raise ConnectionError("transient")
+            return "ok"
+
+        tx = retrying_transport(flaky, max_retries=3, base_delay=1.0, sleep=sleeps.append)
+        assert tx("u") == "ok"
+        assert len(calls) == 3
+        assert sleeps == [1.0, 2.0]  # exponential, ref: fda_watcher.py:253-262
+
+    def test_exhausted_raises(self):
+        from rag_pipelines_spark.sources.html_table import retrying_transport
+
+        def dead(url):
+            raise TimeoutError("down")
+
+        tx = retrying_transport(dead, max_retries=2, base_delay=0.5, sleep=lambda s: None)
+        import pytest as _pytest
+
+        with _pytest.raises(TimeoutError):
+            tx("u")
+
+    def test_non_transient_not_retried(self):
+        from rag_pipelines_spark.sources.html_table import retrying_transport
+
+        calls = []
+        def bad(url):
+            calls.append(url)
+            raise ValueError("permanent")
+
+        tx = retrying_transport(bad, max_retries=3, base_delay=0.1, sleep=lambda s: None)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            tx("u")
+        assert len(calls) == 1  # ref only retries connection errors
+
+
+class TestLateData:
+    def test_late_event_beyond_watermark_dropped(self, spark, tmp_path):
+        """Append-mode + watermark: once the watermark passes a window's
+        end and the window emits, a straggler inside that window arriving
+        in a later run is DROPPED (state was evicted)."""
+        from rag_pipelines_spark.streaming.incremental import windowed_counts_query
+
+        src = str(tmp_path / "late_src")
+        ckpt = str(tmp_path / "ckpt")
+        schema = None
+
+        def write(rows):
+            df = (
+                spark.createDataFrame(rows, ["event_id", "ts_s", "event_type"])
+                .withColumn("ts", F.to_timestamp("ts_s"))
+                .drop("ts_s")
+            )
+            df.coalesce(1).write.mode("append").parquet(src)
+            return df.schema
+
+        out_dir = str(tmp_path / "late_out")
+
+        def run(qname):
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = windowed_counts_query(
+                stream, checkpoint=ckpt, queryName=qname, sink_path=out_dir
+            )
+            q.awaitTermination()
+            return spark.read.parquet(out_dir)
+
+        # run 1: two clicks in the 00:00 window; an 02:00 event advances the
+        # watermark (1h) past 00:15 -> the 00:00 window closes and emits
+        schema = write(
+            [
+                (1, "2024-01-01 00:01:00", "click"),
+                (2, "2024-01-01 00:05:00", "click"),
+                (3, "2024-01-01 02:00:00", "view"),
+            ]
+        )
+        out1 = run("late_r1")
+        emitted1 = {
+            (str(r["window_start"]), r["event_type"]): r["n"] for r in out1.collect()
+        }
+        assert emitted1.get(("2024-01-01 00:00:00", "click")) == 2
+
+        # run 2 (same checkpoint): a LATE click back in the closed 00:00
+        # window + a 04:00 event to advance the watermark further
+        write(
+            [
+                (4, "2024-01-01 00:07:00", "click"),  # late straggler
+                (5, "2024-01-01 04:00:00", "view"),
+            ]
+        )
+        out2 = run("late_r2")
+        emitted2 = {
+            (str(r["window_start"]), r["event_type"]): r["n"] for r in out2.collect()
+        }
+        # the parquet sink is cumulative; the closed click window must
+        # appear exactly once, still with n=2 (late row dropped, no re-emit)
+        click_rows = [
+            r
+            for r in out2.collect()
+            if str(r["window_start"]) == "2024-01-01 00:00:00"
+            and r["event_type"] == "click"
+        ]
+        assert len(click_rows) == 1 and click_rows[0]["n"] == 2, click_rows
