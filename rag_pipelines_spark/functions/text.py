@@ -369,3 +369,11 @@ def url_absolutize(href: Column | str, base: str) -> Column:
         .when(h.startswith("/"), F.concat(F.lit(base_noslash), h))
         .otherwise(F.concat(F.lit(base_noslash + "/"), h))
     )
+
+
+def clean_search_term(col: Column | str) -> Column:
+    """F17: search-term cleaning — ``[;:,]`` → space before API lookup.
+
+    ref: pubmed_enrichment.py:148-151.
+    """
+    return F.regexp_replace(_c(col), r"[;:,]", " ")
