@@ -522,3 +522,46 @@ def q_ann_ivf(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return cosine_topk_ivf(q, e, k=5, n_cells=16, nprobe=4)
+
+
+@register(
+    "q_dup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    e0 AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM documents a JOIN documents b
+          ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+    ),
+    edges AS (
+        SELECT a_id, b_id FROM e0
+        UNION
+        SELECT b_id, a_id FROM e0
+    ),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS r FROM documents
+        UNION
+        SELECT reach.node, edges.b_id AS r
+        FROM reach JOIN edges ON edges.a_id = reach.r
+    )
+    SELECT node AS doc_id,
+           MIN(r) AS cluster_id,
+           node = MIN(r) AS is_representative
+    FROM reach
+    GROUP BY node
+    """,
+    doc="dup-cluster resolution: connected components over verified "
+    "near-dup pairs (edges = consecutive same-lang docs here), iterative "
+    "min-label propagation vs a DuckDB recursive-CTE reachability oracle. "
+    "operators/graph.py; cluster id = min doc id (deterministic keeper)",
+)
+def q_dup_clusters(spark, sf_dir):
+    from rag_pipelines_spark.operators.graph import dup_clusters
+
+    d = t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("lang").alias("b_lang"))
+    candidates = a.join(
+        b, (F.col("b_id") == F.col("a_id") + 1) & (F.col("a_lang") == F.col("b_lang"))
+    ).select("a_id", "b_id")
+    return dup_clusters(candidates, d.select("doc_id"), id_col="doc_id")

@@ -387,3 +387,42 @@ def q_join_asof(spark, sf_dir):
     return filled.filter(F.col("is_event") == 1).select(
         "event_id", F.col("k").alias("user_id"), "last_orderkey"
     )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    WITH big_cust AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0
+    ),
+    order_counts AS (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        WHERE o_custkey % 2 = 0 GROUP BY o_custkey
+    )
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           COALESCE(c.c_name, '<no-customer>') AS name,
+           COALESCE(o.n_orders, 0) AS n_orders
+    FROM big_cust c FULL OUTER JOIN order_counts o
+      ON c.c_custkey = o.o_custkey
+    """,
+    doc="declared: full-outer equi-join with both-sides-missing handling "
+    "(subset sides so each side has unmatched rows)",
+)
+def q_join_full(spark, sf_dir):
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_name")
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 2 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.coalesce("c_name", F.lit("<no-customer>")).alias("name"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )

@@ -76,3 +76,19 @@ def test_simhash_stability_and_locality(spark):
 
     assert 0 < hamming(sh[1], sh[3]) <= 16  # near-dup stays close
     assert hamming(sh[1], sh[4]) > hamming(sh[1], sh[3])  # unrelated is farther
+
+
+def test_connected_components_hand_graph(spark):
+    """Chains, a triangle, and isolated nodes resolve to min-id components."""
+    from rag_pipelines_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    #  chain 0-1-2,  triangle 4-5-6 (+ redundant edge), pair 8-9; 3,7 isolated
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5), (5, 6), (4, 6), (9, 8)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 4, 7: 7, 8: 8, 9: 8}
