@@ -30,7 +30,7 @@ from rag_pipelines_spark.functions.text import (
     url_absolutize,
 )
 from rag_pipelines_spark.operators.cleaning import clean_corpus_df
-from rag_pipelines_spark.operators.enrich import enrich_left_join, verify_match
+from rag_pipelines_spark.operators.enrich import verify_match
 from rag_pipelines_spark.sources.html_table import Transport, fetch_enrich, parse_html_tables
 
 BASE_DOMAIN = "https://www.fda.gov"

@@ -1,0 +1,60 @@
+"""Simulate the spark-graft driver gates locally (the /verify recipe).
+
+t1 smoke: run entry(spark), assert rows > 0.
+t2 correctness: for every queries() entry, run the Spark callable at
+sf0.01 and the matching oracle_sql() in DuckDB; compare sorted-column
+order-insensitive canonical rows. Exit 1 on any mismatch.
+
+Usage: python tools/driver_sim.py
+"""
+import sys, duckdb, pandas as pd
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as E
+from rag_pipelines_spark.session import get_spark
+
+SF = "/root/testdata/sf0.01"
+spark = get_spark("driver-sim")
+
+# t1 smoke
+df = E.entry(spark)
+rows = df.collect()
+print(f"SMOKE entry(): {len(rows)} rows, schema={df.columns}")
+assert len(rows) > 0
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+def vhash(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    def cell(v):
+        import numpy as np, datetime
+        if v is None: return "<null>"
+        if isinstance(v,(float,np.floating)):
+            return "<null>" if pd.isna(v) else repr(float(v))
+        if isinstance(v,(int,np.integer,bool)): return str(int(v))
+        if isinstance(v,(pd.Timestamp,datetime.datetime)): return pd.Timestamp(v).isoformat()
+        if isinstance(v,(list,tuple)) or type(v).__name__=='ndarray': return "["+",".join(cell(x) for x in v)+"]"
+        try:
+            if pd.isna(v): return "<null>"
+        except (TypeError,ValueError): pass
+        return str(v)
+    rows = sorted(tuple(cell(v) for v in r) for r in pdf.itertuples(index=False))
+    import hashlib
+    return hashlib.md5(repr(rows).encode()).hexdigest(), len(rows)
+
+qs, oracles = E.queries(), E.oracle_sql()
+n_pass = n_fail = n_rows_only = 0
+for name, fn in sorted(qs.items()):
+    sdf = fn(spark, SF).toPandas()
+    if name in oracles:
+        ddf = con.sql(oracles[name]).df()
+        hs, ns = vhash(sdf); hd, nd = vhash(ddf)
+        ok = hs == hd and sorted(sdf.columns) == sorted(ddf.columns)
+        n_pass += ok; n_fail += (not ok)
+        print(f"{'PASS' if ok else 'FAIL'} {name}: spark={ns} duck={nd}")
+    else:
+        n_rows_only += 1
+        print(f"ROWS-ONLY {name}: {len(sdf)} rows")
+print(f"TOTAL: {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+sys.exit(1 if n_fail else 0)
