@@ -77,3 +77,33 @@ def char_chunks(col: Column | str, size: int = 100, stride: int = 80):
             F.substring(c, F.lit(1) + i * stride, F.lit(size)).alias("chunk"),
         ),
     )
+
+
+def grouped_length_profile(df, group_col: str, text_col: str):
+    """Per-group length profile via applyInPandas (SURVEY §2.10b grouped-map).
+
+    Demonstrates the grouped-map UDF surface: each group's rows arrive as
+    one pandas DataFrame (use when the per-group algorithm needs the whole
+    group in memory — order statistics, per-group model fits). For plain
+    aggregates prefer groupBy().agg() (no Python). Output: one row per
+    group with min/median/max text lengths.
+    """
+    import pandas as pd
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        lens = pdf[text_col].str.len()
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n_docs": [len(pdf)],
+                "min_len": [int(lens.min())],
+                "median_len": [float(lens.median())],
+                "max_len": [int(lens.max())],
+            }
+        )
+
+    schema = (
+        f"{group_col} string, n_docs long, min_len long, "
+        "median_len double, max_len long"
+    )
+    return df.groupBy(group_col).applyInPandas(profile, schema=schema)

@@ -144,3 +144,34 @@ def q_stream_dedup(spark, sf_dir):
     # deterministic projection: the distinct key set (first-seen row is
     # arbitrary under parallel read, so don't expose non-key columns)
     return spark.table(name).select("user_id", "event_type")
+
+
+@register(
+    "q_downsample",
+    oracle=f"""
+    SELECT user_id,
+           date_trunc('hour', ts) AS bucket,
+           MIN_BY(value, ts) AS open_v,
+           MAX_BY(value, ts) AS close_v,
+           MIN(value) AS low_v,
+           MAX(value) AS high_v,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    doc="time-series downsampling (hypertable-rollup shape): per user per "
+    "hour, open/close via min_by/max_by on event time + min/max/count — "
+    "one hash aggregate, no window needed",
+)
+def q_downsample(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.min_by("value", "ts").alias("open_v"),
+            F.max_by("value", "ts").alias("close_v"),
+            F.min("value").alias("low_v"),
+            F.max("value").alias("high_v"),
+            F.count("*").alias("n"),
+        )
+    )

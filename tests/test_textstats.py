@@ -58,3 +58,19 @@ def test_char_chunks_cover_text_with_overlap(spark):
     assert [i for i, _ in rows] == [0, 1, 2, 3]
     assert len(rows[0][1]) == 100
     assert rows[3][1] == "x" * 10  # tail chunk
+
+
+def test_grouped_length_profile(spark):
+    from rag_pipelines_spark.operators.textstats import grouped_length_profile
+
+    df = spark.createDataFrame(
+        [("s1", "ab"), ("s1", "abcd"), ("s1", "abcdef"), ("s2", "x")],
+        ["source", "text"],
+    )
+    got = {
+        r["source"]: r for r in grouped_length_profile(df, "source", "text").collect()
+    }
+    assert got["s1"]["n_docs"] == 3
+    assert got["s1"]["min_len"] == 2 and got["s1"]["max_len"] == 6
+    assert got["s1"]["median_len"] == 4.0
+    assert got["s2"]["n_docs"] == 1 and got["s2"]["median_len"] == 1.0
