@@ -565,3 +565,36 @@ def q_dup_clusters(spark, sf_dir):
         b, (F.col("b_id") == F.col("a_id") + 1) & (F.col("a_lang") == F.col("b_lang"))
     ).select("a_id", "b_id")
     return dup_clusters(candidates, d.select("doc_id"), id_col="doc_id")
+
+
+@register(
+    "q_embed_generate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+               COUNT(*) AS cnt
+        FROM toks GROUP BY doc_id, bucket
+    )
+    SELECT doc_id, bucket,
+           CAST(cnt AS DOUBLE)
+               / sqrt(CAST(SUM(cnt * cnt) OVER (PARTITION BY doc_id) AS DOUBLE))
+               AS weight
+    FROM counts
+    """,
+    doc="embedding generation: hashed bag-of-words, sparse L2-normalized "
+    "(token -> md5-prefix bucket -> count -> normalize; dense array + MLlib "
+    "TF-IDF variants in operators/embedding.py). Bitwise-deterministic "
+    "doubles: exact-int count / sqrt(exact-int sum of squares)",
+)
+def q_embed_generate(spark, sf_dir):
+    from rag_pipelines_spark.operators.embedding import hashed_bow_sparse
+
+    return hashed_bow_sparse(t(spark, sf_dir, "documents"), "doc_id", "text", dim=64)
