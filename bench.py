@@ -35,6 +35,7 @@ HEADLINE = [
     "q_session_agg",
     "q_cosine_topk",
     "q_ngram_jaccard",
+    "q_embed_generate",
 ]
 
 

@@ -377,3 +377,16 @@ def clean_search_term(col: Column | str) -> Column:
     ref: pubmed_enrichment.py:148-151.
     """
     return F.regexp_replace(_c(col), r"[;:,]", " ")
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Redact emails, URLs, and phone-like digit runs — LLM training-data
+    hygiene (north star). Order matters: emails first (a URL scrubber would
+    leave `user@host` intact), then URLs, then phone runs. Patterns are
+    valid and equivalent in Java regex and DuckDB's RE2 (no lookarounds /
+    backrefs), so `q_pii_redact` hash-checks the whole chain."""
+    c = _c(col)
+    c = F.regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    c = F.regexp_replace(c, "https?://[^\\s]+", "<URL>")
+    c = F.regexp_replace(c, "\\+?[0-9][0-9()\\-. ]{7,}[0-9]", "<PHONE>")
+    return c

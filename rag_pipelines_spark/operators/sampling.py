@@ -1,0 +1,61 @@
+"""Deterministic sampling / dataset splitting for training-data pipelines.
+
+`df.sample()` / `randomSplit()` are partition-order-dependent (seeded RNG
+per partition), so the same row can land in different splits when the
+input is repartitioned — unacceptable for train/val/test hygiene at
+100 TB where layout changes between runs. These operators derive the
+assignment from a *content hash of the row key* instead: stable under
+repartitioning, cluster size, and engine (DuckDB computes the identical
+bucket, so `q_hash_sample` is oracle-checked).
+
+Bucket = first 8 md5 hex chars of the key as an int, mod `granularity`
+(default 100) — uniform enough for split quotas, and adding a salt
+re-draws the assignment (for k-fold rotation) without touching data.
+
+Scale: pure row-local expressions — no shuffle, no RNG state, fully
+codegen'd; a split is a filter, so it pushes down to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column | str, salt: str = "", granularity: int = 100) -> Column:
+    """Stable bucket in [0, granularity) from md5(key || salt)."""
+    c = F.col(key) if isinstance(key, str) else key
+    keyed = F.concat(c.cast("string"), F.lit(salt))
+    return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long") % granularity
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split with ~`weights` proportions.
+
+    Weights must sum to 1. Assignment is by cumulative bucket ranges, so
+    e.g. {train: .8, val: .1, test: .1} -> buckets [0,80) [80,90) [90,100).
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = hash_bucket(key, salt)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < int(round(cum * 100))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out, expr)
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float, salt: str = "") -> DataFrame:
+    """Deterministic ~`fraction` sample, stable across runs/layouts."""
+    return df.filter(hash_bucket(key, salt, granularity=10_000) < int(fraction * 10_000))

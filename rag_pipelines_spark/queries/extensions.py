@@ -598,3 +598,69 @@ def q_embed_generate(spark, sf_dir):
     from rag_pipelines_spark.operators.embedding import hashed_bow_sparse
 
     return hashed_bow_sparse(t(spark, sf_dir, "documents"), "doc_id", "text", dim=64)
+
+
+@register(
+    "q_hash_sample",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="deterministic train/val/test split via content-hash buckets "
+    "(operators/sampling.py): stable under repartitioning/cluster resize, "
+    "unlike seeded randomSplit whose draw depends on partition layout",
+)
+def q_hash_sample(spark, sf_dir):
+    from rag_pipelines_spark.operators.sampling import hash_bucket, hash_split
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).withColumn(
+        "bucket", hash_bucket("doc_id")
+    )
+
+
+@register(
+    "q_pii_redact",
+    oracle=r"""
+    WITH p AS (
+        SELECT doc_id,
+               substring(text, 1, 80)
+                   || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or https://ex.org/d/'
+                   || CAST(doc_id AS VARCHAR)
+                   || ' tel +1 (555) 010-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                   AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+               '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM p
+    """,
+    doc="PII redaction (emails -> <EMAIL>, URLs -> <URL>, phone runs -> "
+    "<PHONE>) over text with synthesized PII; functions/text.py "
+    "redact_pii. Pure regexp_replace chain — row-local, codegen'd",
+)
+def q_pii_redact(spark, sf_dir):
+    from rag_pipelines_spark.functions.text import redact_pii
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    pii = F.concat(
+        F.substring("text", 1, 80),
+        F.lit(" contact user"), did,
+        F.lit("@example.com or https://ex.org/d/"), did,
+        F.lit(" tel +1 (555) 010-"), F.lpad(did, 4, "0"),
+    )
+    return d.select("doc_id", redact_pii(pii).alias("redacted"))
