@@ -21,6 +21,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # dedup, vector similarity, sessionization — the shapes that dominate a
 # 100 TB ingest/analytics run.
 HEADLINE = [
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
     "q_agg_stats",
     "q_join_inner",
     "q_window_rank",

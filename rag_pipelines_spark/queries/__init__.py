@@ -9,5 +9,7 @@ Modules are grouped by SURVEY.md §2 sections:
     windows      §2.5 — rank, lag/lead, frames, running totals
     text         §2.8 — the F-series scalar function queries
     streaming    §2.9 — event-time windows, sessionization, stream dedup
+    tpch         §2.3/2.4 declared OLAP headliners — TPC-H Q1/Q3/Q5 shapes,
+                 grouping sets
     extensions   §2.11 — dedup/similarity/text-analytics north-star ops
 """

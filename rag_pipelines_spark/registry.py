@@ -56,6 +56,7 @@ def load_all() -> dict[str, Query]:
         sources,
         streaming,
         text,
+        tpch,
         windows,
     )
 
