@@ -129,3 +129,77 @@ def q_multimodal_features(spark, sf_dir):
     b = feats.select(F.col("path").alias("b_path"), F.col("features").alias("fb"))
     pairs = a.crossJoin(b).filter(F.col("a_path") < F.col("b_path"))
     return with_cosine(pairs, "fa", "fb").select("a_path", "b_path", "cosine")
+
+
+@register(
+    "q_csv_roundtrip",
+    oracle="SELECT doc_id, lang, source, n_chars, text FROM documents",
+    doc="CSV sink + schema'd scan round-trip (RFC-4180 quote escaping, "
+    "explicit schema — no inference pass). Format-surface extension; the "
+    "reference only writes JSON/JSONL (fda…/combine_json_to_jsonl.py:240-263)",
+)
+def q_csv_roundtrip(spark, sf_dir):
+    import uuid
+
+    from rag_pipelines_spark.sources.files import read_csv, write_csv
+
+    path = f"/root/repo/.scratch/csv-rt-{uuid.uuid4().hex[:8]}"
+    src = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    write_csv(src, path)
+    return read_csv(
+        spark,
+        path,
+        "doc_id bigint, lang string, source string, n_chars bigint, text string",
+    )
+
+
+@register(
+    "q_orc_roundtrip",
+    oracle="SELECT doc_id, lang, source, n_chars, text FROM documents",
+    doc="ORC sink + scan round-trip (second columnar format; "
+    "self-describing schema, predicate pushdown like parquet). "
+    "Format-surface extension beyond the reference's JSON-only I/O",
+)
+def q_orc_roundtrip(spark, sf_dir):
+    import uuid
+
+    from rag_pipelines_spark.sources.files import read_orc, write_orc
+
+    path = f"/root/repo/.scratch/orc-rt-{uuid.uuid4().hex[:8]}"
+    src = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    write_orc(src, path)
+    return read_orc(spark, path)
+
+
+@register(
+    "q_partition_prune",
+    oracle="""
+    SELECT doc_id, lang, n_chars, source FROM documents
+    WHERE source IN ('src3', 'src7')
+    """,
+    doc="hive-partitioned parquet sink (partitionBy source) + pruned scan: "
+    "the IN-filter becomes PartitionFilters, so only 2 of 20 directories "
+    "are read — the layout that makes 100 TB selective queries cheap. "
+    "Replaces the reference's per-record file-per-RAG_ID layout "
+    "(json_split_and_clean.py:315-320) with one that scales",
+)
+def q_partition_prune(spark, sf_dir):
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from rag_pipelines_spark.sources.files import (
+        read_partitioned_parquet,
+        write_partitioned_parquet,
+    )
+
+    path = f"/root/repo/.scratch/part-{uuid.uuid4().hex[:8]}"
+    src = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "source")
+    write_partitioned_parquet(src, path, "source")
+    return read_partitioned_parquet(spark, path).filter(
+        F.col("source").isin("src3", "src7")
+    )

@@ -69,3 +69,44 @@ def test_ngram_jaccard_no_cartesian(spark):
 def test_topk_uses_take_ordered(spark):
     plan = plan_of(spark, "q_topk")
     assert "TakeOrderedAndProject" in plan  # no global sort materialized
+
+
+def test_partition_prune_uses_partition_filters(spark):
+    """q_partition_prune's read side must prune directories at planning
+    time (PartitionFilters on the hive-layout scan), not post-filter."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from rag_pipelines_spark.io import table
+    from rag_pipelines_spark.sources.files import (
+        read_partitioned_parquet,
+        write_partitioned_parquet,
+    )
+
+    path = f"/root/repo/.scratch/part-plan-{uuid.uuid4().hex[:8]}"
+    src = table(spark, SF, "documents").select("doc_id", "source")
+    write_partitioned_parquet(src, path, "source")
+    df = read_partitioned_parquet(spark, path).filter(
+        F.col("source").isin("src3", "src7")
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "IN (src3,src7)" in plan
+    # pruning is real: the scan touches 2 of the 20 source= directories
+    scan = df._jdf.queryExecution().executedPlan().collectLeaves().head()
+    assert scan.metrics().apply("numFiles").value() <= 4
+
+
+def test_tpch_q1_scans_only_needed_columns(spark):
+    plan = plan_of(spark, "q_tpch_q1")
+    assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
+    # 7 referenced columns, not the full 11-column lineitem schema
+    assert "l_partkey" not in plan and "l_orderkey" not in plan
+
+
+def test_tpch_q5_broadcasts_constant_dims(spark):
+    plan = plan_of(spark, "q_tpch_q5")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
