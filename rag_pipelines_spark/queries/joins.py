@@ -426,3 +426,35 @@ def q_join_full(spark, sf_dir):
         F.coalesce("c_name", F.lit("<no-customer>")).alias("name"),
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 AND doc_id % 5 != 0 THEN 'added'
+                WHEN doc_id % 5 = 0 AND doc_id % 7 != 0 THEN 'removed'
+                ELSE 'updated' END AS change
+    FROM documents
+    WHERE (doc_id % 7 = 0 AND doc_id % 5 != 0)
+       OR (doc_id % 5 = 0 AND doc_id % 7 != 0)
+       OR (doc_id % 7 != 0 AND doc_id % 5 != 0 AND doc_id % 3 = 0)
+    """,
+    doc="CDC snapshot diff (added/removed/updated) — generalizes J1's "
+    "one-sided delta (ref: fda_watcher.py:397-416) to the full change "
+    "triple via a narrow (key, payload-hash) full-outer join; the oracle "
+    "derives the expected change set independently from doc_id residues "
+    "(operators/cdc.py)",
+)
+def q_snapshot_diff(spark, sf_dir):
+    from rag_pipelines_spark.operators.cdc import snapshot_diff
+
+    d = t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 0)
+    new = d.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, "doc_id", ["text"])

@@ -5,6 +5,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+SF_DIR = "/root/testdata/sf0.01"
+
 
 @pytest.fixture(scope="module")
 def spark():
@@ -94,3 +96,34 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert joined.collect()[0]["n"] == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compact_produces_size_targeted_files(spark, tmp_path):
+    """Small-file compaction: 500 rows at 100 rows/file => 5 files."""
+    from rag_pipelines_spark.io import table
+    from rag_pipelines_spark.operators.cdc import compact
+
+    d = table(spark, SF_DIR, "documents")
+    n_files = compact(d, str(tmp_path / "compacted"), target_rows_per_file=100)
+    assert n_files == 5
+    back = spark.read.parquet(str(tmp_path / "compacted"))
+    assert back.count() == d.count()
+
+
+def test_snapshot_diff_shuffles_hash_not_payload(spark):
+    """The full-outer join input projects (key, md5) only — the wide text
+    column must not cross the shuffle."""
+    from rag_pipelines_spark.io import table
+    from rag_pipelines_spark.operators.cdc import snapshot_diff
+
+    d = table(spark, SF_DIR, "documents")
+    diff = snapshot_diff(d, d.limit(400), "doc_id", ["text"])
+    plan = diff._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    exchanges = re.findall(r"\(\d+\) Exchange\n[^(]*", plan)
+    assert exchanges, "expected shuffle exchanges in full-outer join plan"
+    for ex in exchanges:
+        assert "text" not in ex
