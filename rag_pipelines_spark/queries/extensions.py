@@ -664,3 +664,111 @@ def q_pii_redact(spark, sf_dir):
         F.lit(" tel +1 (555) 010-"), F.lpad(did, 4, "0"),
     )
     return d.select("doc_id", redact_pii(pii).alias("redacted"))
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations / stratified sampling / UDTF surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dq_expectations",
+    oracle="""
+    SELECT 'nonempty_text' AS rule, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN length(text) > 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_violations,
+           CAST(SUM(CASE WHEN length(text) > 0 THEN 0 ELSE 1 END) AS DOUBLE)
+               / COUNT(*) AS violation_rate
+    FROM documents
+    UNION ALL
+    SELECT 'known_lang', COUNT(*),
+           CAST(SUM(CASE WHEN lang IN ('en','de','zh','fr','es') THEN 0
+                         ELSE 1 END) AS BIGINT),
+           CAST(SUM(CASE WHEN lang IN ('en','de','zh','fr','es') THEN 0
+                         ELSE 1 END) AS DOUBLE) / COUNT(*)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars_consistent', COUNT(*),
+           CAST(SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)
+               AS BIGINT),
+           CAST(SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)
+               AS DOUBLE) / COUNT(*)
+    FROM documents
+    """,
+    doc="declarative data-quality audit: every rule compiles into one "
+    "aggregate pass (operators/expectations.py). Generalizes the "
+    "reference's pydantic gate + dead-letter flow "
+    "(pubmed_enrichment.py:58-64,384,450-456)",
+)
+def q_dq_expectations(spark, sf_dir):
+    from rag_pipelines_spark.operators.expectations import check_expectations
+
+    d = t(spark, sf_dir, "documents")
+    return check_expectations(
+        d,
+        {
+            "nonempty_text": F.length("text") > 0,
+            "known_lang": F.col("lang").isin("en", "de", "zh", "fr", "es"),
+            "n_chars_consistent": F.col("n_chars") == F.length("text"),
+        },
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents) s
+    WHERE rk <= 3
+    """,
+    doc="deterministic stratified sample: exactly k rows per stratum, "
+    "chosen by content-hash order (stable under repartitioning, unlike "
+    "sampleBy's bernoulli draw). Balanced-subsampling op for training "
+    "pipelines; complements q_hash_sample's proportional split",
+)
+def q_stratified_sample(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "q_chunk_udtf",
+    oracle="""
+    WITH idx AS (
+        SELECT doc_id, text,
+               unnest(range(0, (length(text) - 1) // 80 + 1)) AS i
+        FROM documents
+    )
+    SELECT doc_id, i AS chunk_idx,
+           substring(text, 1 + i * 80, 100) AS chunk
+    FROM idx
+    WHERE substring(text, 1 + i * 80, 100) <> ''
+    """,
+    doc="Python UDTF chunker (Spark 4 lateral table function, Arrow "
+    "batched) — same oracle as q_chunking, proving the UDTF and the "
+    "pure-column explode(sequence) plan are equivalent; the column "
+    "version is the production path (functions/udtfs.py)",
+)
+def q_chunk_udtf(spark, sf_dir):
+    from rag_pipelines_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk
+        FROM _docs_for_udtf d, LATERAL chunk_udtf(d.text) c
+        """
+    )

@@ -87,3 +87,30 @@ def test_chunking_text_shorter_than_chunk(spark):
     )
     rows = df.collect()
     assert len(rows) == 1 and rows[0]["c"]["chunk"] == "tiny"
+
+
+def test_split_on_expectations_routes_and_reasons(spark):
+    """Dead-letter routing: failures carry the violated-rule names; the
+    two outputs partition the input exactly."""
+    from pyspark.sql import functions as F
+
+    from rag_pipelines_spark.operators.expectations import split_on_expectations
+
+    df = spark.createDataFrame(
+        [(1, "ok", "en"), (2, "", "en"), (3, "ok", "xx"), (4, None, "yy")],
+        "id int, text string, lang string",
+    )
+    good, bad = split_on_expectations(
+        df,
+        {
+            "nonempty_text": F.length("text") > 0,
+            "known_lang": F.col("lang").isin("en", "de"),
+        },
+    )
+    assert [r["id"] for r in good.collect()] == [1]
+    reasons = {r["id"]: sorted(r["reasons"]) for r in bad.collect()}
+    assert reasons == {
+        2: ["nonempty_text"],
+        3: ["known_lang"],
+        4: ["known_lang", "nonempty_text"],
+    }
