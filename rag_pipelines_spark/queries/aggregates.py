@@ -354,3 +354,25 @@ def q_percentiles(spark, sf_dir):
         F.percentile("l_quantity", 0.9).alias("p90_qty"),
         F.percentile("l_extendedprice", 0.5).alias("median_price"),
     )
+
+
+@register(
+    "q_heavy_hitters",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) > 75
+    """,
+    doc="exact heavy-hitter audit (keys above a frequency threshold) — the "
+    "pre-flight skew probe for choosing salting / AQE skew-join handling "
+    "on a key (operators/skew.py); map-side partial agg keeps the shuffle "
+    "at one row per key per partition",
+)
+def q_heavy_hitters(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 75)
+    )

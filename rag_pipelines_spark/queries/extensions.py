@@ -772,3 +772,96 @@ def q_chunk_udtf(spark, sf_dir):
         FROM _docs_for_udtf d, LATERAL chunk_udtf(d.text) c
         """
     )
+
+
+@register(
+    "q_minhash_neardup",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text || ' near dup tail'
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 1, 1)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+        FROM tok
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_aggregate(list_transform(shingles, x -> md5('0|' || x)), 'min') AS s0,
+               list_aggregate(list_transform(shingles, x -> md5('1|' || x)), 'min') AS s1,
+               list_aggregate(list_transform(shingles, x -> md5('2|' || x)), 'min') AS s2,
+               list_aggregate(list_transform(shingles, x -> md5('3|' || x)), 'min') AS s3,
+               list_aggregate(list_transform(shingles, x -> md5('4|' || x)), 'min') AS s4,
+               list_aggregate(list_transform(shingles, x -> md5('5|' || x)), 'min') AS s5,
+               list_aggregate(list_transform(shingles, x -> md5('6|' || x)), 'min') AS s6,
+               list_aggregate(list_transform(shingles, x -> md5('7|' || x)), 'min') AS s7
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(s0 || s1) AS bkey FROM sig
+        UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id
+    """,
+    doc="hand-rolled MinHash LSH near-dedup, fully hash-checked end-to-end "
+    "(unlike the MLlib q_near_dedup, whose random hash families force a "
+    "rows-only check): 8 deterministic md5 min-hashes over word-3-gram "
+    "shingles, 4 bands of 2, candidates from the band-bucket equi-join — "
+    "never an all-pairs compare. Planted near-dups (every 10th doc + "
+    "mutated tail) give known ground truth",
+)
+def q_minhash_neardup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    mutated = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(mutated)
+    toks = corpus.select("doc_id", F.split("text", " ").alias("ws"))
+    ws = F.col("ws")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+            ),
+        )
+    )
+    sh = toks.select("doc_id", shingles.alias("shingles"))
+    def _sig(s: int):
+        # close over the prefix; a two-arg lambda (x, s=seed) would be
+        # arity-sniffed by F.transform and fed the ELEMENT INDEX as s
+        prefix = f"{s}|"
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda x: F.md5(F.concat(F.lit(prefix), x)))
+        ).alias(f"s{s}")
+
+    sigs = [_sig(s) for s in range(8)]
+    sig = sh.select("doc_id", *sigs)
+    band_arr = F.array(
+        *[F.md5(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}"))) for b in range(4)]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_arr).alias("band", "bkey"))
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("band").alias("a_band"), "bkey"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("band").alias("b_band"), "bkey"
+    )
+    return (
+        a.join(b, ["bkey"])
+        .filter((F.col("a_band") == F.col("b_band")) & (F.col("a_id") < F.col("b_id")))
+        .select("a_id", "b_id")
+        .distinct()
+    )
