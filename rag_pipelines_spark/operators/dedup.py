@@ -36,30 +36,42 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
-def simhash64_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document.
+def simhash64_df(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64, hash_fn=None
+) -> DataFrame:
+    """bits-wide SimHash per document.
 
-    Shape: explode distinct tokens -> xxhash64 -> one aggregation computing
-    64 per-bit majority votes -> bitwise assemble. One shuffle on the doc
+    Shape: explode distinct tokens -> token hash -> one aggregation computing
+    per-bit majority votes -> bitwise assemble. One shuffle on the doc
     id; all math stays in whole-stage codegen (no Python, no UDF).
+
+    hash_fn maps a token Column to a long Column; default xxhash64 (fastest,
+    JVM-native). An md5-derived hash (same hex in any engine) makes the
+    result portable for cross-engine verification at bits<=60.
     """
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
-        ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .withColumn("h", hash_fn(F.col("tok")))
+    )
 
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
                 (F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
             ).alias(f"v{i}")
-            for i in range(64)
+            for i in range(bits)
         ]
     )
     sim = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )

@@ -865,3 +865,142 @@ def q_minhash_neardup(spark, sf_dir):
         .select("a_id", "b_id")
         .distinct()
     )
+
+
+_SIMHASH_BITS = 60  # 15 md5 hex chars -> fits a signed 64-bit long exactly
+
+
+def _simhash_md5_oracle() -> str:
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    assemble = "\n         + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM tok WHERE tok <> ''
+    ),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {assemble} AS simhash
+    FROM votes
+    """
+
+
+def _md5_long(c, hex_chars: int = 15):
+    """First hex_chars nibbles of md5 as a long — identical in any engine
+    that has md5 (engine-portable replacement for xxhash64)."""
+    return F.conv(F.substring(F.md5(c), 1, hex_chars), 16, 10).cast("long")
+
+
+@register(
+    "q_simhash_md5",
+    oracle=_simhash_md5_oracle(),
+    doc="60-bit SimHash per document with an md5-derived token hash — the "
+    "engine-portable twin of q_simhash (whose xxhash64 is Spark-only, "
+    "forcing rows-only), hash-checked bit-for-bit against DuckDB. Same "
+    "plan shape: explode distinct tokens, one map-side-combinable "
+    "aggregation of 60 per-bit majority votes, bitwise assemble — no UDF",
+)
+def q_simhash_md5(spark, sf_dir):
+    from rag_pipelines_spark.operators.dedup import simhash64_df
+
+    d = t(spark, sf_dir, "documents")
+    return simhash64_df(
+        d, id_col="doc_id", text_col="text", bits=_SIMHASH_BITS, hash_fn=_md5_long
+    )
+
+
+@register(
+    "q_rolling_hash",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(
+                   ws, x -> CAST(concat('0x', substr(md5(x), 1, 7)) AS BIGINT)
+               ) AS hs
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT), hs),
+               (a, b) -> (a * 1000003 + b) % 2147483647
+           ) AS BIGINT) AS fp
+    FROM h
+    """,
+    doc="order-sensitive document fingerprint: polynomial rolling hash "
+    "(base 1000003 mod 2^31-1) folded over 28-bit md5 token hashes — "
+    "unlike q_doc_fingerprint's sorted-bag md5, reordering tokens changes "
+    "this fp. Pure per-row fold (F.aggregate), zero shuffle; acc*base "
+    "stays < 2^52 so the fold never overflows a long",
+)
+def q_rolling_hash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda x: x != F.lit("")).alias("ws"),
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.transform(F.col("ws"), lambda x: _md5_long(x, 7)).alias("hs"),
+    )
+    fp = F.aggregate(
+        F.col("hs"),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(1000003) + x) % F.lit(2147483647),
+    )
+    return hashed.select("doc_id", fp.alias("fp"))
+
+
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@register(
+    "q_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(
+               text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'
+           )) AS n_bpe_pieces,
+           len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+               AS n_ws_tokens
+    FROM documents
+    """,
+    doc="BPE-ish token counting: pieces under the GPT-2-style pre-tokenizer "
+    "regex (contraction suffixes / letter runs / digit runs / punct runs / "
+    "whitespace) next to plain whitespace token counts — the standard "
+    "~tokens-per-doc estimator when no tokenizer model is shippable. "
+    "Java regex and RE2 agree on this pattern (no backtracking constructs); "
+    "per-row only, no shuffle",
+)
+def q_bpe_token_count(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)).alias(
+            "n_bpe_pieces"
+        ),
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+        ).alias("n_ws_tokens"),
+    )
