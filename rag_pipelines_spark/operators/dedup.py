@@ -51,16 +51,17 @@ def simhash64_df(
     """
     if hash_fn is None:
         hash_fn = F.xxhash64
-    toks = (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
-            ).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .withColumn("h", hash_fn(F.col("tok")))
-    )
+    # explode_outer + null-guarded hash: empty/whitespace-only docs keep
+    # their row and land on simhash 0 (no token -> no vote -> all bits 0)
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.filter(
+                F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+")),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("tok"),
+    ).withColumn("h", F.when(F.col("tok").isNotNull(), hash_fn(F.col("tok"))))
 
     votes = toks.groupBy(id_col).agg(
         *[

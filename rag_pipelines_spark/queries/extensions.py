@@ -894,10 +894,14 @@ def _simhash_md5_oracle() -> str:
         SELECT doc_id,
                {votes}
         FROM h GROUP BY doc_id
+    ),
+    asm AS (
+        SELECT doc_id,
+               {assemble} AS simhash
+        FROM votes
     )
-    SELECT doc_id,
-           {assemble} AS simhash
-    FROM votes
+    SELECT d.doc_id, CAST(COALESCE(a.simhash, 0) AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN asm a USING (doc_id)
     """
 
 

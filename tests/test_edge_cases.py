@@ -42,8 +42,8 @@ def test_simhash_single_token_and_empty_text(spark):
     df = spark.createDataFrame([(1, "word"), (2, "")], ["doc_id", "text"])
     rows = {r["doc_id"]: r["simhash"] for r in simhash64_df(df, "doc_id", "text").collect()}
     assert isinstance(rows[1], int)
-    # empty text still yields a row (split('') -> [''], one token)
-    assert 2 in rows
+    # empty text still yields a row, pinned to simhash 0 (no tokens, no votes)
+    assert rows[2] == 0
 
 
 def test_fetch_enrich_empty_urls(spark):
