@@ -92,3 +92,40 @@ def test_connected_components_hand_graph(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 4, 7: 7, 8: 8, 9: 8}
+
+
+def test_rolling_hash_is_order_sensitive(spark):
+    """Same token bag, different order -> different fingerprint (the property
+    that distinguishes q_rolling_hash from q_doc_fingerprint's sorted bag)."""
+    from rag_pipelines_spark.registry import load_all
+
+    import tempfile, os
+    q = load_all()["q_rolling_hash"]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "")],
+            ["doc_id", "text"],
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {r["doc_id"]: r["fp"] for r in q.fn(spark, d).collect()}
+    assert rows[1] != rows[2]  # order matters
+    assert rows[3] == 0  # empty doc pinned to the fold's init value
+
+
+def test_minhash_neardup_finds_planted_pairs(spark):
+    """Every planted mutated doc (id+100000) should be bucketed with its
+    source by at least one of the 4 bands; no self-pairs; high recall."""
+    from rag_pipelines_spark.registry import load_all
+    from tests.conftest import SF_DIR
+
+    q = load_all()["q_minhash_neardup"]
+    pairs = {(r["a_id"], r["b_id"]) for r in q.fn(spark, SF_DIR).collect()}
+    assert all(a < b for a, b in pairs)
+    planted = {p for p in pairs if p[1] - p[0] == 100000}
+    import pyspark.sql.functions as F
+    from rag_pipelines_spark.queries._util import t
+
+    n_sources = (
+        t(spark, SF_DIR, "documents").filter(F.col("doc_id") % 10 == 0).count()
+    )
+    assert n_sources > 0
+    assert len(planted) / n_sources >= 0.8  # tail mutation rarely flips a band
