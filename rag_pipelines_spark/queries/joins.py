@@ -429,6 +429,40 @@ def q_join_full(spark, sf_dir):
 
 
 @register(
+    "q_join_right",
+    oracle="""
+    WITH order_counts AS (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        WHERE o_custkey % 2 = 0 GROUP BY o_custkey
+    )
+    SELECT c.c_custkey AS custkey,
+           c.c_mktsegment AS segment,
+           COALESCE(o.n_orders, 0) AS n_orders
+    FROM order_counts o RIGHT JOIN customer c
+      ON o.o_custkey = c.c_custkey
+    """,
+    doc="declared: right-outer equi-join (SURVEY §2.3 'inner/right/full'; "
+    "ref join usage in fda_rag_extraction merge steps). The aggregated "
+    "left side leaves odd custkeys unmatched so right-preservation is "
+    "actually exercised.",
+)
+def q_join_right(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 2 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey, "right")
+    return j.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+@register(
     "q_snapshot_diff",
     oracle="""
     SELECT doc_id,
