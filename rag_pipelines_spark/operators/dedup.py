@@ -24,10 +24,42 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     (ref: fda_watcher.py:86-93,327-329) but deterministic under parallelism
     (dropDuplicates keeps an arbitrary row; min-by keeps a stable one).
     Single hash-aggregate shuffle on the key.
+
+    Ties on order_col are broken by a row-content hash folded into a
+    composite (order_col, hash) struct ordering — min_by alone would keep
+    whichever duplicate a partition merge encountered first, and each
+    column's min_by could even come from *different* tied rows. The shared
+    composite key makes every output column come from the same, stable
+    winning row (rows identical in all non-key columns are interchangeable,
+    so a 64-bit hash collision between them is harmless).
     """
     others = [c for c in df.columns if c not in key_cols]
+    tie = F.xxhash64(*[F.col(c) for c in others]) if others else F.lit(0)
+    ordk = F.struct(F.col(order_col).alias("o"), tie.alias("t"))
     return df.groupBy(*key_cols).agg(
-        *[F.min_by(c, order_col).alias(c) for c in others]
+        *[F.min_by(c, ordk).alias(c) for c in others]
+    )
+
+
+def word_shingles(ws, shingle_size: int = 3):
+    """Distinct word n-gram shingles of a token-array column.
+
+    Docs with fewer than `shingle_size` tokens yield an EMPTY array — a
+    naive sequence(1, size-(n-1)) would clamp to 1 and emit one partial
+    shingle, diverging from range-based (end-exclusive) oracle semantics
+    for short docs. The when() guard discards the bogus descending
+    sequence that sequence() produces when size < n.
+    """
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ws) - (shingle_size - 1), F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + k) for k in range(shingle_size)]
+            ),
+        )
+    )
+    return F.when(F.size(ws) >= shingle_size, sh).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -133,18 +165,9 @@ def minhash_candidates(
     toks = df.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("ws")
     )
-    ws = F.col("ws")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(ws) - (shingle_size - 1), F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(ws, i + k) for k in range(shingle_size)]
-            ),
-        )
-    )
-    docs = toks.select(F.col(id_col), shingles.alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
+    docs = toks.select(
+        F.col(id_col), word_shingles(F.col("ws"), shingle_size).alias("shingles")
+    ).filter(F.size("shingles") > 0)
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=num_features
     )

@@ -161,28 +161,49 @@ def cosine_topk_ivf(
     dataflow). Corpus rows are assigned to their nearest centroid once;
     queries probe their `nprobe` nearest cells only.
     """
+    # xxhash64 takes the seed as a second argument; string + int would cast
+    # the id to double (NULL for non-numeric ids) and break determinism.
+    # orderBy+limit compiles to TakeOrderedAndProject (top-N per partition,
+    # merge on driver) — no global sort. The row_number window then runs on
+    # the n_cells-row survivor frame only.
     cents = (
         corpus.select(F.col(id_col).alias("cent_src"), F.col(vec_col).alias("cent_emb"))
-        .withColumn("h", F.xxhash64(F.col("cent_src") + F.lit(seed)))
-        .orderBy("h")
+        .withColumn("h", F.xxhash64(F.col("cent_src"), F.lit(seed)))
+        .orderBy("h", "cent_src")
         .limit(n_cells)
-        .withColumn("cell", F.monotonically_increasing_id())
+        .withColumn(
+            "cell",
+            F.row_number().over(Window.orderBy(F.col("h"), F.col("cent_src"))),
+        )
         .select("cell", "cent_emb")
+    )
+    # One row holding ALL centroids as an array<struct<cell,cent_emb>> —
+    # broadcast-crossJoined onto every row, so nearest-cell assignment is
+    # pure column math: build (−sim, cell) structs, array_sort, slice to
+    # `probes`, explode. Zero shuffle of the corpus (the old formulation
+    # ranked corpus×n_cells rows through a row_number window — a full
+    # corpus shuffle that dominates at scale).
+    cents_arr = F.broadcast(
+        cents.agg(F.collect_list(F.struct("cell", "cent_emb")).alias("_cents"))
     )
 
     def assign(df: DataFrame, idc: str, vecc: str, prefix: str, probes: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "_sim", _dot(F.col(vecc), F.col("cent_emb"))
+        scored = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (-_dot(F.col(vecc), c["cent_emb"])).alias("neg_sim"),
+                c["cell"].alias("cell"),
+            ),
         )
-        w = Window.partitionBy(idc).orderBy(F.col("_sim").desc(), F.col("cell"))
+        top = F.slice(F.array_sort(scored), 1, probes)
         return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= probes)
+            df.crossJoin(cents_arr)
             .select(
                 F.col(idc).alias(f"{prefix}_id"),
                 F.col(vecc).alias(f"{prefix}_emb"),
-                F.col("cell"),
+                F.explode(top).alias("_t"),
             )
+            .select(f"{prefix}_id", f"{prefix}_emb", F.col("_t.cell").alias("cell"))
         )
 
     qa = assign(queries, id_col, vec_col, "q", nprobe)

@@ -67,15 +67,23 @@ def stopword_ratio(col: Column | str, stopwords: tuple[str, ...]) -> Column:
 
 def char_chunks(col: Column | str, size: int = 100, stride: int = 80):
     """(chunk_idx, chunk) pairs as an array column; explode for rows.
-    Overlap = size - stride."""
+    Overlap = size - stride. Empty (non-null) text yields an empty array —
+    without the guard, n = floor(-1/stride) = -1 and sequence(0, -1)
+    produces the DESCENDING sequence [0, -1], i.e. two bogus chunks."""
     c = _c(col)
     n = F.floor((F.length(c) - 1) / stride).cast("int")
-    return F.transform(
+    chunks = F.transform(
         F.sequence(F.lit(0), n),
         lambda i: F.struct(
             i.alias("chunk_idx"),
             F.substring(c, F.lit(1) + i * stride, F.lit(size)).alias("chunk"),
         ),
+    )
+    arr_type = "array<struct<chunk_idx:int,chunk:string>>"
+    return (
+        F.when(c.isNull(), F.lit(None).cast(arr_type))
+        .when(F.length(c) > 0, chunks)
+        .otherwise(F.array().cast(arr_type))
     )
 
 

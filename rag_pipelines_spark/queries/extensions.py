@@ -76,11 +76,18 @@ def q_token_stats(spark, sf_dir):
     doc="language distribution with percentage",
 )
 def q_lang_dist(spark, sf_dir):
+    from pyspark.sql import Window as W
+
     d = t(spark, sf_dir, "documents")
-    total = d.count()  # tiny scalar; at scale use a window or crossjoin agg
-    return d.groupBy("lang").agg(
-        F.count("*").alias("n"),
-        (F.count("*").cast("double") * 100.0 / F.lit(total)).alias("pct"),
+    # Single pass: per-lang counts, then the grand total as an unpartitioned
+    # window over the (tiny) aggregated frame — no second scan of the corpus,
+    # no driver-side action. The window shuffles only #langs rows.
+    per_lang = d.groupBy("lang").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(W.partitionBy())
+    return per_lang.select(
+        "lang",
+        "n",
+        (F.col("n").cast("double") * 100.0 / total).alias("pct"),
     )
 
 
@@ -277,20 +284,15 @@ def q_ngram_jaccard(spark, sf_dir):
     # materialize the token array ONCE per row: referencing the split
     # expression inside the transform lambda would re-split the text per
     # element (O(tokens^2) — measured 8s -> 0.5s at sf0.1)
+    from rag_pipelines_spark.operators.dedup import word_shingles
+
     toks = d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
-    ws = F.col("ws")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(ws, i),
-                F.element_at(ws, i + 1),
-                F.element_at(ws, i + 2),
-            ),
-        )
+    # word_shingles materializes from the ws array column ONCE per row (see
+    # note above) and yields an EMPTY array for docs with <3 tokens, matching
+    # the oracle's end-exclusive range semantics.
+    sh = toks.select(
+        "doc_id", "lang", word_shingles(F.col("ws"), 3).alias("shingles")
     )
-    sh = toks.select("doc_id", "lang", shingles.alias("shingles"))
     a = sh.select(
         F.col("doc_id").alias("a_id"),
         F.col("lang").alias("a_lang"),
@@ -828,17 +830,10 @@ def q_minhash_neardup(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
     )
     corpus = d.select("doc_id", "text").unionByName(mutated)
+    from rag_pipelines_spark.operators.dedup import word_shingles
+
     toks = corpus.select("doc_id", F.split("text", " ").alias("ws"))
-    ws = F.col("ws")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
-            ),
-        )
-    )
-    sh = toks.select("doc_id", shingles.alias("shingles"))
+    sh = toks.select("doc_id", word_shingles(F.col("ws"), 3).alias("shingles"))
     def _sig(s: int):
         # close over the prefix; a two-arg lambda (x, s=seed) would be
         # arity-sniffed by F.transform and fed the ELEMENT INDEX as s

@@ -6,6 +6,7 @@ from __future__ import annotations
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from rag_pipelines_spark.functions.text import fingerprint_key
 from rag_pipelines_spark.operators.dedup import exact_dedup, simhash64_df
@@ -56,6 +57,59 @@ def test_exact_dedup_invariants(spark):
     assert got["k1"] == (1, "a")  # min-by, not arbitrary
     again = exact_dedup(out, ["key"], "ord")
     assert sorted(r["key"] for r in again.collect()) == sorted(got)
+
+
+def test_exact_dedup_tie_breaking_deterministic(spark):
+    """Duplicate order_col values per key: the winner is stable across
+    partitionings and all columns come from the SAME row."""
+    rows = [("k", 1, "a", 10), ("k", 1, "b", 20), ("k", 1, "c", 30)]
+    winners = set()
+    for parts in (1, 2, 3):
+        df = spark.createDataFrame(rows, ["key", "ord", "val", "x"]).repartition(
+            parts
+        )
+        out = exact_dedup(df, ["key"], "ord").collect()
+        assert len(out) == 1
+        r = out[0]
+        # row-consistency: (val, x) must be one of the input pairings
+        assert (r["val"], r["x"]) in {("a", 10), ("b", 20), ("c", 30)}
+        winners.add((r["ord"], r["val"], r["x"]))
+    assert len(winners) == 1, f"tie winner varied across partitionings: {winners}"
+
+
+def test_word_shingles_short_doc_semantics(spark):
+    """Docs with < n tokens yield ZERO shingles (end-exclusive range
+    semantics, matching the DuckDB oracles) — not one partial shingle."""
+    from rag_pipelines_spark.operators.dedup import word_shingles
+
+    rows = [(1, "a b"), (2, "one"), (3, ""), (4, "a b c d")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in df.select(
+            "doc_id", word_shingles(F.split("text", " "), 3).alias("sh")
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["a b c", "b c d"]
+    # cross-check against the oracle-side expression on identical rows
+    import duckdb
+
+    duck = {
+        doc_id: sorted(sh)
+        for doc_id, sh in duckdb.sql(
+            """
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(ws) - 1, 1)),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM (VALUES (1,'a b'),(2,'one'),(3,''),(4,'a b c d'))
+                       t(doc_id, text))
+            """
+        ).fetchall()
+    }
+    assert got == duck
 
 
 def test_simhash_stability_and_locality(spark):

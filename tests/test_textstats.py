@@ -60,6 +60,18 @@ def test_char_chunks_cover_text_with_overlap(spark):
     assert rows[3][1] == "x" * 10  # tail chunk
 
 
+def test_char_chunks_empty_and_null(spark):
+    # empty non-null text: floor(-1/stride) = -1 would make sequence(0,-1)
+    # emit [0,-1] (two bogus chunks) without the guard — must be zero chunks
+    df = spark.createDataFrame(
+        [("e", ""), ("n", None), ("s", "ab")], ["k", "text"]
+    ).select("k", char_chunks(F.col("text"), size=100, stride=80).alias("c"))
+    got = {r["k"]: r["c"] for r in df.collect()}
+    assert got["e"] == []
+    assert got["n"] is None
+    assert [(c["chunk_idx"], c["chunk"]) for c in got["s"]] == [(0, "ab")]
+
+
 def test_grouped_length_profile(spark):
     from rag_pipelines_spark.operators.textstats import grouped_length_profile
 
