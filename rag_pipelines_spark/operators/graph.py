@@ -6,20 +6,44 @@ one cluster even if A ~ C was never scored. Cluster id = the component's
 minimum doc id (deterministic canonical representative — the reference's
 "keep first seen" generalized).
 
-Algorithm: iterative min-label propagation — each round every node adopts
-the smallest label among itself and its neighbors; converges in O(diameter)
-rounds. Each round is one shuffle (join labels⋈edges + min-aggregate);
-the driver only reads a single convergence counter per round (a control
-scalar, not data). Lineage is truncated per round with localCheckpoint so
-plans don't grow with iterations. For pathological diameters at 100 TB,
-swap in the large-star/small-star variant (same join shapes, O(log n)
-rounds).
+Algorithm: alternating large-star / small-star contraction (the
+MapReduce-era two-phase star algorithm; public literature: Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14):
+
+  * large-star(u): every neighbor v > u re-links to m = min(N(u) ∪ {u})
+  * small-star(u): every neighbor v <= u (and u itself) links to m
+
+Each phase is one groupBy-min + one equi-join over the edge list — the
+same shuffle shape as one round of label propagation — but the alternation
+converges in O(log n) rounds instead of O(diameter). A 1000-node path
+graph converges in ~10 rounds where plain min-label propagation needs 999
+(and would silently hit the iteration cap). The driver only ever reads a
+two-scalar convergence fingerprint per round; edge data never leaves the
+executors. Lineage is truncated per round with localCheckpoint so plans
+don't grow with iterations.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _round_fingerprint(dir_edges: DataFrame) -> tuple[int, int]:
+    """(edge_count, xor-of-edge-hashes): one tiny action per round.
+
+    Equal fingerprints => the canonical edge set is unchanged (a 64-bit
+    xor collision between *different* consecutive edge sets is the only
+    false-stop, and the alternation is monotone toward the star fixpoint,
+    so the practical risk is nil versus the cost of an exact set compare).
+    """
+    row = dir_edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.expr("bit_xor(xxhash64(hi, lo))"), F.lit(0).cast("long")
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
 
 
 def connected_components(
@@ -33,44 +57,63 @@ def connected_components(
     """(node, component) with component = min node id reachable.
 
     `nodes` must contain every vertex (isolated docs form singleton
-    clusters); `edges` is undirected input (symmetrized here).
+    clusters); `edges` is undirected input (direction-normalized here).
     """
-    sym = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
-        )
+    # canonical directed edges hi -> lo (hi > lo); self-loops dropped
+    dir_edges = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("comp")
-    ).localCheckpoint(eager=True)
+    prev_fp = _round_fingerprint(dir_edges)
 
     for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("comp").alias("nbr_comp"))
+        # -- large-star: v > u re-links to m = min(N(u) ∪ {u}) -------------
+        sym = dir_edges.select(
+            F.col("hi").alias("a"), F.col("lo").alias("b")
+        ).unionByName(dir_edges.select(F.col("lo").alias("a"), F.col("hi").alias("b")))
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        m = F.least(F.col("a"), F.col("mn"))
+        large = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            # b > a >= m, so (b, m) is already hi->lo canonical
+            .select(F.col("b").alias("hi"), m.alias("lo"))
+            .distinct()
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                ).alias("comp"),
-                (F.coalesce("nbr_comp", F.col("comp")) < F.col("comp")).alias(
-                    "_changed"
-                ),
-            )
+
+        # -- small-star: u and its smaller neighbors link to m -------------
+        mins2 = large.groupBy("hi").agg(F.min("lo").alias("mn"))
+        relink = (
+            large.join(mins2, "hi")
+            .where(F.col("lo") != F.col("mn"))
+            # lo > mn (mn is the min), canonical again
+            .select(F.col("lo").alias("hi"), F.col("mn").alias("lo"))
+        )
+        self_link = mins2.select("hi", F.col("mn").alias("lo"))
+        new_dir = (
+            relink.unionByName(self_link)
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        n_changed = updated.filter(F.col("_changed")).count()  # control scalar
-        labels = updated.drop("_changed")
-        if n_changed == 0:
+
+        fp = _round_fingerprint(new_dir)
+        dir_edges = new_dir
+        if fp == prev_fp:
             break
-    return labels.select(F.col("node"), F.col("comp").alias("component"))
+        prev_fp = fp
+
+    # fixpoint = star forest: every non-root points straight at its
+    # component minimum; isolated nodes label themselves
+    star = dir_edges.select(F.col("hi").alias("node"), F.col("lo").alias("comp"))
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(star, "node", "left")
+        .select("node", F.coalesce("comp", F.col("node")).alias("component"))
+    )
 
 
 def dup_clusters(

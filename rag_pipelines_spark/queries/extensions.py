@@ -1003,3 +1003,121 @@ def q_bpe_token_count(spark, sf_dir):
             F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
         ).alias("n_ws_tokens"),
     )
+
+
+@register(
+    "q_decontaminate",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 3, 1)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                        ws[i+3] || ' ' || ws[i+4])) AS sh
+        FROM tok
+    ),
+    bench AS (
+        SELECT doc_id AS bench_id, unnest(sh) AS gram
+        FROM sh WHERE doc_id % 50 = 0
+    ),
+    corpus AS (SELECT doc_id, unnest(sh) AS gram FROM sh)
+    SELECT c.doc_id, COUNT(DISTINCT b.bench_id) AS n_bench_hits
+    FROM corpus c JOIN bench b USING (gram)
+    WHERE c.doc_id <> b.bench_id
+    GROUP BY c.doc_id
+    """,
+    doc="benchmark decontamination: flag training docs sharing any word "
+    "5-gram with a benchmark set (here: every 50th doc stands in for the "
+    "eval benchmark). Bench grams are tiny -> broadcast; the corpus is "
+    "touched once (explode is map-side); one agg shuffle on doc_id. The "
+    "standard eval-leakage gate an LLM data pipeline runs before training",
+)
+def q_decontaminate(spark, sf_dir):
+    from rag_pipelines_spark.operators.dedup import word_shingles
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    sh = toks.select("doc_id", word_shingles(F.col("ws"), 5).alias("sh"))
+    bench = (
+        sh.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("bench_id"), F.explode("sh").alias("gram"))
+    )
+    corpus = sh.select("doc_id", F.explode("sh").alias("gram"))
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("bench_id").alias("n_bench_hits"))
+    )
+
+
+@register(
+    "q_repetition_score",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               len(string_split(text, chr(10))) AS n_lines,
+               len(list_distinct(string_split(text, chr(10)))) AS n_uniq,
+               string_split(lower(text), ' ') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(ws), 1)),
+                      i -> ws[i] || ' ' || ws[i+1])) AS gram
+        FROM base WHERE len(ws) >= 2
+    ),
+    gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram),
+    gstat AS (
+        SELECT doc_id, MAX(c) AS max_c, SUM(c) AS n_grams
+        FROM gc GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_lines - b.n_uniq AS DOUBLE) / b.n_lines AS dup_line_frac,
+           COALESCE(CAST(g.max_c AS DOUBLE) / g.n_grams, 0.0)
+               AS top_bigram_frac
+    FROM base b LEFT JOIN gstat g USING (doc_id)
+    """,
+    doc="Gopher-style repetition gates: duplicate-line fraction (row-local "
+    "array math, zero shuffle) and top-bigram mass fraction (explode -> "
+    "two map-side-combinable aggs on doc_id -> broadcast-back join). "
+    "Catches the looping/boilerplate docs that length or stopword gates "
+    "(q_quality_score) miss",
+)
+def q_repetition_score(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    lines = F.split("text", "\n")
+    base = d.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("n_uniq"),
+        F.split(F.lower("text"), " ").alias("ws"),
+    )
+    ws = F.col("ws")
+    grams2 = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gc = (
+        base.select("doc_id", F.explode(grams2).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    gstat = gc.groupBy("doc_id").agg(
+        F.max("c").alias("max_c"), F.sum("c").alias("n_grams")
+    )
+    return base.join(gstat, "doc_id", "left").select(
+        "doc_id",
+        (
+            (F.col("n_lines") - F.col("n_uniq")).cast("double") / F.col("n_lines")
+        ).alias("dup_line_frac"),
+        F.coalesce(
+            F.col("max_c").cast("double") / F.col("n_grams"), F.lit(0.0)
+        ).alias("top_bigram_frac"),
+    )

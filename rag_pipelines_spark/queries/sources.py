@@ -15,9 +15,20 @@ import os
 from pyspark.sql import functions as F
 
 from rag_pipelines_spark.registry import register
-from rag_pipelines_spark.queries._util import t
+from rag_pipelines_spark.queries._util import dsum, o_dsum, t
 
 _FIXTURE_BIN = os.path.join(os.path.dirname(__file__), "../../tests/fixtures/bin")
+
+
+def _scratch(tag: str, sf_dir: str) -> str:
+    """Fixed scratch path per (query, scale factor).
+
+    Every write below is mode=overwrite, so reusing one path per query
+    overwrites in place — a fresh uuid dir per call left hundreds of stray
+    directories across driver runs.
+    """
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join("/root/repo/.scratch", f"{tag}-{sf_tag}")
 
 
 @register(
@@ -53,11 +64,9 @@ def q_enrich_fetch(spark, sf_dir):
     "ref: fda…/combine_json_to_jsonl.py:240-263",
 )
 def q_jsonl_roundtrip(spark, sf_dir):
-    import uuid
-
     from rag_pipelines_spark.sources.jsonl import read_jsonl, write_jsonl
 
-    path = f"/root/repo/.scratch/jsonl-rt-{uuid.uuid4().hex[:8]}"
+    path = _scratch("jsonl-rt", sf_dir)
     src = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
     write_jsonl(src, path)
     return read_jsonl(
@@ -139,11 +148,9 @@ def q_multimodal_features(spark, sf_dir):
     "reference only writes JSON/JSONL (fda…/combine_json_to_jsonl.py:240-263)",
 )
 def q_csv_roundtrip(spark, sf_dir):
-    import uuid
-
     from rag_pipelines_spark.sources.files import read_csv, write_csv
 
-    path = f"/root/repo/.scratch/csv-rt-{uuid.uuid4().hex[:8]}"
+    path = _scratch("csv-rt", sf_dir)
     src = t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars", "text"
     )
@@ -163,11 +170,9 @@ def q_csv_roundtrip(spark, sf_dir):
     "Format-surface extension beyond the reference's JSON-only I/O",
 )
 def q_orc_roundtrip(spark, sf_dir):
-    import uuid
-
     from rag_pipelines_spark.sources.files import read_orc, write_orc
 
-    path = f"/root/repo/.scratch/orc-rt-{uuid.uuid4().hex[:8]}"
+    path = _scratch("orc-rt", sf_dir)
     src = t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars", "text"
     )
@@ -188,18 +193,49 @@ def q_orc_roundtrip(spark, sf_dir):
     "(json_split_and_clean.py:315-320) with one that scales",
 )
 def q_partition_prune(spark, sf_dir):
-    import uuid
-
-    from pyspark.sql import functions as F
-
     from rag_pipelines_spark.sources.files import (
         read_partitioned_parquet,
         write_partitioned_parquet,
     )
 
-    path = f"/root/repo/.scratch/part-{uuid.uuid4().hex[:8]}"
+    path = _scratch("part", sf_dir)
     src = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "source")
     write_partitioned_parquet(src, path, "source")
     return read_partitioned_parquet(spark, path).filter(
         F.col("source").isin("src3", "src7")
+    )
+
+
+@register(
+    "q_bucketed_join",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           {o_dsum('o.o_totalprice')} AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="shuffle-free co-located join via bucketed catalog tables: both "
+    "sides written bucketBy(custkey, 8) + sortBy, then sort-merge joined "
+    "with ZERO Exchange on the join key (asserted in tests/test_plans.py). "
+    "The layout answer to recurring fact-to-fact joins at 100 TB — "
+    "broadcast covers small dims, bucketing covers everything else",
+)
+def q_bucketed_join(spark, sf_dir):
+    from rag_pipelines_spark.sources.files import write_bucketed_table
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c_tbl, o_tbl = f"bkt_customer_{sf_tag}", f"bkt_orders_{sf_tag}"
+    write_bucketed_table(c, c_tbl, "c_custkey", 8, sort_col="c_custkey")
+    write_bucketed_table(o, o_tbl, "o_custkey", 8, sort_col="o_custkey")
+    cb = spark.table(c_tbl)
+    ob = spark.table(o_tbl)
+    # merge hint: the point is the exchange-free sort-merge join; without it
+    # Catalyst would broadcast the (locally tiny) customer side and the
+    # bucketing would never be exercised
+    j = ob.hint("merge").join(cb, ob.o_custkey == cb.c_custkey)
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue")
     )

@@ -54,3 +54,42 @@ def read_partitioned_parquet(spark: SparkSession, path: str) -> DataFrame:
     filters on them prune at planning time (no file listing I/O beyond
     the matching directories)."""
     return spark.read.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Catalog-backed parquet table hash-bucketed (and optionally sorted)
+    on a join key.
+
+    Bucketing is the layout that removes the join shuffle entirely: two
+    tables bucketed on the same key with the same bucket count sort-merge
+    join with ZERO Exchange nodes — each task reads bucket i of both
+    sides. At 100 TB this turns every recurring fact⋈fact join on the
+    bucketed key into a map-side merge; `partitionBy` can't do this (it
+    needs low-cardinality keys), bucketing hashes high-cardinality keys
+    into a fixed file count. Requires saveAsTable: bucket metadata lives
+    in the catalog, not the files.
+    """
+    # A fresh session's in-memory catalog doesn't know about a table dir a
+    # PREVIOUS session left in the warehouse, and saveAsTable then fails
+    # with LOCATION_ALREADY_EXISTS — drop both the entry and the location.
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = warehouse.removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, table_name), ignore_errors=True)
+
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, bucket_col
+    )
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)

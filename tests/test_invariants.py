@@ -148,6 +148,20 @@ def test_connected_components_hand_graph(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 4, 7: 7, 8: 8, 9: 8}
 
 
+def test_connected_components_path_graph_bounded_rounds(spark):
+    """A 1000-node path (worst-case diameter) must converge within the
+    O(log n) round budget of the large-star/small-star alternation — plain
+    min-label propagation would need 999 rounds and silently hit the cap."""
+    from rag_pipelines_spark.operators.graph import connected_components
+
+    n = 1000
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    out = connected_components(nodes, edges, max_iterations=25).collect()
+    assert len(out) == n
+    assert all(r["component"] == 0 for r in out)
+
+
 def test_rolling_hash_is_order_sensitive(spark):
     """Same token bag, different order -> different fingerprint (the property
     that distinguishes q_rolling_hash from q_doc_fingerprint's sorted bag)."""

@@ -110,3 +110,14 @@ def test_tpch_q5_broadcasts_constant_dims(spark):
     plan = plan_of(spark, "q_tpch_q5")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_bucketed_join_has_no_join_key_exchange(spark):
+    """Both sides bucketBy(8, custkey): the sort-merge join must read
+    buckets directly — no Exchange hashpartitioning on either join key.
+    (The single remaining exchange belongs to the mktsegment re-agg.)"""
+    plan = plan_of(spark, "q_bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
+    assert "Bucketed: true" in plan
