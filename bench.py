@@ -39,6 +39,9 @@ HEADLINE = [
     "q_cosine_topk",
     "q_ngram_jaccard",
     "q_embed_generate",
+    "q_minhash_neardup",
+    "q_dup_clusters",
+    "q_repetition_score",
 ]
 
 
