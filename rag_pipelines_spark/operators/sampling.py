@@ -18,7 +18,7 @@ codegen'd; a split is a filter, so it pushes down to the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -59,3 +59,30 @@ def hash_split(
 def hash_sample(df: DataFrame, key: str, fraction: float, salt: str = "") -> DataFrame:
     """Deterministic ~`fraction` sample, stable across runs/layouts."""
     return df.filter(hash_bucket(key, salt, granularity=10_000) < int(fraction * 10_000))
+
+
+def balance_groups(df: DataFrame, group_col: str, key_col: str, salt: str = "") -> DataFrame:
+    """Deterministically downsample every group to the smallest group's
+    size (uniform source mixing — the degenerate "equal weights" case of
+    a mixture schedule).
+
+    Selection is a per-group rank over md5(key||salt) — stable under any
+    partitioning/layout, re-drawable via salt, and reproducible in any
+    engine (same property as hash_split). Plan: one count-agg over groups
+    (rows = #groups, broadcast back) + one rank window per group — no
+    driver-side scalars.
+    """
+    cnts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    quota = F.broadcast(cnts.agg(F.min("_n").alias("_quota")))  # 1 row
+    c = F.col(key_col)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.concat(c.cast("string"), F.lit(salt))), c)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .crossJoin(quota)
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_quota")
+        .withColumnRenamed("_rk", "sample_rank")
+    )

@@ -144,6 +144,63 @@ def cosine_topk_lsh(
     )
 
 
+def _cents_as_array(cents: DataFrame):
+    """All centroids as ONE broadcast row: array<struct<cell, cent_emb>>."""
+    return F.broadcast(
+        cents.agg(F.collect_list(F.struct("cell", "cent_emb")).alias("_cents"))
+    )
+
+
+def _nearest_cells(vec_col: str, probes: int):
+    """Top-`probes` cells for a vector, as pure column math over the
+    broadcast centroid array (struct sort on (-dot, cell)) — no shuffle."""
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (-_dot(F.col(vec_col), c["cent_emb"])).alias("neg_sim"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    return F.slice(F.array_sort(scored), 1, probes)
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    cents: DataFrame,
+    vec_col: str = "embedding",
+    n_iters: int = 2,
+) -> DataFrame:
+    """Lloyd iterations over (cell, cent_emb) centroids, all DataFrame ops.
+
+    Per iteration: (1) every corpus vector picks its nearest centroid via
+    the broadcast-array argmax (map-only — the corpus never shuffles to be
+    assigned); (2) new centroids = element-wise means via posexplode +
+    partial/final agg keyed on (cell, pos) — the only shuffle, sized
+    O(corpus × dim) scalars with map-side combine. Cells that lose all
+    members drop out (standard Lloyd behavior); callers get <= the input
+    cell count back. Means sum floats in partition order, so refined
+    centroids are not bitwise-portable — fine for ANN bucketing, which is
+    verified by recall, not hashes.
+    """
+    for _ in range(n_iters):
+        best = F.element_at(_nearest_cells(vec_col, 1), 1)["cell"]
+        assigned = corpus.crossJoin(_cents_as_array(cents)).select(
+            best.alias("cell"), F.posexplode(vec_col).alias("pos", "x")
+        )
+        cents = (
+            assigned.groupBy("cell", "pos")
+            .agg((F.sum("x") / F.count("*")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cent_emb")
+            )
+        )
+    return cents
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -153,13 +210,14 @@ def cosine_topk_ivf(
     n_cells: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k.
 
-    Centroids = deterministic sample of corpus vectors (hash-ordered, no
-    training pass — a k-means refinement drops in without changing the
-    dataflow). Corpus rows are assigned to their nearest centroid once;
-    queries probe their `nprobe` nearest cells only.
+    Centroids = deterministic sample of corpus vectors (hash-ordered),
+    optionally Lloyd-refined (`refine_iters` — tighter cells, better
+    recall per probe, same dataflow). Corpus rows are assigned to their
+    nearest centroid once; queries probe their `nprobe` nearest cells only.
     """
     # xxhash64 takes the seed as a second argument; string + int would cast
     # the id to double (NULL for non-numeric ids) and break determinism.
@@ -177,25 +235,20 @@ def cosine_topk_ivf(
         )
         .select("cell", "cent_emb")
     )
+    if refine_iters > 0:
+        cents = kmeans_refine(
+            corpus.select(vec_col), cents, vec_col=vec_col, n_iters=refine_iters
+        )
     # One row holding ALL centroids as an array<struct<cell,cent_emb>> —
     # broadcast-crossJoined onto every row, so nearest-cell assignment is
     # pure column math: build (−sim, cell) structs, array_sort, slice to
     # `probes`, explode. Zero shuffle of the corpus (the old formulation
     # ranked corpus×n_cells rows through a row_number window — a full
     # corpus shuffle that dominates at scale).
-    cents_arr = F.broadcast(
-        cents.agg(F.collect_list(F.struct("cell", "cent_emb")).alias("_cents"))
-    )
+    cents_arr = _cents_as_array(cents)
 
     def assign(df: DataFrame, idc: str, vecc: str, prefix: str, probes: int) -> DataFrame:
-        scored = F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                (-_dot(F.col(vecc), c["cent_emb"])).alias("neg_sim"),
-                c["cell"].alias("cell"),
-            ),
-        )
-        top = F.slice(F.array_sort(scored), 1, probes)
+        top = _nearest_cells(vecc, probes)
         return (
             df.crossJoin(cents_arr)
             .select(

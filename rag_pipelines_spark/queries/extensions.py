@@ -1121,3 +1121,66 @@ def q_repetition_score(spark, sf_dir):
             F.col("max_c").cast("double") / F.col("n_grams"), F.lit(0.0)
         ).alias("top_bigram_frac"),
     )
+
+
+@register(
+    "q_pack_sequences",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    laid AS (
+        SELECT doc_id, source, n_tok,
+               CAST(SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS seq_start
+        FROM tok
+    )
+    SELECT doc_id, source, n_tok, seq_start, seq_start // 512 AS seq_id
+    FROM laid
+    """,
+    doc="sequence packing: documents laid head-to-tail per source stream, "
+    "each assigned to the 512-token training sequence its first token "
+    "lands in — one window shuffle on the stream key, exact integer math "
+    "(operators/packing.py). The post-dedup step that stops short docs "
+    "wasting context-window slots",
+)
+def q_pack_sequences(spark, sf_dir):
+    from rag_pipelines_spark.operators.packing import pack_sequences
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return pack_sequences(d, "source", "doc_id", "n_tok", budget=512)
+
+
+@register(
+    "q_balance_sources",
+    oracle="""
+    WITH quota AS (
+        SELECT MIN(n) AS q FROM (
+            SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS sample_rank
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, r.sample_rank
+    FROM ranked r, quota
+    WHERE r.sample_rank <= quota.q
+    """,
+    doc="uniform source mixing: every source deterministically downsampled "
+    "to the smallest source's size via md5-rank (stable under layout, "
+    "salt-rotatable) — the equal-weights case of a data-mixture schedule "
+    "(operators/sampling.py balance_groups)",
+)
+def q_balance_sources(spark, sf_dir):
+    from rag_pipelines_spark.operators.sampling import balance_groups
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return balance_groups(d, "source", "doc_id")

@@ -57,3 +57,16 @@ def test_ivf_recall_vs_exact(frames):
     hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
     recall = hits / (5 * len(exact))
     assert recall >= 0.4, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ivf_kmeans_refined_recall(frames):
+    """Lloyd-refined centroids must stay a working index (and in practice
+    tighten cells); recall floor matches the unrefined assertion."""
+    q, corpus = frames
+    exact = _topk_sets(cosine_topk_bruteforce(q, corpus, k=5))
+    approx = _topk_sets(
+        cosine_topk_ivf(q, corpus, k=5, n_cells=8, nprobe=4, refine_iters=2)
+    )
+    hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
+    recall = hits / (5 * len(exact))
+    assert recall >= 0.4, f"refined-IVF recall too low: {recall:.2f}"
