@@ -47,20 +47,25 @@ def word_shingles(ws, shingle_size: int = 3):
     Docs with fewer than `shingle_size` tokens yield an EMPTY array — a
     naive sequence(1, size-(n-1)) would clamp to 1 and emit one partial
     shingle, diverging from range-based (end-exclusive) oracle semantics
-    for short docs. The when() guard discards the bogus descending
-    sequence that sequence() produces when size < n.
+    for short docs. A null token array yields null (matching SQL oracles,
+    where split(NULL) is NULL end-to-end).
+
+    Formulation notes (both measured at sf0.1):
+      * the guard is a slice-to-length clamp, NOT a CASE WHEN around the
+        array — wrapping a generator input in when() drops the explode
+        out of the fast path (~20x slower in Generate);
+      * try_element_at, not element_at — the clamped-off partial shingle
+        still evaluates under ANSI mode and element_at would throw on
+        short docs before slice() can discard it.
     """
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(ws) - (shingle_size - 1), F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(ws, i + k) for k in range(shingle_size)]
-            ),
-        )
+    n_sh = F.greatest(F.size(ws) - (shingle_size - 1), F.lit(0))
+    raw = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(ws, i + k) for k in range(shingle_size)]
+        ),
     )
-    return F.when(F.size(ws) >= shingle_size, sh).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.array_distinct(F.slice(raw, 1, n_sh))
 
 
 # ---------------------------------------------------------------------------

@@ -1036,16 +1036,36 @@ def q_bpe_token_count(spark, sf_dir):
     "standard eval-leakage gate an LLM data pipeline runs before training",
 )
 def q_decontaminate(spark, sf_dir):
-    from rag_pipelines_spark.operators.dedup import word_shingles
-
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
-    sh = toks.select("doc_id", word_shingles(F.col("ws"), 5).alias("sh"))
-    bench = (
-        sh.filter(F.col("doc_id") % 50 == 0)
-        .select(F.col("doc_id").alias("bench_id"), F.explode("sh").alias("gram"))
-    )
-    corpus = sh.select("doc_id", F.explode("sh").alias("gram"))
+
+    # Positions-explode pattern: the generator child is a cheap int
+    # sequence, and the gram string is assembled AFTER the explode.
+    # Exploding the shingle-string array directly triggers
+    # InferFiltersFromGenerate, which clones the whole transform chain
+    # into the parquet scan's DataFilters where it runs interpreted —
+    # measured ~8s extra at sf0.1 for zero benefit. Duplicate grams per
+    # doc are harmless here: COUNT(DISTINCT bench_id) absorbs them, so
+    # the result matches the oracle's list_distinct formulation exactly.
+    def grams(df, id_alias):
+        n_sh = F.size("ws") - 4
+        return (
+            df.select(
+                F.col("doc_id").alias(id_alias),
+                "ws",
+                F.explode(F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1)))).alias("i"),
+            )
+            .filter(F.col("i") <= n_sh)
+            .select(
+                id_alias,
+                F.concat_ws(
+                    " ", *[F.element_at("ws", F.col("i") + k) for k in range(5)]
+                ).alias("gram"),
+            )
+        )
+
+    bench = grams(toks.filter(F.col("doc_id") % 50 == 0), "bench_id")
+    corpus = grams(toks, "doc_id")
     return (
         corpus.join(F.broadcast(bench), "gram")
         .filter(F.col("doc_id") != F.col("bench_id"))
@@ -1096,16 +1116,22 @@ def q_repetition_score(spark, sf_dir):
         F.size(F.array_distinct(lines)).alias("n_uniq"),
         F.split(F.lower("text"), " ").alias("ws"),
     )
-    ws = F.col("ws")
-    grams2 = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # positions-explode (see q_decontaminate): cheap generator child, gram
+    # assembled post-explode — keeps the scan's inferred filter trivial
+    n_g = F.size("ws") - 1
     gc = (
-        base.select("doc_id", F.explode(grams2).alias("gram"))
+        base.select(
+            "doc_id",
+            "ws",
+            F.explode(F.sequence(F.lit(1), F.greatest(n_g, F.lit(1)))).alias("i"),
+        )
+        .filter(F.col("i") <= n_g)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.element_at("ws", F.col("i")), F.element_at("ws", F.col("i") + 1)
+            ).alias("gram"),
+        )
         .groupBy("doc_id", "gram")
         .agg(F.count("*").alias("c"))
     )
