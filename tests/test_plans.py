@@ -157,3 +157,43 @@ def test_pack_sequences_single_window_exchange(spark):
     plan = plan_of(spark, "q_pack_sequences")
     n_ex = plan.count("hashpartitioning(")
     assert n_ex == 1, f"expected 1 exchange, plan has {n_ex}"
+
+
+def test_tpch_q21_exists_chain_no_cartesian(spark):
+    """Q21's EXISTS/NOT-EXISTS pair must compile to semi/anti joins equi-keyed
+    on l_orderkey with the suppkey<> residual — never a nested-loop join."""
+    plan = plan_of(spark, "q_tpch_q21")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_tpch_q11_total_rides_broadcast(spark):
+    """The 1-row global total must broadcast into the having-filter, not
+    collect to the driver or shuffle the per-part values again."""
+    plan = plan_of(spark, "q_tpch_q11")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q15_max_join_back_broadcasts(spark):
+    plan = plan_of(spark, "q_tpch_q15")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q2_min_joinback_no_cartesian(spark):
+    """Q2's decorrelated min join-back is an equi-join on (partkey, offer) —
+    both hash-joinable; the part filter must prune the scan."""
+    plan = plan_of(spark, "q_tpch_q2")
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_tpch_q13_keeps_outer_join(spark):
+    """Q13 must stay a left-outer join (count of no-order customers = 0 rows
+    depends on it) and aggregate partial+final."""
+    plan = plan_of(spark, "q_tpch_q13")
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 2
