@@ -42,6 +42,12 @@ HEADLINE = [
     "q_minhash_neardup",
     "q_dup_clusters",
     "q_repetition_score",
+    # round 2: completed TPC-H surface + ANN scale path + C4 line dedup
+    "q_tpch_q9",
+    "q_tpch_q13",
+    "q_tpch_q21",
+    "q_ann_lsh",
+    "q_line_dedup",
 ]
 
 

@@ -9,8 +9,11 @@ candidates.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -42,30 +45,45 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
 
 
 def word_shingles(ws, shingle_size: int = 3):
-    """Distinct word n-gram shingles of a token-array column.
+    """Distinct word n-gram shingles of a token-array column (Arrow UDF).
 
-    Docs with fewer than `shingle_size` tokens yield an EMPTY array — a
-    naive sequence(1, size-(n-1)) would clamp to 1 and emit one partial
-    shingle, diverging from range-based (end-exclusive) oracle semantics
-    for short docs. A null token array yields null (matching SQL oracles,
-    where split(NULL) is NULL end-to-end).
+    Semantics (pinned by tests/test_invariants.py and the DuckDB oracles):
+      * fewer than `shingle_size` tokens -> EMPTY array (range-based,
+        end-exclusive — never a partial shingle);
+      * null token array -> null (split(NULL) is NULL end-to-end in SQL);
+      * distinct keeps FIRST occurrence order (array_distinct semantics =
+        dict.fromkeys).
 
-    Formulation notes (both measured at sf0.1):
-      * the guard is a slice-to-length clamp, NOT a CASE WHEN around the
-        array — wrapping a generator input in when() drops the explode
-        out of the fast path (~20x slower in Generate);
-      * try_element_at, not element_at — the clamped-off partial shingle
-        still evaluates under ANSI mode and element_at would throw on
-        short docs before slice() can discard it.
+    Arrow-batched string joins replace the earlier column-expression
+    formulation (transform over sequence + try_element_at + concat_ws):
+    higher-order lambdas evaluate interpreted per element, measured ~9 s
+    for 5000 docs × ~100 shingles at sf0.1 vs ~0.3 s batched — the same
+    interpreted-fold trap as the LSH bucketize (SCALE.md). The historical
+    column-expr pitfalls (when()-wrapped generator input knocking Generate
+    off codegen; element_at throwing under ANSI) are documented at the
+    positions-explode note in SCALE.md.
     """
-    n_sh = F.greatest(F.size(ws) - (shingle_size - 1), F.lit(0))
-    raw = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", *[F.try_element_at(ws, i + k) for k in range(shingle_size)]
-        ),
-    )
-    return F.array_distinct(F.slice(raw, 1, n_sh))
+    @pandas_udf("array<string>")
+    def f(s: pd.Series) -> pd.Series:
+        out = []
+        for toks in s:
+            if toks is None:
+                out.append(None)
+                continue
+            n = len(toks) - (shingle_size - 1)
+            if n <= 0:
+                out.append([])
+                continue
+            out.append(
+                list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + shingle_size]) for i in range(n)
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    return f(ws)
 
 
 # ---------------------------------------------------------------------------
@@ -191,4 +209,51 @@ def minhash_candidates(
             F.col(f"datasetB.{id_col}").alias("b_id"),
             F.col("jaccard_dist"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Line-level corpus dedup (C4/RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = ". ",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove every line except its FIRST corpus-wide occurrence, then
+    reassemble each document (C4's line-level dedup generalized).
+
+    First occurrence = min (doc id, line position) lexicographically, so
+    the result is deterministic under any partitioning. Two inherent
+    shuffles: (1) window over the line value to pick the keeper — shuffle
+    volume is O(corpus text), the op's lower bound since line content must
+    co-locate to compare; (2) re-agg by doc id to rebuild the text
+    (collect_list + array_sort on position, so rebuild order never depends
+    on row arrival). Docs whose every line was a duplicate come back with
+    an empty string (left join against the input id set).
+    """
+    from pyspark.sql import Window
+
+    esc = "".join("\\" + c if c in r"\.[]{}()*+?^$|" else c for c in sep)
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), esc)).alias("pos", "line")
+    )
+    w = Window.partitionBy("line").orderBy(id_col, "pos")
+    kept = lines.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias(out_col)
+    )
+    ids = df.select(id_col)
+    return ids.join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(out_col, F.lit("")).alias(out_col)
     )

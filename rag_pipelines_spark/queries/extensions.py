@@ -458,16 +458,32 @@ def q_embed_neardup(spark, sf_dir):
         F.col("n2").alias("nb2"),
     )
     pairs = a.join(b, (a.a_label == b.b_label) & (b.b_id > a.a_id))
-    dots = pairs.select(
-        "a_id",
-        "b_id",
-        "na2",
-        "nb2",
-        _dot_dec(F.col("a_emb"), F.col("b_emb")).cast("double").alias("dot"),
+    # Cheap double prefilter before the exact-decimal scoring: a float64
+    # 64-dim cosine is within ~1e-12 of the exact value, so a 1e-6 margin
+    # can never drop a pair the exact filter would keep — the hash-checked
+    # output stays bit-identical. The exact cosine must be GUARDED by the
+    # UDF column (F.when), not filtered as a separate conjunct: a plain
+    # deterministic `cosine >= 0.5` predicate gets pushed below the
+    # ArrowEvalPython node into the join condition, where the interpreted
+    # decimal fold then runs on every joined pair (that pushdown is what
+    # made the unprefiltered version 22 s at sf0.1 — the fold was in the
+    # BroadcastHashJoin's condition). Referencing the UDF output makes the
+    # predicate unpushable and when() short-circuits the fold to
+    # near-threshold survivors only (22 s -> ~2 s).
+    from rag_pipelines_spark.operators.similarity import _cosine_udf
+
+    approx = _cosine_udf()(F.col("a_emb"), F.col("b_emb"))
+    exact = F.round(
+        _dot_dec(F.col("a_emb"), F.col("b_emb")).cast("double")
+        / (F.sqrt("na2") * F.sqrt("nb2")),
+        9,
     )
-    cosine = F.round(F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 9)
-    return dots.select("a_id", "b_id", cosine.alias("cosine")).filter(
-        F.col("cosine") >= 0.5
+    cosine = F.when(F.col("_cos_approx") >= 0.5 - 1e-6, exact)
+    return (
+        pairs.withColumn("_cos_approx", approx)
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= 0.5)
+        .select("a_id", "b_id", "cosine")
     )
 
 
@@ -1210,3 +1226,38 @@ def q_balance_sources(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id", "source")
     return balance_groups(d, "source", "doc_id")
+
+
+@register(
+    "q_line_dedup",
+    oracle="""
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, '. ') AS arr FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM arrs
+    ),
+    lines AS (
+        SELECT doc_id, i - 1 AS pos, arr[i] AS line FROM idx
+    ),
+    keeper AS (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        FROM lines
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(line, '. ' ORDER BY pos) AS clean_text
+        FROM keeper WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+    doc="corpus-wide line-level dedup (C4/RefinedWeb): every sentence kept "
+    "only at its first (doc_id, pos) occurrence, docs reassembled in "
+    "position order — operators/dedup.py line_dedup",
+)
+def q_line_dedup(spark, sf_dir):
+    from rag_pipelines_spark.operators.dedup import line_dedup
+
+    d = t(spark, sf_dir, "documents")
+    return line_dedup(d, id_col="doc_id", text_col="text")
