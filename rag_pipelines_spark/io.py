@@ -38,6 +38,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    # String->timestamp literal casts (TPC-H date bounds) resolve in the
+    # session timezone; the DuckDB oracles compare wall-clock timestamps.
+    # Pin UTC at read time so a foreign session (the driver's) on a
+    # non-UTC host can't shift filter boundaries off the oracle's.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS): a vanilla SparkSession (e.g.
         # the driver's) throws PARQUET_TYPE_ILLEGAL. nanosAsLong is runtime-
