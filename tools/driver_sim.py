@@ -10,10 +10,19 @@ Usage: python tools/driver_sim.py
 import sys, duckdb, pandas as pd
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E
-from rag_pipelines_spark.session import get_spark
+from pyspark.sql import SparkSession
 
 SF = "/root/testdata/sf0.01"
-spark = get_spark("driver-sim")
+# VANILLA session on purpose — the real driver builds its own SparkSession
+# with none of session.py's confs (that mismatch hid the round-1 NANOS
+# bug: every events query ERR'd only under the driver). Everything the
+# queries need (nanosAsLong, UTC timezone) must come from io.table itself.
+spark = (
+    SparkSession.builder.master("local[*]")
+    .appName("driver-sim")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
 
 # t1 smoke
 df = E.entry(spark)
