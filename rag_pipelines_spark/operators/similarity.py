@@ -82,32 +82,17 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> list[list[
     return planes
 
 
-def _bucket_expr(vec_col: str, table: list[list[float]]):
-    """Sign-bit bucket id for one LSH table: bit i = dot(v, plane_i) > 0.
-
-    Each plane is a *constant* array literal (``F.lit(list)``), not a
-    per-row CreateArray of ``bits×dim`` scalar lits — the latter rebuilds
-    the plane array for every row (measured ~3× on the LSH bucketize).
-    """
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(table):
-        lit_plane = F.lit([float(x) for x in plane])
-        bit = F.when(_dot(F.col(vec_col), lit_plane) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
-    return bucket
-
-
 def _buckets_udf(planes):
     """All-table bucket ids in one Arrow-batched matmul.
 
-    The column-expression formulation (`_bucket_expr` per table) evaluates
-    tables×bits interpreted higher-order folds per row — measured ~9 s for
+    The per-table column-expression formulation evaluated tables×bits
+    interpreted higher-order folds per row — measured ~9 s for
     2000×64 vectors × 48 planes at sf0.1. One numpy ``(n,d) @ (d, T·B)``
     matmul per Arrow batch does the same work in milliseconds; this is the
     sanctioned dense-linear-algebra pandas_udf case (SCALE.md). Returns
-    ``array<long>`` of length `tables` (bucket id per table).
+    ``array<long>`` of length `tables` (bucket id per table); a null
+    embedding yields a null bucket array (posexplode then drops the row,
+    matching the null-propagation of column-expression dots).
     """
     mats = np.asarray(planes, dtype=np.float64)  # (T, B, D)
     t_count, b_count, _ = mats.shape
@@ -116,27 +101,39 @@ def _buckets_udf(planes):
 
     @pandas_udf("array<long>")
     def f(v: pd.Series) -> pd.Series:
-        if v.empty:
-            return pd.Series([], dtype=object)
-        x = np.asarray(v.tolist(), dtype=np.float64)  # (n, D)
-        bits = (x @ proj) > 0.0  # sign sketch, all tables at once
-        ids = (bits.reshape(-1, t_count, b_count) * weights).sum(axis=2)
-        return pd.Series(ids.tolist())
+        vals = v.tolist()
+        live = [i for i, t in enumerate(vals) if t is not None]
+        out = [None] * len(vals)
+        if live:
+            x = np.asarray([vals[i] for i in live], dtype=np.float64)  # (n, D)
+            bits = (x @ proj) > 0.0  # sign sketch, all tables at once
+            ids = (bits.reshape(-1, t_count, b_count) * weights).sum(axis=2)
+            for j, i in enumerate(live):
+                out[i] = ids[j].tolist()
+        return pd.Series(out, dtype=object)
 
     return f
 
 
 def _cosine_udf():
-    """Arrow-batched cosine over candidate pairs (numpy row-wise)."""
+    """Arrow-batched cosine over candidate pairs (numpy row-wise).
+
+    Null on either side yields null cosine — comparison predicates then
+    drop the pair, as the column-expression dot would."""
     @pandas_udf("double")
     def f(a: pd.Series, b: pd.Series) -> pd.Series:
-        if a.empty:
-            return pd.Series([], dtype=float)
-        x = np.asarray(a.tolist(), dtype=np.float64)
-        y = np.asarray(b.tolist(), dtype=np.float64)
-        num = (x * y).sum(axis=1)
-        den = np.sqrt((x * x).sum(axis=1)) * np.sqrt((y * y).sum(axis=1))
-        return pd.Series(num / den)
+        av, bv = a.tolist(), b.tolist()
+        live = [
+            i for i in range(len(av)) if av[i] is not None and bv[i] is not None
+        ]
+        out = np.full(len(av), np.nan)
+        if live:
+            x = np.asarray([av[i] for i in live], dtype=np.float64)
+            y = np.asarray([bv[i] for i in live], dtype=np.float64)
+            num = (x * y).sum(axis=1)
+            den = np.sqrt((x * x).sum(axis=1)) * np.sqrt((y * y).sum(axis=1))
+            out[live] = num / den
+        return pd.Series(out)
 
     return f
 

@@ -789,7 +789,7 @@ def q_tpch_q9(spark, sf_dir):
     """,
     doc="TPC-H Q11 important stock: per-part value vs a global-total scalar "
     "subquery — the HAVING-against-aggregate shape. Threshold compare is "
-    "value*200 > total in exact decimals (no division, no driver scalar: "
+    "value*1400 > total in exact decimals (no division, no driver scalar: "
     "the 1-row total rides a broadcast crossJoin). Supply value adapted to "
     "lineitem revenue through positive-balance suppliers (no partsupp)",
 )

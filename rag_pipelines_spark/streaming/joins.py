@@ -45,10 +45,27 @@ def stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
-    return lw.join(rw, cond, "inner").select(
-        lw[key].alias(key),
-        lw[left_ts],
-        rw[right_ts],
-        *[lw[c] for c in left.columns if c not in (key, left_ts)],
-        *[rw[c] for c in right.columns if c not in (key, right_ts)],
-    )
+    # Output names must be unique even when the two inputs share column
+    # names (the common case: both timestamps called "ts", both carrying
+    # "source"): any right-side name that collides with an already-emitted
+    # one gets an r_ prefix, so downstream selects and sinks never hit
+    # AMBIGUOUS_REFERENCE / duplicate-column write errors.
+    cols = [lw[key].alias(key)]
+    taken = {key}
+
+    def emit(side, name):
+        out = name
+        while out in taken:
+            out = f"r_{out}"
+        taken.add(out)
+        cols.append(side[name].alias(out))
+
+    emit(lw, left_ts)
+    for c in left.columns:
+        if c not in (key, left_ts):
+            emit(lw, c)
+    emit(rw, right_ts)
+    for c in right.columns:
+        if c not in (key, right_ts):
+            emit(rw, c)
+    return lw.join(rw, cond, "inner").select(*cols)

@@ -70,3 +70,23 @@ def test_ivf_kmeans_refined_recall(frames):
     hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
     recall = hits / (5 * len(exact))
     assert recall >= 0.4, f"refined-IVF recall too low: {recall:.2f}"
+
+
+def test_lsh_null_embedding_rows_dropped_not_crashed(spark):
+    """A null embedding must yield zero candidate rows for that id (null
+    bucket array -> posexplode drops it), never a worker crash."""
+    from rag_pipelines_spark.operators.similarity import cosine_topk_lsh
+
+    rows = [
+        (1, [1.0] * 8),
+        (2, None),
+        (3, [1.0] * 8),
+        (4, [0.9] * 8),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk_lsh(
+        df.filter("vec_id <= 2"), df, dim=8, k=3, bits=2, tables=2
+    ).collect()
+    ids = {r["q_id"] for r in out}
+    assert 2 not in ids
+    assert 1 in ids  # live vectors still match

@@ -184,3 +184,26 @@ def test_stream_stream_interval_join(spark, tmp_path):
     )
     got_batch = sorted((r["user_id"], r["amount"]) for r in batch.collect())
     assert got_batch == got, (got_batch, got)
+
+
+def test_stream_interval_join_colliding_names(spark, tmp_path):
+    """Shared column names between the two sides (both 'ts', both 'source')
+    must come out uniquely named, not as AMBIGUOUS_REFERENCE bait."""
+    import datetime
+
+    from rag_pipelines_spark.streaming.joins import stream_interval_join
+
+    ts = datetime.datetime.fromisoformat
+    cs = "user_id long, ts timestamp, source string"
+    bs = "user_id long, ts timestamp, source string, amount double"
+    left = spark.createDataFrame([(1, ts("2024-01-01 10:00:00"), "web")], cs)
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:05:00"), "app", 3.0)], bs
+    )
+    out = stream_interval_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts"
+    )
+    assert len(out.columns) == len(set(out.columns)), out.columns
+    assert out.columns == ["user_id", "ts", "source", "r_ts", "r_source", "amount"]
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["amount"] == 3.0
