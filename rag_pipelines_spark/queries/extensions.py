@@ -850,16 +850,20 @@ def q_minhash_neardup(spark, sf_dir):
 
     toks = corpus.select("doc_id", F.split("text", " ").alias("ws"))
     sh = toks.select("doc_id", word_shingles(F.col("ws"), 3).alias("shingles"))
-    def _sig(s: int):
-        # close over the prefix; a two-arg lambda (x, s=seed) would be
-        # arity-sniffed by F.transform and fed the ELEMENT INDEX as s
-        prefix = f"{s}|"
-        return F.array_min(
-            F.transform(F.col("shingles"), lambda x: F.md5(F.concat(F.lit(prefix), x)))
-        ).alias(f"s{s}")
-
-    sigs = [_sig(s) for s in range(8)]
-    sig = sh.select("doc_id", *sigs)
+    # Explode-then-aggregate, NOT array_min(transform(...)) per seed:
+    # higher-order lambdas evaluate interpreted, so 8 seeds × shingles was
+    # ~4.4M interpreted md5 calls; as plain projected columns under a
+    # hash-agg the md5s run in whole-stage codegen with map-side combine
+    # (the shuffle carries one 8-hash row per doc per partition). Empty
+    # shingle arrays drop at the explode, exactly as array_min over an
+    # empty array produced all-null signatures that could never band-join.
+    ex = sh.select("doc_id", F.explode("shingles").alias("x"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("x")))).alias(f"s{s}")
+            for s in range(8)
+        ]
+    )
     band_arr = F.array(
         *[F.md5(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}"))) for b in range(4)]
     )
