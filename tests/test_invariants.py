@@ -197,3 +197,25 @@ def test_minhash_neardup_finds_planted_pairs(spark):
     )
     assert n_sources > 0
     assert len(planted) / n_sources >= 0.8  # tail mutation rarely flips a band
+
+
+def test_line_dedup_idempotent(spark):
+    """Dedup of a deduped corpus is the identity: after one pass every
+    line is corpus-unique, so a second pass must keep everything."""
+    from pyspark.sql import functions as F
+
+    from rag_pipelines_spark.io import table
+    from rag_pipelines_spark.operators.dedup import line_dedup
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    once = line_dedup(d, "doc_id", "text")
+    twice = line_dedup(
+        once.select("doc_id", F.col("clean_text").alias("text")), "doc_id", "text"
+    )
+    diff = (
+        once.alias("a")
+        .join(twice.alias("b"), "doc_id")
+        .filter(F.col("a.clean_text") != F.col("b.clean_text"))
+        .count()
+    )
+    assert diff == 0
