@@ -257,3 +257,110 @@ def line_dedup(
     return ids.join(rebuilt, id_col, "left").select(
         id_col, F.coalesce(out_col, F.lit("")).alias(out_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dedup: new batches vs persisted signature state
+# ---------------------------------------------------------------------------
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, band, bkey) deterministic md5 min-hash band keys.
+
+    Same scheme as q_minhash_neardup: per-seed min over shingle md5s,
+    computed as plain projected columns under a hash-agg (codegen +
+    map-side combine — never an interpreted per-element lambda), then
+    `bands` keys of `n_hashes/bands` signatures each. Deterministic in
+    any engine/partitioning (md5 is md5), so state written today matches
+    signatures computed by any future job.
+    """
+    rows_per_band = n_hashes // bands
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
+    sh = toks.select(
+        F.col(id_col), word_shingles(F.col("ws"), shingle_size).alias("shingles")
+    )
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("x"))
+    sig = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("x")))).alias(f"s{s}")
+            for s in range(n_hashes)
+        ]
+    )
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    *[F.col(f"s{b * rows_per_band + i}") for i in range(rows_per_band)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "bkey")
+    )
+
+
+def incremental_neardup(
+    spark,
+    batch: DataFrame,
+    state_path: str,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Near-dup-filter a new batch against ALL previously accepted content,
+    without ever touching the old corpus text.
+
+    The persisted state holds only (id, band, bkey) rows — ~200 bytes/doc
+    regardless of document size, so at 100 TB of accepted text the state
+    is a few hundred GB of keys, partitionable and broadcast-prunable by
+    bkey. A new batch is dropped if any of its band keys (a) collides
+    with state, or (b) collides with a smaller-id batch doc (deterministic
+    within-batch keeper). Survivors' band keys append to state; returns
+    the surviving rows of `batch`.
+    """
+    import os
+
+    new_bands = minhash_band_keys(batch, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+
+    state_exists = os.path.isdir(state_path) and any(
+        n.endswith(".parquet") for n in os.listdir(state_path)
+    )
+    dup_vs_state = None
+    if state_exists:
+        state = spark.read.parquet(state_path)
+        dup_vs_state = (
+            new_bands.join(state, ["band", "bkey"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+    a = new_bands.select(
+        F.col(id_col).alias("_a_id"), "band", "bkey"
+    )
+    b = new_bands.select(F.col(id_col).alias("_b_id"), "band", "bkey")
+    dup_in_batch = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("_b_id") < F.col("_a_id"))
+        .select(F.col("_a_id").alias(id_col))
+        .distinct()
+    )
+    dups = (
+        dup_in_batch.unionByName(dup_vs_state).distinct()
+        if dup_vs_state is not None
+        else dup_in_batch
+    )
+    clean = batch.join(dups, id_col, "left_anti").localCheckpoint(eager=True)
+    # append only the SURVIVORS' keys (state stays one row set per accepted doc)
+    new_bands.join(clean.select(id_col), id_col, "left_semi").write.mode(
+        "append"
+    ).parquet(state_path)
+    return clean

@@ -846,28 +846,13 @@ def q_minhash_neardup(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
     )
     corpus = d.select("doc_id", "text").unionByName(mutated)
-    from rag_pipelines_spark.operators.dedup import word_shingles
+    from rag_pipelines_spark.operators.dedup import minhash_band_keys
 
-    toks = corpus.select("doc_id", F.split("text", " ").alias("ws"))
-    sh = toks.select("doc_id", word_shingles(F.col("ws"), 3).alias("shingles"))
-    # Explode-then-aggregate, NOT array_min(transform(...)) per seed:
-    # higher-order lambdas evaluate interpreted, so 8 seeds × shingles was
-    # ~4.4M interpreted md5 calls; as plain projected columns under a
-    # hash-agg the md5s run in whole-stage codegen with map-side combine
-    # (the shuffle carries one 8-hash row per doc per partition). Empty
-    # shingle arrays drop at the explode, exactly as array_min over an
-    # empty array produced all-null signatures that could never band-join.
-    ex = sh.select("doc_id", F.explode("shingles").alias("x"))
-    sig = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("x")))).alias(f"s{s}")
-            for s in range(8)
-        ]
-    )
-    band_arr = F.array(
-        *[F.md5(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}"))) for b in range(4)]
-    )
-    bands = sig.select("doc_id", F.posexplode(band_arr).alias("band", "bkey"))
+    # signatures are explode + codegen'd hash-agg (NOT interpreted
+    # array_min(transform) per seed — see minhash_band_keys); the same
+    # operator feeds incremental_neardup's persisted state, so batch and
+    # incremental paths can never disagree on what counts as a dup.
+    bands = minhash_band_keys(corpus, "doc_id", "text")
     a = bands.select(
         F.col("doc_id").alias("a_id"), F.col("band").alias("a_band"), "bkey"
     )

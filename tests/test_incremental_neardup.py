@@ -1,0 +1,64 @@
+"""Incremental near-dedup: a batch is filtered against signature STATE
+(never the old corpus text), survivors extend the state, and the filter is
+stable across restarts — the continuous-ingest form of minhash dedup."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from rag_pipelines_spark.session import get_spark
+
+    return get_spark("incr-neardup-tests", shuffle_partitions=4)
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the riverbank today "
+    "while birds sing in the morning light across the quiet green valley"
+)
+
+
+def _doc(i, text):
+    return (i, text)
+
+
+def test_incremental_neardup_across_batches(spark, tmp_path):
+    from rag_pipelines_spark.operators.dedup import incremental_neardup
+
+    state = str(tmp_path / "sig_state")
+    schema = "doc_id long, text string"
+
+    batch1 = spark.createDataFrame(
+        [
+            _doc(1, BASE),
+            _doc(2, BASE + " with a tiny mutated tail"),  # near-dup of 1
+            _doc(3, "completely different content about spark dataframes "
+                    "and catalyst optimizer rules for distributed joins "
+                    "at terabyte scale with adaptive execution enabled"),
+        ],
+        schema,
+    )
+    clean1 = incremental_neardup(spark, batch1, state, "doc_id", "text")
+    ids1 = sorted(r.doc_id for r in clean1.collect())
+    # 2 collides with 1 in-batch (smaller id wins); 3 survives
+    assert ids1 == [1, 3], ids1
+
+    batch2 = spark.createDataFrame(
+        [
+            _doc(10, BASE + " appended replica marker"),  # near-dup of state doc 1
+            _doc(11, "entirely novel text describing minhash banding and "
+                     "locality sensitive hashing for approximate joins "
+                     "over massive shingled document collections"),
+        ],
+        schema,
+    )
+    clean2 = incremental_neardup(spark, batch2, state, "doc_id", "text")
+    ids2 = sorted(r.doc_id for r in clean2.collect())
+    assert ids2 == [11], ids2
+
+    # replay of an already-accepted doc under a NEW id is caught by state
+    batch3 = spark.createDataFrame([_doc(20, BASE)], schema)
+    clean3 = incremental_neardup(spark, batch3, state, "doc_id", "text")
+    assert clean3.count() == 0
