@@ -159,8 +159,10 @@ def q_batch_assign(spark, sf_dir):
     """,
     doc="sequential funnel (signup -> first click after -> first purchase "
     "after that) per user: the decorrelated step-after-step min pattern — "
-    "each stage is a filtered agg joined on the entity key, all stages "
-    "co-partitioned on user_id so the extra joins reuse one exchange",
+    "each stage re-scans events with its own pushed-down event_type "
+    "filter (cheap: pruned parquet scan) and aggregates on user_id; at "
+    "scale the stage joins are co-partitioned sort-merge on user_id, "
+    "locally AQE broadcasts the small agg sides",
 )
 def q_funnel(spark, sf_dir):
     e = t(spark, sf_dir, "events")
