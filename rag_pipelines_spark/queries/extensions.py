@@ -1250,3 +1250,22 @@ def q_line_dedup(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return line_dedup(d, id_col="doc_id", text_col="text")
+
+
+@register(
+    "q_pretraining_prep",
+    oracle=None,  # composition of individually hash-checked stages
+    doc="the composed pretraining data-prep lifecycle (quality gate -> "
+    "corpus line dedup -> minhash near-dedup -> benchmark decontamination "
+    "-> token packing) as one lazy program; every stage is separately "
+    "oracle-checked (q_quality_score / q_line_dedup / q_minhash_neardup / "
+    "q_decontaminate / q_pack_sequences) — plans/pretraining.py",
+)
+def q_pretraining_prep(spark, sf_dir):
+    from rag_pipelines_spark.plans.pretraining import pretraining_prep_pipeline
+
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return pretraining_prep_pipeline(d, bench).packed
