@@ -48,6 +48,9 @@ HEADLINE = [
     "q_tpch_q21",
     "q_ann_lsh",
     "q_line_dedup",
+    # the composed training-data lifecycle (quality -> dedups -> decontam
+    # -> packing) as one plan — the end-to-end number that matters
+    "q_pretraining_prep",
 ]
 
 
