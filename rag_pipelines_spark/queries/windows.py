@@ -196,3 +196,66 @@ def q_funnel(spark, sf_dir):
             F.when(F.col("t3").isNotNull(), 1).otherwise(0).alias("completed"),
         )
     )
+
+
+@register(
+    "q_gap_fill",
+    oracle="""
+    WITH per_hour AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id,
+               date_trunc('hour', MIN(ts)) AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM events GROUP BY user_id
+    ),
+    buckets AS (
+        SELECT user_id,
+               unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+        FROM span
+    )
+    SELECT b.user_id, b.bucket,
+           COALESCE(p.n_events, 0) AS n_events,
+           LAST_VALUE(p.v IGNORE NULLS) OVER (
+               PARTITION BY b.user_id ORDER BY b.bucket
+               ROWS UNBOUNDED PRECEDING) AS v_filled
+    FROM buckets b LEFT JOIN per_hour p USING (user_id, bucket)
+    """,
+    doc="time-series gap fill + forward fill: per-entity hourly buckets "
+    "generated over each user's own span (sequence of timestamps — no "
+    "calendar table scan), left-joined to actuals, missing hours carry "
+    "the last observed value (last ignoreNulls window). Bucket counts "
+    "are bounded by span/granularity, so the explode is O(entity-hours), "
+    "and the fill window partitions on the entity key",
+)
+def q_gap_fill(spark, sf_dir):
+    from rag_pipelines_spark.queries._util import dsum
+
+    e = t(spark, sf_dir, "events")
+    per_hour = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(dsum("value").alias("v"), F.count("*").alias("n_events"))
+    span = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    buckets = span.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    w = W.partitionBy("user_id").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        buckets.join(per_hour, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+    )
