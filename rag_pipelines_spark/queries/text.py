@@ -641,3 +641,23 @@ def q_xml_extract(spark, sf_dir):
             "'/PubmedArticle/ArticleId[@IdType=\"doi\"]/text()')"
         ).alias("doi"),
     )
+
+
+@register(
+    "q_map_explode",
+    oracle="""
+    SELECT e.event_id, k AS key,
+           CAST(json_extract(e.props::JSON, '$.' || k) AS BIGINT) AS val
+    FROM events e, unnest(json_keys(e.props::JSON)) AS t(k)
+    """,
+    doc="JSON -> typed map -> exploded entries (map-type surface: "
+    "from_json to map<string,bigint>, explode emits one row per entry). "
+    "Map columns never reach the output — entry rows are hashable and "
+    "order-independent, map iteration order is not",
+)
+def q_map_explode(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select("event_id", m.alias("_m")).select(
+        "event_id", F.explode("_m").alias("key", "val")
+    )

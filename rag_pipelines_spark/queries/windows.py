@@ -259,3 +259,30 @@ def q_gap_fill(spark, sf_dir):
             F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         )
     )
+
+
+@register(
+    "q_window_dist",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="distribution window functions (ntile quartiles, percent_rank, "
+    "cume_dist) per priority class — deterministic under the unique "
+    "(totalprice, orderkey) order; the ratios are exact rank arithmetic, "
+    "so both engines produce identical doubles",
+)
+def q_window_dist(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
