@@ -376,3 +376,22 @@ def q_heavy_hitters(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > 75)
     )
+
+
+@register(
+    "q_salted_agg",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="two-stage salted aggregation == plain GROUP BY (the skew "
+    "mitigation's correctness proof as an oracle check): stage 1 groups "
+    "on (key, salt) spreading any hot key over salt_buckets reducers, "
+    "stage 2 merges partials on the key alone — operators/skew.py",
+)
+def q_salted_agg(spark, sf_dir):
+    from rag_pipelines_spark.operators.skew import salted_count
+
+    li = t(spark, sf_dir, "lineitem")
+    return salted_count(li, ["l_returnflag"], salt_buckets=16)
