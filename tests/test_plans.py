@@ -197,3 +197,17 @@ def test_tpch_q13_keeps_outer_join(spark):
     plan = plan_of(spark, "q_tpch_q13")
     assert "LeftOuter" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_registry_wide_plan_lints(spark):
+    """Blanket physical-plan invariants over EVERY registered query:
+    no CartesianProduct anywhere (every join is equi-keyed, broadcast, or
+    a broadcast-1-row nested loop), and no BatchEvalPython (all Python is
+    Arrow-batched — row-at-a-time UDFs never reach a hot path)."""
+    offenders = {}
+    for name, q in REG.items():
+        plan = plan_of(spark, name)
+        marks = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
+        if marks:
+            offenders[name] = marks
+    assert not offenders, offenders
