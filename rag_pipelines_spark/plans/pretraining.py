@@ -46,6 +46,7 @@ def pretraining_prep_pipeline(
     min_stopword_ratio: float = 0.005,
     gram_n: int = 5,
     token_budget: int = 512,
+    pack_shards: int = 32,
 ) -> PretrainingPrepResult:
     """Compose the four gates + packing over a raw document frame.
 
@@ -118,14 +119,21 @@ def pretraining_prep_pipeline(
     )
     decontaminated = deduped.join(contaminated, id_col, "left_anti")
 
-    # 5. token counting + sequence packing into token_budget shards
+    # 5. token counting + sequence packing. The packing prefix-sum window
+    # partitions on pack_shard = pmod(xxhash64(id), pack_shards): every
+    # shard is an independent token stream packed in parallel (how real
+    # packers shard the corpus), so the window shuffle is a normal hashed
+    # exchange — never a single-partition global sort. A sequence is
+    # identified by (pack_shard, seq_id).
     counted = decontaminated.withColumn(
         "n_tokens", whitespace_token_count(F.col(text_col)).cast("long")
-    ).withColumn("_shard", F.lit(0))
+    ).withColumn(
+        "pack_shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(pack_shards))
+    )
     packed = pack_sequences(
-        counted, group_col="_shard", order_col=id_col,
+        counted, group_col="pack_shard", order_col=id_col,
         token_col="n_tokens", budget=token_budget,
-    ).drop("_shard")
+    )
 
     def cnt(df, stage):
         return df.agg(

@@ -62,9 +62,45 @@ def test_pretraining_prep_pipeline(spark):
     vals = list(counts.values())
     assert vals == sorted(vals, reverse=True)  # monotone attrition
 
-    # packing: offsets are a prefix-sum of token counts, shard = div budget
-    rows = {r.doc_id: r for r in res.packed.collect()}
-    assert rows[1].seq_start == 0
-    assert rows[3].seq_start == rows[1].n_tokens
-    for r in rows.values():
-        assert r.seq_id == r.seq_start // 40
+    # packing: within every shard, offsets are the prefix-sum of token
+    # counts in doc_id order, and seq_id = seq_start div budget
+    by_shard: dict[int, list] = {}
+    for r in res.packed.collect():
+        by_shard.setdefault(r.pack_shard, []).append(r)
+    for shard_rows in by_shard.values():
+        running = 0
+        for r in sorted(shard_rows, key=lambda r: r.doc_id):
+            assert r.seq_start == running
+            assert r.seq_id == r.seq_start // 40
+            running += r.n_tokens
+
+
+def test_pretraining_packing_sharded(spark):
+    """The packing window must partition on a real (non-constant) key: with
+    enough docs, more than one pack_shard value appears, and the physical
+    plan carries no 'No Partition Defined' global window."""
+    from pyspark.sql import functions as F
+
+    from rag_pipelines_spark.plans.pretraining import pretraining_prep_pipeline
+
+    # distinct texts (id woven between every word) so near-dedup keeps all
+    word = F.concat(F.lit("w"), F.col("id"))
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("the"), word, F.lit("of"), word, F.lit("and"), word,
+            F.lit("to"), word, F.lit("in"), word, F.lit("is"), word,
+        ).alias("text"),
+    )
+    bench = spark.createDataFrame(
+        [(1, "completely disjoint benchmark content nothing shared here")],
+        "bench_id long, text string",
+    )
+    res = pretraining_prep_pipeline(docs, bench, pack_shards=8)
+    shards = {r.pack_shard for r in res.packed.select("pack_shard").collect()}
+    assert len(shards) > 1, shards
+    plan = res.packed._jdf.queryExecution().executedPlan().toString()
+    # the packing window's exchange hashes on the shard key — never a
+    # constant-key (folded-away) global window
+    assert "hashpartitioning(pack_shard" in plan
