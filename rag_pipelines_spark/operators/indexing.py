@@ -1,0 +1,66 @@
+"""Scale-safe global row indexing.
+
+The reference assigns each record a global sequence number and derives a
+batch id from it (``fda_watcher.py:444-455`` — record index -> 10-row
+batch). The naive Spark translation is ``row_number() OVER (ORDER BY k)``:
+a global-sort window whose single ``Exchange SinglePartition`` moves the
+entire table through one task — the classic 100 TB serialization point.
+
+This module computes the identical index with only hashed exchanges:
+
+1. bucket rows by an ORDER-PRESERVING block key
+   ``_blk = floor(order_col / block_size)`` — floor-division is monotone,
+   so every row in block k sorts before every row in block k+1;
+2. count rows per block (one distributed hash aggregation);
+3. turn counts into cumulative start offsets with a window over the TINY
+   per-block frame (one row per block — the same "global window over a
+   small aggregate" pattern used for grand totals elsewhere in this repo);
+4. broadcast the offsets back and add a block-LOCAL ``row_number`` — a
+   window partitioned on ``_blk``, i.e. a normal hashed exchange that
+   scales out with the data.
+
+Requirements: ``order_col`` is numeric and unique (ties inside a block
+would make the index nondeterministic). Block-size choice only affects
+balance, never correctness; pick it so ``count/block_size`` blocks are
+each small enough for one task (id-range skew concentrates rows in few
+blocks — if ids are very non-uniform, pre-map them through a quantile
+bucketizer instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_index(
+    df: DataFrame,
+    order_col: str,
+    block_size: int = 4096,
+    out_col: str = "row_index",
+) -> DataFrame:
+    """Append a 0-based dense global index of rows ordered by ``order_col``
+    without ever sorting globally."""
+    # integer `div`, not floor(x/y): stays in long arithmetic (no double
+    # cast that loses precision past 2^53) and still maps contiguous value
+    # ranges to monotonically ordered block ids
+    with_blk = df.withColumn(
+        "_blk", F.expr(f"{order_col} div {int(block_size)}")
+    )
+    counts = with_blk.groupBy("_blk").agg(F.count("*").alias("_n"))
+    # cumulative offsets over the per-block frame: |blocks| rows, driver-free
+    w_off = Window.orderBy("_blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).cast("long")
+    ).drop("_n")
+    w_local = Window.partitionBy("_blk").orderBy(order_col)
+    return (
+        with_blk.join(F.broadcast(offsets), "_blk")
+        .withColumn(
+            out_col,
+            (F.row_number().over(w_local) - 1 + F.col("_off")).cast("long"),
+        )
+        .drop("_blk", "_off")
+    )

@@ -122,15 +122,18 @@ def q_window_running(spark, sf_dir):
     FROM documents
     """,
     doc="the reference's batch partitioner: record index -> 10-row batch "
-    "number (floor(row_number/N)). ref: fda_watcher.py:444-455. At scale "
-    "the global row_number becomes a per-partition id + offset scan",
+    "number (floor(row_number/N)). ref: fda_watcher.py:444-455. Scale-safe "
+    "formulation (operators/indexing.py): block-range key -> per-block "
+    "counts -> broadcast cumulative offsets -> block-local row_number; the "
+    "only global window runs over the tiny one-row-per-block frame, never "
+    "the data",
 )
 def q_batch_assign(spark, sf_dir):
-    o = t(spark, sf_dir, "documents")
-    w = W.orderBy("doc_id")
-    return o.select(
-        "doc_id",
-        F.floor((F.row_number().over(w) - 1) / 10).alias("batch_no"),
+    from rag_pipelines_spark.operators.indexing import global_row_index
+
+    o = t(spark, sf_dir, "documents").select("doc_id")
+    return global_row_index(o, "doc_id", block_size=1024, out_col="_idx").select(
+        "doc_id", F.expr("_idx div 10").alias("batch_no")
     )
 
 

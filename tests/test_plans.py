@@ -211,3 +211,16 @@ def test_registry_wide_plan_lints(spark):
         if marks:
             offenders[name] = marks
     assert not offenders, offenders
+
+
+def test_batch_assign_no_global_sort_window(spark):
+    """The global index must come from the block-offset formulation
+    (operators/indexing.py): the data-bearing window hashes on the block
+    key; the only SinglePartition exchange feeds the tiny one-row-per-block
+    offsets frame, and the broadcast join carries the offsets back."""
+    plan = plan_of(spark, "q_batch_assign")
+    assert "hashpartitioning(_blk" in plan
+    assert "BroadcastHashJoin" in plan
+    # exactly one SinglePartition exchange (the per-block offsets window),
+    # fed by the counts aggregate — never by the document scan directly
+    assert plan.count("SinglePartition") == 1
