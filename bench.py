@@ -17,10 +17,11 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: covers scan+agg, 3-way join, window, text-heavy explode,
-# dedup, vector similarity, sessionization — the shapes that dominate a
-# 100 TB ingest/analytics run.
-HEADLINE = [
+# CORE: the round-1 headline set, FROZEN — never grows, so `core_total`
+# is like-for-like round over round. Covers scan+agg, 3-way join, window,
+# text-heavy explode, dedup, vector similarity, sessionization — the
+# shapes that dominate a 100 TB ingest/analytics run.
+CORE = [
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
@@ -39,6 +40,11 @@ HEADLINE = [
     "q_cosine_topk",
     "q_ngram_jaccard",
     "q_embed_generate",
+]
+
+# EXTRAS: shapes added after round 1; reported separately so the growing
+# set never skews the round-over-round core comparison.
+EXTRAS = [
     "q_minhash_neardup",
     "q_dup_clusters",
     "q_repetition_score",
@@ -51,7 +57,11 @@ HEADLINE = [
     # the composed training-data lifecycle (quality -> dedups -> decontam
     # -> packing) as one plan — the end-to-end number that matters
     "q_pretraining_prep",
+    # round 3: scale-safe global index (block-offset formulation)
+    "q_batch_assign",
 ]
+
+HEADLINE = CORE + EXTRAS
 
 
 def main() -> None:
@@ -122,6 +132,13 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 4)
+    # core = frozen round-1 set (+ pipeline_watcher, also measured since
+    # r1) — the like-for-like round-over-round number
+    core_names = set(CORE) | {"pipeline_watcher"}
+    core_total = round(
+        sum(v for k, v in timings.items() if k in core_names), 4
+    )
+    extras_total = round(total - core_total, 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -130,6 +147,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "core_total": core_total,
+                "extras_total": extras_total,
                 "sf": float(sf),
                 "wall_total": round(time.time() - t0, 4),
             }
