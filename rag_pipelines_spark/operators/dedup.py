@@ -364,3 +364,30 @@ def incremental_neardup(
         "append"
     ).parquet(state_path)
     return clean
+
+
+def compact_neardup_state(
+    spark, state_path: str, num_partitions: int | None = None
+) -> int:
+    """Rewrite the accreted incremental_neardup state into a bounded,
+    bkey-clustered file set; returns the state row count.
+
+    incremental_neardup appends one small parquet file-set per batch, so a
+    daily cadence over years accretes thousands of files (listing +
+    footer-read overhead starts to dominate the (band,bkey) probe join).
+    Compaction reads the whole state ONCE, localCheckpoints it (so the
+    overwrite of the directory being read is safe), and rewrites it
+    hash-partitioned on bkey — collision probes against compacted state
+    shuffle-prune to the matching partitions, and the file count is fixed
+    at num_partitions regardless of how many batches accreted.
+
+    Row set is preserved exactly (pure repartition, no dedup pass needed:
+    state holds one (id, band, bkey) row per accepted doc-band, and
+    replayed content never reaches the append path). Cadence guidance in
+    SCALE.md: compact when the file count exceeds ~10x cluster parallelism.
+    """
+    state = spark.read.parquet(state_path).localCheckpoint(eager=True)
+    n_rows = state.count()
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    state.repartition(n, "bkey").write.mode("overwrite").parquet(state_path)
+    return n_rows

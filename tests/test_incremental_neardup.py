@@ -62,3 +62,59 @@ def test_incremental_neardup_across_batches(spark, tmp_path):
     batch3 = spark.createDataFrame([_doc(20, BASE)], schema)
     clean3 = incremental_neardup(spark, batch3, state, "doc_id", "text")
     assert clean3.count() == 0
+
+
+def test_compaction_preserves_dedup_state(spark, tmp_path):
+    """N appends then compaction: file count drops to the requested bound,
+    the (id, band, bkey) row set is bit-identical, and every subsequent
+    dedup verdict (replay caught / novel passes) is unchanged."""
+    import glob
+
+    from rag_pipelines_spark.operators.dedup import (
+        compact_neardup_state,
+        incremental_neardup,
+    )
+
+    state = str(tmp_path / "sig_state")
+    schema = "doc_id long, text string"
+
+    def text(i):  # per-doc fully disjoint token set -> no near-dup pairs
+        return " ".join(f"token{i}word{k}" for k in range(20))
+
+    for b in range(3):  # 3 batches -> 3 appended file-sets
+        batch = spark.createDataFrame(
+            [(b * 10 + j, text(b * 10 + j)) for j in range(3)], schema
+        )
+        accepted = incremental_neardup(spark, batch, state, "doc_id", "text")
+        assert accepted.count() == 3  # all novel -> all accepted
+
+    before = {
+        (r.doc_id, r.band, r.bkey)
+        for r in spark.read.parquet(state).collect()
+    }
+    files_before = len(glob.glob(f"{state}/part-*.parquet"))
+    assert files_before >= 3  # one file-set per batch accreted
+
+    n_rows = compact_neardup_state(spark, state, num_partitions=2)
+    assert n_rows == len(before)
+
+    after = {
+        (r.doc_id, r.band, r.bkey)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert after == before
+    files_after = len(glob.glob(f"{state}/part-*.parquet"))
+    assert files_after <= 2 < files_before
+
+    # verdicts survive compaction: replay of accepted content is caught,
+    # novel content passes
+    replay = spark.createDataFrame(
+        [(100, text(0))], schema  # doc 0's exact text
+    )
+    assert incremental_neardup(spark, replay, state, "doc_id", "text").count() == 0
+    fresh = spark.createDataFrame(
+        [(101, "altogether new subject matter regarding range joins asof "
+               "semantics interval trees and temporal alignment windows")],
+        schema,
+    )
+    assert incremental_neardup(spark, fresh, state, "doc_id", "text").count() == 1
