@@ -47,6 +47,7 @@ def pretraining_prep_pipeline(
     gram_n: int = 5,
     token_budget: int = 512,
     pack_shards: int = 32,
+    persist_stages: bool = True,
 ) -> PretrainingPrepResult:
     """Compose the four gates + packing over a raw document frame.
 
@@ -55,6 +56,17 @@ def pretraining_prep_pipeline(
     a doc sharing ANY gram with bench is dropped — the conservative
     exact-substring policy; the bench gram set broadcasts, the corpus
     never shuffles for this stage).
+
+    persist_stages: the line-dedup and near-dedup outputs each feed 2+
+    downstream branches; without a cut, Spark re-executes the whole stage
+    prefix per branch — the uncut executed plan holds NINE scans of the
+    documents source and zero ReusedExchange nodes. At sf0.1 the cut is
+    time-neutral (recompute is cheap, cache build isn't free), but at
+    corpus scale 9 passes over 100 TB vs 1 is decisive, so the cut is the
+    default. MEMORY_AND_DISK (spills, never OOMs); a cluster run of the
+    full lifecycle would typically write each stage's survivors to
+    storage instead — same cut, durable — and callers composing that way
+    can pass persist_stages=False and checkpoint externally.
     """
     base = docs.select(F.col(id_col), F.col(text_col))
 
@@ -72,18 +84,32 @@ def pretraining_prep_pipeline(
         .filter(F.length("_clean") > 0)
         .select(F.col(id_col), F.col("_clean").alias(text_col))
     )
+    if persist_stages:
+        from pyspark import StorageLevel
 
-    # 3. minhash near-dedup: band collisions keep the smaller id
+        lined = lined.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # 3. minhash near-dedup: band collisions keep the smaller id.
+    # "drop a if SOME smaller id shares a bucket" == "drop a if the bucket
+    # min is smaller", so a min-window over (band, bkey) replaces the bands
+    # self-join: the expensive signature computation (shingle UDF + hash
+    # agg) runs ONCE instead of once per join side, and the bucket pass is
+    # one hashed window shuffle instead of a join
+    from pyspark.sql import Window
+
     bands = minhash_band_keys(lined, id_col, text_col)
-    a = bands.select(F.col(id_col).alias("_a"), "band", "bkey")
-    b = bands.select(F.col(id_col).alias("_b"), "band", "bkey")
+    w_bucket = Window.partitionBy("band", "bkey")
     dup_ids = (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("_b") < F.col("_a"))
-        .select(F.col("_a").alias(id_col))
+        bands.withColumn("_min_id", F.min(id_col).over(w_bucket))
+        .filter(F.col("_min_id") < F.col(id_col))
+        .select(id_col)
         .distinct()
     )
     deduped = lined.join(dup_ids, id_col, "left_anti")
+    if persist_stages:
+        from pyspark import StorageLevel
+
+        deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
 
     # 4. decontamination: any shared gram_n-gram with bench drops the doc.
     # Positions-explode (SCALE.md) + broadcast bench grams.
