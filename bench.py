@@ -139,7 +139,11 @@ def main() -> None:
         sum(v for k, v in timings.items() if k in core_names), 4
     )
     extras_total = round(total - core_total, 4)
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_tag)
+    except ValueError:
+        sf = sf_tag  # non-numeric dir suffix (e.g. a probe dir)
     print(
         json.dumps(
             {
