@@ -64,3 +64,56 @@ def global_row_index(
         )
         .drop("_blk", "_off")
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int,
+    block_size: int = 64,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Exact 1-based NTILE(k) OVER (ORDER BY value_col, id_col) without a
+    global sort — curriculum/quality binning at corpus scale.
+
+    Same block-offset scheme as global_row_index, with the block key
+    derived from the VALUE range (``value_col div block_size``), so equal
+    values always share a block and the (value, id) order is globally
+    consistent across blocks. ``value_col`` must be a non-negative
+    integral column (pre-bucketize floats, e.g. ``(score*1e6).cast(long)``);
+    ``id_col`` breaks ties deterministically.
+
+    The tiny per-block frame carries both the cumulative start offset and
+    the grand total n (two windows over |blocks| rows); the NTILE bucket
+    is then pure row-local arithmetic on the dense 0-based index idx:
+    the first ``n % k`` buckets get ``n div k + 1`` rows, the rest
+    ``n div k`` — exactly SQL NTILE semantics.
+    """
+    with_blk = df.withColumn(
+        "_blk", F.expr(f"{value_col} div {int(block_size)}")
+    )
+    counts = with_blk.groupBy("_blk").agg(F.count("*").alias("_cn"))
+    w_off = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_blk",
+        F.coalesce(F.sum("_cn").over(w_off), F.lit(0)).cast("long").alias("_off"),
+        F.sum("_cn").over(w_all).cast("long").alias("_tot"),
+    )
+    w_local = Window.partitionBy("_blk").orderBy(value_col, id_col)
+    idx = F.row_number().over(w_local) - 1 + F.col("_off")
+    # NTILE: big = n % k buckets of (n div k + 1) rows, then (n div k) rows
+    big = F.expr(f"_tot % {int(k)}")
+    small_sz = F.expr(f"_tot div {int(k)}")
+    cut = big * (small_sz + 1)  # rows covered by the big buckets
+    bucket0 = F.when(idx < cut, F.floor(idx / (small_sz + 1))).otherwise(
+        big + F.floor((idx - cut) / small_sz)
+    )
+    return (
+        with_blk.join(F.broadcast(offsets), "_blk")
+        .withColumn(out_col, (bucket0 + 1).cast("long"))
+        .drop("_blk", "_off", "_tot")
+    )

@@ -86,3 +86,53 @@ def balance_groups(df: DataFrame, group_col: str, key_col: str, salt: str = "") 
         .drop("_quota")
         .withColumnRenamed("_rk", "sample_rank")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically subsample so surviving group proportions match
+    `weights` — the general data-mixture schedule (balance_groups is the
+    equal-weights special case).
+
+    quota_g = floor(w_g * scale) with scale = min_g(n_g / w_g): the
+    largest total size achievable without oversampling any group (no
+    replication — this is a downsampling mixer). Groups absent from
+    `weights` are dropped. Weights needn't sum to 1 (only ratios matter).
+
+    Plan: per-group counts (rows = #groups) joined to the literal weight
+    frame, a 1-row min for the scale, quotas broadcast back, then the
+    same md5-rank window as balance_groups — layout-stable, salt-
+    rotatable, engine-reproducible. The corpus shuffles once (the rank
+    window's hash exchange on group); everything else is tiny-frame math.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, float(w)) for g, w in weights.items()],
+        f"{group_col} string, _w double",
+    )
+    cnts = (
+        df.groupBy(group_col).agg(F.count("*").alias("_n")).join(wdf, group_col)
+    )
+    scale = cnts.agg(F.min(F.col("_n") / F.col("_w")).alias("_scale"))  # 1 row
+    quotas = F.broadcast(
+        cnts.crossJoin(F.broadcast(scale)).select(
+            group_col,
+            F.floor(F.col("_w") * F.col("_scale")).cast("long").alias("_quota"),
+        )
+    )
+    c = F.col(key_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(c.cast("string"), F.lit(salt))), c
+    )
+    return (
+        df.join(quotas, group_col)  # inner join: unweighted groups drop out
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_quota")
+        .withColumnRenamed("_rk", "sample_rank")
+    )

@@ -1269,3 +1269,64 @@ def q_pretraining_prep(spark, sf_dir):
         F.col("doc_id").alias("bench_id"), "text"
     )
     return pretraining_prep_pipeline(d, bench).packed
+
+
+@register(
+    "q_mixture_weights",
+    oracle="""
+    WITH n AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    w(lang, wt) AS (VALUES ('en', 0.5), ('zh', 0.3), ('es', 0.2)),
+    s AS (SELECT MIN(n.cnt / w.wt) AS scale FROM n JOIN w USING (lang)),
+    q AS (
+        SELECT w.lang, CAST(FLOOR(w.wt * s.scale) AS BIGINT) AS quota
+        FROM w, s
+    ),
+    r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS sample_rank
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.sample_rank
+    FROM r JOIN q USING (lang)
+    WHERE r.sample_rank <= q.quota
+    """,
+    doc="weighted data-mixture schedule: downsample so surviving language "
+    "proportions match target weights en:zh:es = 5:3:2 (unweighted langs "
+    "drop). quota_g = floor(w_g * min_g(n_g/w_g)) — the largest total with "
+    "no group oversampled; md5-rank selection is layout-stable and engine-"
+    "reproducible (operators/sampling.py mixture_sample; balance_groups is "
+    "the equal-weights case)",
+)
+def q_mixture_weights(spark, sf_dir):
+    from rag_pipelines_spark.operators.sampling import mixture_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(
+        d, "lang", "doc_id", {"en": 0.5, "zh": 0.3, "es": 0.2}
+    ).select("doc_id", "lang", "sample_rank")
+
+
+@register(
+    "q_quality_bins",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(NTILE(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+               AS bucket
+    FROM documents
+    """,
+    doc="curriculum/quality binning: exact global NTILE(4) by document "
+    "length WITHOUT a global sort — value-range block key -> per-block "
+    "counts -> broadcast offsets + grand total -> block-local row_number "
+    "+ NTILE arithmetic (operators/indexing.py global_ntile; same scheme "
+    "as the batch partitioner, generalized to non-unique order values)",
+)
+def q_quality_bins(spark, sf_dir):
+    from rag_pipelines_spark.operators.indexing import global_ntile
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_ntile(
+        d, "n_chars", "doc_id", k=4, block_size=64, out_col="bucket"
+    )

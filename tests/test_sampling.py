@@ -70,3 +70,73 @@ def test_redact_pii_cases(spark):
     assert got[4] == "clean text with no pii at all"
     # emails redacted before URLs, phone runs last
     assert got[5] == "combo <EMAIL> <URL> <PHONE> end"
+
+
+def test_mixture_sample_proportions(spark):
+    from pyspark.sql import functions as F
+
+    from rag_pipelines_spark.operators.sampling import mixture_sample
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        # groups of size 1500 / 1000 / 500
+        F.when(F.col("id") < 1500, "a")
+        .when(F.col("id") < 2500, "b")
+        .otherwise("c")
+        .alias("g"),
+    )
+    out = mixture_sample(df, "g", "doc_id", {"a": 0.6, "b": 0.1, "c": 0.3})
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(
+        F.count("*").alias("n")).collect()}
+    # binding group: c (500 rows / 0.3 weight -> scale=1666.67);
+    # quotas = floor(w * scale) = a:1000, b:166, c:500
+    assert counts == {"a": 1000, "b": 166, "c": 500}
+    # stable under repartitioning
+    again = mixture_sample(
+        df.repartition(13, "doc_id"), "g", "doc_id",
+        {"a": 0.6, "b": 0.1, "c": 0.3},
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_mixture_sample_drops_unweighted_groups(spark):
+    from pyspark.sql import functions as F
+
+    from rag_pipelines_spark.operators.sampling import mixture_sample
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "keep").otherwise("drop").alias("g"),
+    )
+    out = mixture_sample(df, "g", "doc_id", {"keep": 1.0})
+    assert {r.g for r in out.collect()} == {"keep"}
+    assert out.count() == 50
+
+
+def test_global_ntile_matches_sql_ntile(spark):
+    from pyspark.sql import functions as F
+
+    from rag_pipelines_spark.operators.indexing import global_ntile
+
+    # non-unique values, n not divisible by k, ties spanning block bounds
+    df = spark.range(0, 103).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    )
+    got = global_ntile(df, "v", "doc_id", k=4, block_size=2)
+    df.createOrReplaceTempView("_ntile_in")
+    want = spark.sql(
+        "SELECT doc_id, v, CAST(NTILE(4) OVER (ORDER BY v, doc_id) AS LONG)"
+        " AS bucket FROM _ntile_in"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # n < k: every row lands in its own bucket, no division blow-up
+    tiny = spark.range(0, 3).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("v")
+    )
+    assert sorted(
+        r.bucket for r in global_ntile(tiny, "v", "doc_id", k=10).collect()
+    ) == [1, 2, 3]
