@@ -26,24 +26,47 @@ def dec(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     return c.cast(f"decimal({precision},{scale})")
 
 
+def dec_to_dbl(s: Column) -> Column:
+    """Bit-reproducible decimal -> double.
+
+    A plain CAST(decimal AS DOUBLE) diverges between engines once the
+    value carries >15 significant digits: DuckDB converts int128 storage
+    to double FIRST and divides by 10^scale SECOND (two roundings), while
+    Java's BigDecimal.doubleValue rounds once — observed as a 1-ULP
+    mismatch on TPC-H Q1's sum_charge at sf1 (17 digits). Splitting into
+    integer + fraction makes each part exactly representable (integer
+    part < 2^53, fraction numerator < 10^scale), so BOTH engines perform
+    exactly one rounding per part and the final addition is exact-input
+    IEEE — identical bits. Mirror: o_dec_to_dbl.
+    """
+    i = F.floor(s)
+    return i.cast("double") + (s - i).cast("double")
+
+
 def dsum(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     """Order-independent SUM of a double column, returned as double."""
-    return F.sum(dec(col, scale, precision)).cast("double")
+    return dec_to_dbl(F.sum(dec(col, scale, precision)))
 
 
 def davg(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     """Order-independent AVG: exact decimal sum / count, divided in double."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(dec(c, scale, precision)).cast("double") / F.count(c)
+    return dsum(c, scale, precision) / F.count(c)
 
 
 # DuckDB-side fragments mirroring the helpers above.
+def o_dec_to_dbl(sum_expr: str) -> str:
+    """Mirror of dec_to_dbl (the aggregate is named twice; exact both
+    times, so evaluation count can't change the value)."""
+    return (
+        f"(CAST(FLOOR({sum_expr}) AS DOUBLE)"
+        f" + CAST({sum_expr} - FLOOR({sum_expr}) AS DOUBLE))"
+    )
+
+
 def o_dsum(expr: str, scale: int = 2, precision: int = 18) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+    return o_dec_to_dbl(f"SUM(CAST({expr} AS DECIMAL({precision},{scale})))")
 
 
 def o_davg(expr: str, scale: int = 2, precision: int = 18) -> str:
-    return (
-        f"(CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
-        f" / COUNT({expr}))"
-    )
+    return f"({o_dsum(expr, scale, precision)} / COUNT({expr}))"

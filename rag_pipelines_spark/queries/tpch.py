@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from rag_pipelines_spark.queries._util import o_davg, t
+from rag_pipelines_spark.queries._util import dec_to_dbl, o_davg, o_dec_to_dbl, t
 from rag_pipelines_spark.registry import register
 
 
@@ -64,13 +64,13 @@ def charge() -> Column:
     oracle=f"""
     SELECT l_returnflag,
            l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           {o_dec_to_dbl("SUM(CAST(l_quantity AS DECIMAL(18,2)))")} AS sum_qty,
+           {o_dec_to_dbl("SUM(CAST(l_extendedprice AS DECIMAL(18,2)))")}
                AS sum_base_price,
-           CAST(SUM({_O_DISC.format(p='l_extendedprice', d='l_discount')})
-               AS DOUBLE) AS sum_disc_price,
-           CAST(SUM({_O_CHARGE.format(p='l_extendedprice', d='l_discount',
-                                      t='l_tax')}) AS DOUBLE) AS sum_charge,
+           {o_dec_to_dbl("SUM(" + _O_DISC.format(p='l_extendedprice', d='l_discount') + ")")}
+               AS sum_disc_price,
+           {o_dec_to_dbl("SUM(" + _O_CHARGE.format(p='l_extendedprice', d='l_discount', t='l_tax') + ")")}
+               AS sum_charge,
            {o_davg('l_quantity')} AS avg_qty,
            {o_davg('l_extendedprice')} AS avg_price,
            {o_davg('l_discount')} AS avg_disc,
@@ -80,7 +80,11 @@ def charge() -> Column:
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1 pricing summary (scan + 6-group agg; the canonical "
-    "wide-aggregate headliner). Declared extension per SURVEY.md §2.4",
+    "wide-aggregate headliner). Declared extension per SURVEY.md §2.4. "
+    "Q1's whole-table groups are the repo's largest decimal sums (17 sig "
+    "digits at sf1), so the double conversion uses the split int+frac "
+    "form (_util.dec_to_dbl) — a plain decimal->double cast diverges "
+    "from DuckDB by 1 ULP there",
 )
 def q_tpch_q1(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").filter(
@@ -88,13 +92,13 @@ def q_tpch_q1(spark, sf_dir):
     )
     cnt = F.count("*")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_d("l_quantity")).cast("double").alias("sum_qty"),
-        F.sum(_d("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(disc_price()).cast("double").alias("sum_disc_price"),
-        F.sum(charge()).cast("double").alias("sum_charge"),
-        (F.sum(_d("l_quantity")).cast("double") / cnt).alias("avg_qty"),
-        (F.sum(_d("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
-        (F.sum(_d("l_discount")).cast("double") / cnt).alias("avg_disc"),
+        dec_to_dbl(F.sum(_d("l_quantity"))).alias("sum_qty"),
+        dec_to_dbl(F.sum(_d("l_extendedprice"))).alias("sum_base_price"),
+        dec_to_dbl(F.sum(disc_price())).alias("sum_disc_price"),
+        dec_to_dbl(F.sum(charge())).alias("sum_charge"),
+        (dec_to_dbl(F.sum(_d("l_quantity"))) / cnt).alias("avg_qty"),
+        (dec_to_dbl(F.sum(_d("l_extendedprice"))) / cnt).alias("avg_price"),
+        (dec_to_dbl(F.sum(_d("l_discount"))) / cnt).alias("avg_disc"),
         cnt.alias("count_order"),
     )
 
@@ -221,8 +225,8 @@ _O_EP_X_DISC = (
 @register(
     "q_tpch_q6",
     oracle=f"""
-    SELECT CAST(SUM({_O_EP_X_DISC.format(p='l_extendedprice', d='l_discount')})
-               AS DOUBLE) AS revenue,
+    SELECT {o_dec_to_dbl("SUM(" + _O_EP_X_DISC.format(p='l_extendedprice', d='l_discount') + ")")}
+               AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -243,9 +247,9 @@ def q_tpch_q6(spark, sf_dir):
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.sum(_d("l_extendedprice") * F.col("l_discount").cast("decimal(3,2)"))
-        .cast("double")
-        .alias("revenue"),
+        dec_to_dbl(
+            F.sum(_d("l_extendedprice") * F.col("l_discount").cast("decimal(3,2)"))
+        ).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -357,11 +361,9 @@ def q_tpch_q12(spark, sf_dir):
 @register(
     "q_tpch_q14",
     oracle=f"""
-    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                    THEN {_O_DISC.format(p='l.l_extendedprice', d='l.l_discount')}
-                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-           / CAST(SUM({_O_DISC.format(p='l.l_extendedprice', d='l.l_discount')})
-                 AS DOUBLE) AS DOUBLE) AS promo_revenue_pct
+    SELECT CAST(100.0 * {o_dec_to_dbl("SUM(CASE WHEN p.p_type = 'PROMO' THEN " + _O_DISC.format(p='l.l_extendedprice', d='l.l_discount') + " ELSE CAST(0 AS DECIMAL(18,2)) END)")}
+           / {o_dec_to_dbl("SUM(" + _O_DISC.format(p='l.l_extendedprice', d='l.l_discount') + ")")}
+           AS DOUBLE) AS promo_revenue_pct
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
@@ -377,10 +379,10 @@ def q_tpch_q14(spark, sf_dir):
     )
     p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
     zero = F.lit(0).cast("decimal(18,2)")
-    promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(zero)
-    ).cast("double")
-    total = F.sum(disc_price()).cast("double")
+    promo = dec_to_dbl(
+        F.sum(F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(zero))
+    )
+    total = dec_to_dbl(F.sum(disc_price()))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg((F.lit(100.0) * promo / total).alias("promo_revenue_pct"))
@@ -680,15 +682,15 @@ def q_tpch_q7(spark, sf_dir):
           AND o.o_orderdate < TIMESTAMP '1998-01-01'
     )
     SELECT o_year,
-           CAST(SUM(CASE WHEN supp_nation = 'NATION_9' THEN volume
-                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+           {o_dec_to_dbl("SUM(CASE WHEN supp_nation = 'NATION_9' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END)")}
+           / {o_dec_to_dbl("SUM(volume)")} AS mkt_share
     FROM vol
     GROUP BY o_year
     """,
     doc="TPC-H Q8 national market share: eight-relation join (nation twice), "
     "conditional-share division done in double AFTER exact decimal sums so "
-    "both engines hit identical IEEE bits",
+    "both engines hit identical IEEE bits (split int+frac conversion — "
+    "these are whole-market sums, the >15-digit class that diverged on Q1)",
 )
 def q_tpch_q8(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
@@ -720,10 +722,14 @@ def q_tpch_q8(spark, sf_dir):
             "supp_nation",
         )
     )
-    nat = F.sum(
-        F.when(F.col("supp_nation") == "NATION_9", F.col("volume")).otherwise(zero)
-    ).cast("double")
-    tot = F.sum("volume").cast("double")
+    nat = dec_to_dbl(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_9", F.col("volume")).otherwise(
+                zero
+            )
+        )
+    )
+    tot = dec_to_dbl(F.sum("volume"))
     return vol.groupBy("o_year").agg((nat / tot).alias("mkt_share"))
 
 

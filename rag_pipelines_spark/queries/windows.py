@@ -11,7 +11,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from rag_pipelines_spark.registry import register
-from rag_pipelines_spark.queries._util import dec, t
+from rag_pipelines_spark.queries._util import dec, o_dsum, t
 
 
 @register(
@@ -203,10 +203,10 @@ def q_funnel(spark, sf_dir):
 
 @register(
     "q_gap_fill",
-    oracle="""
+    oracle=f"""
     WITH per_hour AS (
         SELECT user_id, date_trunc('hour', ts) AS bucket,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v,
+               {o_dsum('value')} AS v,
                COUNT(*) AS n_events
         FROM events GROUP BY 1, 2
     ),

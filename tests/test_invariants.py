@@ -219,3 +219,30 @@ def test_line_dedup_idempotent(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_dec_to_dbl_cross_engine_bitwise(spark):
+    """The split int+frac decimal->double conversion must agree with DuckDB
+    bit-for-bit at magnitudes where the plain CAST diverges (>15 sig
+    digits — the TPC-H Q1 sf1 finding). Sums are constructed so the exact
+    decimal result carries 17-18 significant digits."""
+    import duckdb
+
+    from rag_pipelines_spark.queries._util import dec, dec_to_dbl, o_dec_to_dbl
+
+    # 1e13-magnitude values with fractional entropy: the exact decimal sum
+    # is ~5e16 at scale 2 (19 significant digits)
+    rows = [(i, 10**13 + i * 997 + (i * 37 % 100) / 100.0) for i in range(5000)]
+    sdf = spark.createDataFrame(rows, "k long, v double").agg(
+        dec_to_dbl(F.sum(dec("v", 2, 18))).alias("s")
+    )
+    got = sdf.collect()[0].s
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    frag = o_dec_to_dbl("SUM(CAST(v AS DECIMAL(18,2)))")
+    want = con.sql(f"SELECT {frag} AS s FROM t").fetchone()[0]
+    assert got.hex() == want.hex(), (got.hex(), want.hex())
+    # sanity: the magnitude really is in the dangerous class (>= 17 digits)
+    assert got > 1e16
