@@ -5,14 +5,18 @@ t2 correctness: for every queries() entry, run the Spark callable at
 sf0.01 and the matching oracle_sql() in DuckDB; compare sorted-column
 order-insensitive canonical rows. Exit 1 on any mismatch.
 
-Usage: python tools/driver_sim.py
+Usage: python tools/driver_sim.py [sf_dir]
+    sf_dir defaults to the driver's sf0.01; pass a generated dir (e.g.
+    _testdata/sf1 from tools/gen_sf.py) to re-run the whole differential
+    at another scale. Generated tables are directories of part files, so
+    the DuckDB views glob when the path is a directory.
 """
-import sys, duckdb, pandas as pd
+import os, sys, duckdb, pandas as pd
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.01"
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # VANILLA session on purpose — the real driver builds its own SparkSession
 # with none of session.py's confs (that mismatch hid the round-1 NANOS
 # bug: every events query ERR'd only under the driver). Everything the
@@ -32,7 +36,9 @@ assert len(rows) > 0
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    p = f"{SF}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 def vhash(pdf):
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
