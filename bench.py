@@ -82,6 +82,19 @@ def main() -> None:
             except Exception:
                 pass
 
+    # warm the measured-SF inputs too (footer parse + OS page cache):
+    # without this the first measured query absorbs the whole cold-read
+    # cost — q_tpch_q1 has been observed 1.6-6.0 s purely by slot order
+    from rag_pipelines_spark.io import TABLES, table as _tbl
+
+    for tname in TABLES:
+        try:
+            _tbl(spark, SF_DIR, tname).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry.get(name)
