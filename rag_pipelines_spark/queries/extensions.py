@@ -852,7 +852,14 @@ def q_minhash_neardup(spark, sf_dir):
     # array_min(transform) per seed — see minhash_band_keys); the same
     # operator feeds incremental_neardup's persisted state, so batch and
     # incremental paths can never disagree on what counts as a dup.
-    bands = minhash_band_keys(corpus, "doc_id", "text")
+    # localCheckpoint: the shingle UDF defeats plan canonicalization, so
+    # the self-join gets no ReusedExchange and would compute the whole
+    # signature subtree once PER SIDE (4 source scans observed) —
+    # materializing the tiny (id, band, bkey) frame halves the work; the
+    # same cut incremental_neardup already makes for its state frame.
+    bands = minhash_band_keys(corpus, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
     a = bands.select(
         F.col("doc_id").alias("a_id"), F.col("band").alias("a_band"), "bkey"
     )

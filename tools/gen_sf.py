@@ -118,7 +118,7 @@ def gen_orders(spark, n, n_cust):
         _pick(i, 42, ["O", "P", "F"]).alias("o_orderstatus"),
         F.round(_uni(i, 43) * 499000 + 1000, 2).alias("o_totalprice"),
         F.date_add(F.lit("1995-01-01").cast("date"), days.cast("int"))
-        .cast("timestamp")
+        .cast("timestamp_ntz")  # driver fixtures are TIMESTAMP_NTZ parquet
         .alias("o_orderdate"),
         _pick(i, 45, PRIORITIES).alias("o_orderpriority"),
     )
@@ -156,7 +156,7 @@ def gen_lineitem(spark, n_orders, n_part, n_supp):
             F.date_add(F.lit("1995-01-01").cast("date"), F.col("_odays").cast("int")),
             (_mod(kc, 60, 120) + 1).cast("int"),
         )
-        .cast("timestamp")
+        .cast("timestamp_ntz")
         .alias("l_shipdate"),
     )
 
@@ -169,9 +169,11 @@ def gen_events(spark, n, n_users):
     val = F.round(F.lit(-50.0) * F.log(F.lit(1.0) - _uni(i, 63)), 4)
     return _base(spark, n).select(
         i.alias("event_id"),
+        # UTC is pinned session-wide (main() + io.table), so the ltz->ntz
+        # cast is value-preserving; fixtures expose ts as TIMESTAMP_NTZ
         F.timestamp_micros(
             (F.lit(base_us) + (_uni(i, 61) * span_us).cast("long"))
-        ).alias("ts"),
+        ).cast("timestamp_ntz").alias("ts"),
         _mod(i, 62, n_users).alias("user_id"),
         _pick(i, 64, EVENT_TYPES).alias("event_type"),
         val.alias("value"),
@@ -245,6 +247,7 @@ def main() -> None:
     from rag_pipelines_spark.session import get_spark
 
     spark = get_spark("gen-sf")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     k = sf  # sf0.1 row counts x (sf / 0.1)
     counts = {
         "customer": int(150_000 * k),
