@@ -154,7 +154,7 @@ def main() -> None:
     extras_total = round(total - core_total, 4)
     sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
-        sf = float(sf_tag)
+        sf: float | str = float(sf_tag)
     except ValueError:
         sf = sf_tag  # non-numeric dir suffix (e.g. a probe dir)
     print(
@@ -166,7 +166,7 @@ def main() -> None:
                 "queries": timings,
                 "core_total": core_total,
                 "extras_total": extras_total,
-                "sf": float(sf),
+                "sf": sf,
                 "wall_total": round(time.time() - t0, 4),
             }
         )

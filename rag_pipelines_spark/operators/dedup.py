@@ -385,9 +385,27 @@ def compact_neardup_state(
     state holds one (id, band, bkey) row per accepted doc-band, and
     replayed content never reaches the append path). Cadence guidance in
     SCALE.md: compact when the file count exceeds ~10x cluster parallelism.
+
+    Crash safety: the compacted copy is written to a sibling temp dir
+    FIRST and only then swapped into place — an in-place overwrite would
+    truncate the only copy of the state before the new one exists, so a
+    mid-write failure (lost executor, killed driver) would permanently
+    re-admit all previously-seen content. With the swap, a failure at any
+    point leaves either the old state or the new state intact (on HDFS /
+    local FS the two renames are metadata ops; on object stores, run
+    compaction against a manifest/versioned prefix instead).
     """
-    state = spark.read.parquet(state_path).localCheckpoint(eager=True)
+    import os
+    import shutil
+    import uuid
+
+    state = spark.read.parquet(state_path)
     n_rows = state.count()
     n = num_partitions or spark.sparkContext.defaultParallelism
-    state.repartition(n, "bkey").write.mode("overwrite").parquet(state_path)
+    tmp_path = f"{state_path}.compact-{uuid.uuid4().hex[:8]}"
+    state.repartition(n, "bkey").write.mode("overwrite").parquet(tmp_path)
+    old_path = f"{state_path}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(state_path, old_path)
+    os.rename(tmp_path, state_path)
+    shutil.rmtree(old_path)
     return n_rows

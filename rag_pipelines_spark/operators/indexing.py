@@ -104,16 +104,31 @@ def global_ntile(
         F.sum("_cn").over(w_all).cast("long").alias("_tot"),
     )
     w_local = Window.partitionBy("_blk").orderBy(value_col, id_col)
-    idx = F.row_number().over(w_local) - 1 + F.col("_off")
-    # NTILE: big = n % k buckets of (n div k + 1) rows, then (n div k) rows
-    big = F.expr(f"_tot % {int(k)}")
-    small_sz = F.expr(f"_tot div {int(k)}")
-    cut = big * (small_sz + 1)  # rows covered by the big buckets
-    bucket0 = F.when(idx < cut, F.floor(idx / (small_sz + 1))).otherwise(
-        big + F.floor((idx - cut) / small_sz)
+    joined = (
+        with_blk.join(F.broadcast(offsets), "_blk")
+        .withColumn(
+            "_idx",
+            (F.row_number().over(w_local) - 1 + F.col("_off")).cast("long"),
+        )
+    )
+    # NTILE: big = n % k buckets of (n div k + 1) rows, then (n div k)
+    # rows. All integer `div` arithmetic (same >2^53 rationale as the
+    # block key above). When n < k, small_sz = 0 and EVERY row satisfies
+    # _idx < cut (cut = n), so the zero-divisor branch is provably
+    # unreachable — the explicit small_sz > 0 guard still makes that
+    # safe under ANSI without relying on CASE laziness.
+    kk = int(k)
+    bucket0 = F.when(
+        F.col("_idx") < F.expr(f"(_tot % {kk}) * (_tot div {kk} + 1)"),
+        F.expr(f"_idx div (_tot div {kk} + 1)"),
+    ).when(
+        F.expr(f"_tot div {kk}") > 0,
+        F.expr(
+            f"_tot % {kk} + (_idx - (_tot % {kk}) * (_tot div {kk} + 1))"
+            f" div (_tot div {kk})"
+        ),
     )
     return (
-        with_blk.join(F.broadcast(offsets), "_blk")
-        .withColumn(out_col, (bucket0 + 1).cast("long"))
-        .drop("_blk", "_off", "_tot")
+        joined.withColumn(out_col, (bucket0 + 1).cast("long"))
+        .drop("_blk", "_off", "_tot", "_idx")
     )

@@ -34,6 +34,14 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
 class PretrainingPrepResult:
     packed: DataFrame  # surviving docs + seq_id/seq_start packing layout
     stage_counts: DataFrame  # (stage, n_docs) attrition ledger, lazy
+    # stage frames persisted when persist_stages=True; call unpersist()
+    # once packed/stage_counts are consumed, or the cached partitions
+    # outlive the call and squeeze storage memory in long-lived sessions
+    persisted: tuple[DataFrame, ...] = ()
+
+    def unpersist(self) -> None:
+        for df in self.persisted:
+            df.unpersist()
 
 
 def pretraining_prep_pipeline(
@@ -173,4 +181,8 @@ def pretraining_prep_pipeline(
         .unionByName(cnt(deduped, "3_near_dedup"))
         .unionByName(cnt(decontaminated, "4_decontaminated"))
     )
-    return PretrainingPrepResult(packed=packed, stage_counts=stage_counts)
+    return PretrainingPrepResult(
+        packed=packed,
+        stage_counts=stage_counts,
+        persisted=(lined, deduped) if persist_stages else (),
+    )

@@ -92,10 +92,12 @@ def q_agg_summary(spark, sf_dir):
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
     )
+    # count(col), not count(*): SQL COUNT(DISTINCT k) excludes NULLs, and
+    # distinct() keeps one NULL row that count(*) would include
     n_orders = (
         li.select("l_orderkey")
         .distinct()
-        .agg(F.count("*").alias("n_orders"))
+        .agg(F.count("l_orderkey").alias("n_orders"))
     )
     return stats.crossJoin(F.broadcast(n_orders)).select(
         "n_rows", "n_orders", "sum_qty", "sum_price", "min_ship", "max_ship"
@@ -247,9 +249,9 @@ def q_count_distinct(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
 
     def dcount(col, alias):
-        return (
-            li.select(col).distinct().agg(F.count("*").alias(alias))
-        )
+        # count(col) after distinct(): COUNT(DISTINCT k) semantics (NULL
+        # excluded), which count(*) would break on a null key
+        return li.select(col).distinct().agg(F.count(col).alias(alias))
 
     return (
         dcount("l_partkey", "n_parts")

@@ -852,14 +852,14 @@ def q_minhash_neardup(spark, sf_dir):
     # array_min(transform) per seed — see minhash_band_keys); the same
     # operator feeds incremental_neardup's persisted state, so batch and
     # incremental paths can never disagree on what counts as a dup.
-    # localCheckpoint: the shingle UDF defeats plan canonicalization, so
-    # the self-join gets no ReusedExchange and would compute the whole
-    # signature subtree once PER SIDE (4 source scans observed) —
-    # materializing the tiny (id, band, bkey) frame halves the work; the
-    # same cut incremental_neardup already makes for its state frame.
-    bands = minhash_band_keys(corpus, "doc_id", "text").localCheckpoint(
-        eager=True
-    )
+    # NOTE the pairs self-join computes the signature subtree once per
+    # side (the shingle UDF defeats exchange-reuse canonicalization). We
+    # deliberately do NOT checkpoint here: an eager cut would run a job
+    # at plan-construction time and blind the registry-wide plan lints to
+    # everything upstream. Productionized variants take the materialized
+    # route via incremental_neardup (state frame checkpointed) or the
+    # pretraining plan's window-min formulation (no self-join at all).
+    bands = minhash_band_keys(corpus, "doc_id", "text")
     a = bands.select(
         F.col("doc_id").alias("a_id"), F.col("band").alias("a_band"), "bkey"
     )
@@ -1275,7 +1275,12 @@ def q_pretraining_prep(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
-    return pretraining_prep_pipeline(d, bench).packed
+    # persist_stages=False: the registered query hands back a bare
+    # DataFrame, so nobody could call result.unpersist() — caches would
+    # outlive the call in the driver's long-lived session. Exchange-reuse
+    # recomputation is acceptable at bench SFs; cluster compositions call
+    # the pipeline directly and own the persist lifecycle.
+    return pretraining_prep_pipeline(d, bench, persist_stages=False).packed
 
 
 @register(

@@ -55,8 +55,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (q_batch_assign: block-offset
 # global index) or that anchor flagship claims.
 PRIORITY: tuple[str, ...] = (
-    # --- the 40 queries with no driver row in r1∪r2 ---
-    # remaining TPC-H surface (18)
+    # --- the 40 queries with no driver row in r1∪r2 (19+8+6+7) ---
+    # remaining TPC-H surface (19)
     "q_tpch_q2",
     "q_tpch_q4",
     "q_tpch_q6",

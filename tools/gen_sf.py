@@ -163,21 +163,29 @@ def gen_lineitem(spark, n_orders, n_part, n_supp):
 
 def gen_events(spark, n, n_users):
     i = F.col("id")
-    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch micros
     span_us = 30 * 86_400 * 1_000_000
     # value ~ Exp(mean 50), like the driver's (avg 49.9, sd 49.6)
     val = F.round(F.lit(-50.0) * F.log(F.lit(1.0) - _uni(i, 63)), 4)
-    return _base(spark, n).select(
-        i.alias("event_id"),
-        # UTC is pinned session-wide (main() + io.table), so the ltz->ntz
-        # cast is value-preserving; fixtures expose ts as TIMESTAMP_NTZ
-        F.timestamp_micros(
-            (F.lit(base_us) + (_uni(i, 61) * span_us).cast("long"))
-        ).cast("timestamp_ntz").alias("ts"),
-        _mod(i, 62, n_users).alias("user_id"),
-        _pick(i, 64, EVENT_TYPES).alias("event_type"),
-        val.alias("value"),
-        F.concat(F.lit('{"k": '), _mod(i, 65, 100), F.lit("}")).alias("props"),
+    # timestampadd on an NTZ literal: pure wall-clock integer arithmetic,
+    # identical on any host/session timezone (an ltz->ntz cast would
+    # shift by the session zone); fixtures expose ts as TIMESTAMP_NTZ
+    offset_us = (_uni(i, 61) * span_us).cast("long")
+    return (
+        _base(spark, n)
+        .withColumn("_us", offset_us)
+        .select(
+            i.alias("event_id"),
+            F.expr(
+                "timestampadd(MICROSECOND, _us,"
+                " timestamp_ntz'2024-01-01 00:00:00')"
+            ).alias("ts"),
+            _mod(i, 62, n_users).alias("user_id"),
+            _pick(i, 64, EVENT_TYPES).alias("event_type"),
+            val.alias("value"),
+            F.concat(
+                F.lit('{"k": '), _mod(i, 65, 100), F.lit("}")
+            ).alias("props"),
+        )
     )
 
 
