@@ -798,7 +798,7 @@ def q_chunk_udtf(spark, sf_dir):
     WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 100000, text || ' near dup tail'
+        SELECT doc_id + 1000000000000, text || ' near dup tail'
         FROM documents WHERE doc_id % 10 = 0
     ),
     tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
@@ -841,8 +841,10 @@ def q_chunk_udtf(spark, sf_dir):
 )
 def q_minhash_neardup(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
+    # offset far beyond any fixture id range (1e12): at sf10 a +100000
+    # offset would COLLIDE with real doc_ids, planting duplicate ids
     mutated = d.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(1000000000000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
     )
     corpus = d.select("doc_id", "text").unionByName(mutated)
@@ -852,24 +854,31 @@ def q_minhash_neardup(spark, sf_dir):
     # array_min(transform) per seed — see minhash_band_keys); the same
     # operator feeds incremental_neardup's persisted state, so batch and
     # incremental paths can never disagree on what counts as a dup.
-    # NOTE the pairs self-join computes the signature subtree once per
-    # side (the shingle UDF defeats exchange-reuse canonicalization). We
-    # deliberately do NOT checkpoint here: an eager cut would run a job
-    # at plan-construction time and blind the registry-wide plan lints to
-    # everything upstream. Productionized variants take the materialized
-    # route via incremental_neardup (state frame checkpointed) or the
-    # pretraining plan's window-min formulation (no self-join at all).
+    # Pairs come from COLLECTED buckets, not a bands self-join: the
+    # shingle UDF defeats exchange-reuse canonicalization, so a self-join
+    # would compute the whole signature subtree once PER SIDE (measured
+    # 2x at sf10). groupBy(band,bkey) + per-bucket pair expansion runs
+    # signatures once and shuffles once; the transform-lambda work is
+    # output-sized (LSH buckets hold a handful of near-dups each — the
+    # same bucket^2 bound the join's output had), never corpus-sized.
     bands = minhash_band_keys(corpus, "doc_id", "text")
-    a = bands.select(
-        F.col("doc_id").alias("a_id"), F.col("band").alias("a_band"), "bkey"
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    b = bands.select(
-        F.col("doc_id").alias("b_id"), F.col("band").alias("b_band"), "bkey"
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)),"
+        " y -> struct(x AS a_id, y AS b_id))))"
     )
     return (
-        a.join(b, ["bkey"])
-        .filter((F.col("a_band") == F.col("b_band")) & (F.col("a_id") < F.col("b_id")))
-        .select("a_id", "b_id")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.a_id", "p.b_id")
+        # strict < : position-based expansion would emit (x, x) if an id
+        # ever appeared twice in a bucket (duplicate input ids); the
+        # join formulation's a_id < b_id predicate excluded those
+        .filter(F.col("a_id") < F.col("b_id"))
         .distinct()
     )
 
