@@ -14,6 +14,8 @@ sequence boundaries downstream.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,3 +40,76 @@ def pack_sequences(
     return df.withColumn("seq_start", start).withColumn(
         "seq_id", F.expr(f"seq_start div {int(budget)}")
     )
+
+
+def pack_sequences_bestfit(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Best-fit-decreasing packing: per stream, place each document (largest
+    first) into the fullest open sequence it still fits — fewer, fuller
+    sequences than the order-preserving prefix-sum layout when document
+    lengths vary a lot (the classic bin-packing upgrade real packers use
+    when sample order inside a shard doesn't matter).
+
+    This is inherently an imperative loop (each placement depends on all
+    previous placements), i.e. not expressible as window/join algebra —
+    exactly the applyInPandas case: Arrow-batched per-group Python, one
+    shuffle on the stream key, O(n log n) per group via bisect. Documents
+    larger than the budget get a sequence of their own (they span
+    downstream, like pack_sequences). Deterministic: placement order is
+    (tokens DESC, order_col ASC) and ties in bin choice resolve by the
+    deterministic bin-list order, so any partitioning yields the same
+    layout.
+
+    Returns the input columns + seq_id (bin index within the group) +
+    seq_fill (total tokens in that bin). No SQL oracle exists for the
+    driver check (rows-only); tests pin budget-respect, determinism
+    under repartitioning, and bins(BFD) <= bins(prefix-sum layout).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema)
+        + [
+            StructField("seq_id", LongType(), False),
+            StructField("seq_fill", LongType(), False),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        pdf = pdf.sort_values(
+            [token_col, order_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []  # kept ascending for bisect
+        fill_ids: list[int] = []
+        assigned = []
+        filled = []
+        next_id = 0
+        for tok in pdf[token_col].astype("int64"):
+            # fullest bin with fill <= budget - tok: rightmost position
+            pos = bisect.bisect_right(fills, budget - tok) - 1
+            if pos >= 0:
+                fill = fills.pop(pos)
+                bin_id = fill_ids.pop(pos)
+            else:
+                fill = 0
+                bin_id = next_id
+                next_id += 1
+            new_fill = fill + int(tok)
+            ins = bisect.bisect_left(fills, new_fill)
+            fills.insert(ins, new_fill)
+            fill_ids.insert(ins, bin_id)
+            assigned.append(bin_id)
+            filled.append(new_fill)
+        pdf["seq_id"] = pd.Series(assigned, dtype="int64")
+        final_fill = dict(zip(fill_ids, fills))
+        pdf["seq_fill"] = pdf["seq_id"].map(final_fill).astype("int64")
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(pack, schema=out_schema)

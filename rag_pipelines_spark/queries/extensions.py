@@ -1351,3 +1351,24 @@ def q_quality_bins(spark, sf_dir):
     return global_ntile(
         d, "n_chars", "doc_id", k=4, block_size=64, out_col="bucket"
     )
+
+
+@register(
+    "q_pack_bestfit",
+    oracle=None,  # imperative bin-packing loop — no SQL-expressible oracle;
+    # budget-respect, determinism, and bins(BFD) <= bins(prefix-sum) are
+    # pinned by tests/test_packing_bestfit.py
+    doc="best-fit-decreasing sequence packing per source stream "
+    "(operators/packing.py pack_sequences_bestfit): the bin-packing "
+    "upgrade over prefix-sum layout when in-shard order is free — "
+    "inherently sequential per group, so it runs as Arrow-batched "
+    "applyInPandas (one shuffle on the stream key), the sanctioned "
+    "imperative escape hatch",
+)
+def q_pack_bestfit(spark, sf_dir):
+    from rag_pipelines_spark.operators.packing import pack_sequences_bestfit
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return pack_sequences_bestfit(d, "source", "doc_id", "n_tok", budget=512)
