@@ -44,31 +44,41 @@ def pack_sequences(
 
 def pack_sequences_bestfit(
     df: DataFrame,
-    group_col: str,
+    group_col: str | list[str],
     order_col: str,
     token_col: str,
     budget: int,
 ) -> DataFrame:
     """Best-fit-decreasing packing: per stream, place each document (largest
-    first) into the fullest open sequence it still fits — fewer, fuller
-    sequences than the order-preserving prefix-sum layout when document
-    lengths vary a lot (the classic bin-packing upgrade real packers use
-    when sample order inside a shard doesn't matter).
+    first) into the fullest open sequence it still fits.
 
-    This is inherently an imperative loop (each placement depends on all
-    previous placements), i.e. not expressible as window/join algebra —
-    exactly the applyInPandas case: Arrow-batched per-group Python, one
-    shuffle on the stream key, O(n log n) per group via bisect. Documents
-    larger than the budget get a sequence of their own (they span
-    downstream, like pack_sequences). Deterministic: placement order is
-    (tokens DESC, order_col ASC) and ties in bin choice resolve by the
-    deterministic bin-list order, so any partitioning yields the same
-    layout.
+    This is NON-SPANNING packing — no document ever crosses a sequence
+    boundary, the property you want when boundary truncation would lose
+    data. That makes it a different contract from pack_sequences, whose
+    head-to-tail prefix-sum layout lets documents span and is therefore
+    bin-count-optimal but cuts documents at boundaries. Among
+    non-spanning layouts, BFD is the classic low-waste heuristic
+    (FFD/BFD <= 11/9*OPT + O(1)); a provable per-instance guarantee it
+    DOES satisfy: no two finished sequences could be merged (any two
+    fills sum > budget), hence bins < 2*OPT(non-spanning) — pinned by
+    test.
+
+    Inherently an imperative loop (each placement depends on all previous
+    placements), i.e. not expressible as window/join algebra — exactly
+    the applyInPandas case: Arrow-batched per-group Python, one shuffle
+    on the stream key. Cost is O(n*B) list maintenance per group (B =
+    open bins), so bound group size with a sharded stream key (see
+    q_pack_bestfit) rather than packing a whole corpus-sized source in
+    one task. Documents larger than the budget get a sequence of their
+    own (they span downstream, like pack_sequences); null token counts
+    pack as 0. Deterministic: placement order is (tokens DESC, order_col
+    ASC) and ties in bin choice resolve by the deterministic bin-list
+    order, so any partitioning yields the same layout.
 
     Returns the input columns + seq_id (bin index within the group) +
     seq_fill (total tokens in that bin). No SQL oracle exists for the
     driver check (rows-only); tests pin budget-respect, determinism
-    under repartitioning, and bins(BFD) <= bins(prefix-sum layout).
+    under repartitioning, and the pairwise-unmergeable bound.
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -89,9 +99,8 @@ def pack_sequences_bestfit(
         fills: list[int] = []  # kept ascending for bisect
         fill_ids: list[int] = []
         assigned = []
-        filled = []
         next_id = 0
-        for tok in pdf[token_col].astype("int64"):
+        for tok in pdf[token_col].fillna(0).astype("int64"):
             # fullest bin with fill <= budget - tok: rightmost position
             pos = bisect.bisect_right(fills, budget - tok) - 1
             if pos >= 0:
@@ -106,10 +115,10 @@ def pack_sequences_bestfit(
             fills.insert(ins, new_fill)
             fill_ids.insert(ins, bin_id)
             assigned.append(bin_id)
-            filled.append(new_fill)
         pdf["seq_id"] = pd.Series(assigned, dtype="int64")
         final_fill = dict(zip(fill_ids, fills))
         pdf["seq_fill"] = pdf["seq_id"].map(final_fill).astype("int64")
         return pdf
 
-    return df.groupBy(group_col).applyInPandas(pack, schema=out_schema)
+    group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    return df.groupBy(*group_cols).applyInPandas(pack, schema=out_schema)

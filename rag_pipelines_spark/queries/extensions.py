@@ -867,14 +867,22 @@ def q_minhash_neardup(spark, sf_dir):
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = F.expr(
-        "flatten(transform(ids, (x, i) ->"
-        " transform(slice(ids, i + 2, size(ids)),"
-        " y -> struct(x AS a_id, y AS b_id))))"
+    # pair expansion as TWO chained Generates — (pos, a) rows, then each
+    # row explodes only its suffix slice — so per-row memory stays O(s)
+    # for a bucket of size s, never the O(s^2) single-row blob a nested
+    # transform would build (a degenerate bucket of identical boilerplate
+    # would hit the 2 GB row limit there; here its pairs spread across
+    # rows and spill like any join output)
+    step1 = buckets.select(
+        "ids", F.posexplode("ids").alias("_i", "a_id")
     )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.a_id", "p.b_id")
+        step1.select(
+            "a_id",
+            F.explode(
+                F.slice("ids", F.col("_i") + F.lit(2), F.size("ids"))
+            ).alias("b_id"),
+        )
         # strict < : position-based expansion would emit (x, x) if an id
         # ever appeared twice in a bucket (duplicate input ids); the
         # join formulation's a_id < b_id predicate excluded those
@@ -1358,17 +1366,27 @@ def q_quality_bins(spark, sf_dir):
     oracle=None,  # imperative bin-packing loop — no SQL-expressible oracle;
     # budget-respect, determinism, and bins(BFD) <= bins(prefix-sum) are
     # pinned by tests/test_packing_bestfit.py
-    doc="best-fit-decreasing sequence packing per source stream "
-    "(operators/packing.py pack_sequences_bestfit): the bin-packing "
-    "upgrade over prefix-sum layout when in-shard order is free — "
-    "inherently sequential per group, so it runs as Arrow-batched "
-    "applyInPandas (one shuffle on the stream key), the sanctioned "
-    "imperative escape hatch",
+    doc="best-fit-decreasing NON-SPANNING sequence packing per "
+    "(source, shard) stream (operators/packing.py "
+    "pack_sequences_bestfit): no document crosses a sequence boundary — "
+    "the low-waste bin-packing layout when boundary truncation would "
+    "lose data. Inherently sequential per group, so it runs as "
+    "Arrow-batched applyInPandas (one shuffle on the stream key), the "
+    "sanctioned imperative escape hatch; the hash shard bounds any one "
+    "task's group at ~1/16 of a source regardless of corpus size",
 )
 def q_pack_bestfit(spark, sf_dir):
     from rag_pipelines_spark.operators.packing import pack_sequences_bestfit
 
     d = t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        # sources are few: without a shard key one Python task would have
+        # to hold an entire source's documents (the same concentration
+        # the constant-shard packing bug had) — 16 hash shards bound it
+        F.pmod(F.xxhash64("doc_id"), F.lit(16)).alias("pack_shard"),
     )
-    return pack_sequences_bestfit(d, "source", "doc_id", "n_tok", budget=512)
+    return pack_sequences_bestfit(
+        d, ["source", "pack_shard"], "doc_id", "n_tok", budget=512
+    )

@@ -101,9 +101,10 @@ PRIORITY: tuple[str, ...] = (
     "q_gap_fill",
     "q_window_dist",
     # --- re-verify slots (10) ---
-    # round-4 rotation note: q_mixture_weights and q_quality_bins were
-    # added AFTER this window was frozen (they run under the local oracle
-    # only this round) — front-load them next rotation.
+    # round-4 rotation note: q_mixture_weights, q_quality_bins, and
+    # q_pack_bestfit were added AFTER this window was frozen (they run
+    # under the local oracle only this round) — front-load them next
+    # rotation.
     "q_batch_assign",  # rewritten this round: scale-safe block-offset index
     "q_ngram_jaccard",  # perf re-measured this round; hash must stay stable
     "q_minhash_neardup",
