@@ -180,15 +180,16 @@ def test_rolling_hash_is_order_sensitive(spark):
 
 
 def test_minhash_neardup_finds_planted_pairs(spark):
-    """Every planted mutated doc (id+100000) should be bucketed with its
-    source by at least one of the 4 bands; no self-pairs; high recall."""
+    """Every planted mutated doc (id + 1e12, collision-proof offset)
+    should be bucketed with its source by at least one of the 4 bands;
+    no self-pairs; high recall."""
     from rag_pipelines_spark.registry import load_all
     from tests.conftest import SF_DIR
 
     q = load_all()["q_minhash_neardup"]
     pairs = {(r["a_id"], r["b_id"]) for r in q.fn(spark, SF_DIR).collect()}
     assert all(a < b for a, b in pairs)
-    planted = {p for p in pairs if p[1] - p[0] == 100000}
+    planted = {p for p in pairs if p[1] - p[0] == 1000000000000}
     import pyspark.sql.functions as F
     from rag_pipelines_spark.queries._util import t
 
