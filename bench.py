@@ -71,6 +71,19 @@ def main() -> None:
 
     registry = load_all()
     spark = get_spark("rag-pipelines-spark-bench")
+    # Pin WindowExec's logger to ERROR for this bench session only. Its one
+    # WARN ("No Partition Defined ... single partition") fires for the
+    # DELIBERATE tiny-frame windows (per-block offsets, grand totals over
+    # per-group aggregates — one row per block/lang/centroid, never per
+    # record). The allowlist of queries permitted to carry such a window is
+    # *enforced* in tests/test_plans.py::test_registry_wide_plan_lints
+    # (TINY_FRAME_WINDOW_OK); suppressing the log line here hides no real
+    # finding — a data-sized unpartitioned window would fail that lint.
+    jvm = spark.sparkContext._jvm
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        jvm.org.apache.logging.log4j.Level.ERROR,
+    )
     # warm-up: run every headline shape once at the smallest SF so JIT/
     # codegen/parquet-footer costs don't land on the first measured query
     warm_dir = "/root/testdata/sf0.001"

@@ -29,8 +29,16 @@ bucketizer instead).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _quoted(name: str) -> str:
+    """Backtick-quote an identifier for use inside ``F.expr`` (embedded
+    backticks doubled, per Spark SQL quoting rules) so column names with
+    dots/spaces/hyphens parse as one identifier instead of a nested-field
+    path or a syntax error."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def global_row_index(
@@ -45,10 +53,16 @@ def global_row_index(
     # cast that loses precision past 2^53) and still maps contiguous value
     # ranges to monotonically ordered block ids
     with_blk = df.withColumn(
-        "_blk", F.expr(f"{order_col} div {int(block_size)}")
+        "_blk", F.expr(f"{_quoted(order_col)} div {int(block_size)}")
     )
     counts = with_blk.groupBy("_blk").agg(F.count("*").alias("_n"))
-    # cumulative offsets over the per-block frame: |blocks| rows, driver-free
+    # cumulative offsets over the per-block frame: |blocks| rows, driver-free.
+    # Deliberately UNPARTITIONED: the frame is one row per block, bounded by
+    # rows/block_size — WindowExec's "No Partition Defined" warning is the
+    # documented-harmless case here (a constant partition key would be
+    # folded away by EliminateWindowPartitions anyway); the tiny-frame
+    # allowlist lint in tests/test_plans.py pins exactly which queries may
+    # carry such a window.
     w_off = Window.orderBy("_blk").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -91,9 +105,10 @@ def global_ntile(
     ``n div k`` — exactly SQL NTILE semantics.
     """
     with_blk = df.withColumn(
-        "_blk", F.expr(f"{value_col} div {int(block_size)}")
+        "_blk", F.expr(f"{_quoted(value_col)} div {int(block_size)}")
     )
     counts = with_blk.groupBy("_blk").agg(F.count("*").alias("_cn"))
+    # same deliberately-unpartitioned tiny frame as global_row_index above
     w_off = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

@@ -291,6 +291,9 @@ def cosine_topk_ivf(
         .limit(n_cells)
         .withColumn(
             "cell",
+            # deliberately-unpartitioned window over the n_cells-row survivor
+            # frame (tiny by construction) — allowlisted in the
+            # tests/test_plans.py tiny-frame lint
             F.row_number().over(Window.orderBy(F.col("h"), F.col("cent_src"))),
         )
         .select("cell", "cent_emb")

@@ -83,6 +83,8 @@ def q_lang_dist(spark, sf_dir):
     # window over the (tiny) aggregated frame — no second scan of the corpus,
     # no driver-side action. The window shuffles only #langs rows.
     per_lang = d.groupBy("lang").agg(F.count("*").alias("n"))
+    # deliberately-unpartitioned grand total over the #langs-row aggregate
+    # frame — tiny by construction, allowlisted in the test_plans.py lint
     total = F.sum("n").over(W.partitionBy())
     return per_lang.select(
         "lang",

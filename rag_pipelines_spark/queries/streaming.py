@@ -109,7 +109,9 @@ def q_session_agg(spark, sf_dir):
     "q_stream_dedup",
     oracle=None,  # true Structured Streaming run — rows-only
     doc="T2 incremental dedup: readStream over the events parquet, "
-    "dropDuplicates on a content key, availableNow trigger, memory sink. "
+    "dropDuplicates on a content key, availableNow trigger, parquet sink + "
+    "read-back (no driver-side memory sink — results stay executor-written "
+    "files, matching the repo's no-driver-data posture). "
     "ref: fda_watcher.py:373-416 (delta modes); checkpoint replaces Excel",
 )
 def q_stream_dedup(spark, sf_dir):
@@ -125,14 +127,19 @@ def q_stream_dedup(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    deduped = stream.dropDuplicates(["user_id", "event_type"])
+    # deterministic projection: the distinct key set (first-seen row is
+    # arbitrary under parallel read, so don't carry non-key columns)
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     ckpt = f"/root/repo/.scratch/ckpt-{name}"
+    out = f"/root/repo/.scratch/out-{name}"
     os.makedirs(ckpt, exist_ok=True)
     try:
         q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
+            deduped.writeStream.format("parquet")
+            .option("path", out)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -141,9 +148,12 @@ def q_stream_dedup(spark, sf_dir):
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    # deterministic projection: the distinct key set (first-seen row is
-    # arbitrary under parallel read, so don't expose non-key columns)
-    return spark.table(name).select("user_id", "event_type")
+    # read-back is a plain parquet scan; localCheckpoint pins the result in
+    # executor memory so the scratch files can be GC'd by the caller — the
+    # batch stays distributed, never driver-side
+    result = spark.read.parquet(out).localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result
 
 
 @register(

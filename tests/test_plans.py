@@ -199,15 +199,55 @@ def test_tpch_q13_keeps_outer_join(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+# Queries allowed to carry an UNPARTITIONED window (the WindowExec
+# "No Partition Defined" warning): each one windows over a frame that is
+# tiny BY CONSTRUCTION — one row per block / language / centroid, never
+# one row per input record — so a single partition is the intended plan.
+# Anything else with an empty partition spec is a global sort in disguise
+# and fails the lint below.
+TINY_FRAME_WINDOW_OK = {
+    "q_batch_assign",  # per-block offsets, |blocks| = rows/1024 (indexing.py)
+    "q_quality_bins",  # per-block offsets + grand total (global_ntile)
+    "q_lang_dist",  # grand total over #langs aggregated rows
+    "q_ann_ivf",  # centroid numbering over the n_cells-row survivor frame
+}
+
+
+def _empty_partition_windows(df) -> int:
+    """Count logical Window nodes whose partition spec is empty (py4j walk
+    of the optimized plan — string-parsing the formatted plan is ambiguous
+    because funcs/partition/order render as look-alike bracket groups)."""
+    found = 0
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            found += 1
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return found
+
+
 def test_registry_wide_plan_lints(spark):
-    """Blanket physical-plan invariants over EVERY registered query:
+    """Blanket plan invariants over EVERY registered query:
     no CartesianProduct anywhere (every join is equi-keyed, broadcast, or
-    a broadcast-1-row nested loop), and no BatchEvalPython (all Python is
-    Arrow-batched — row-at-a-time UDFs never reach a hot path)."""
+    a broadcast-1-row nested loop), no BatchEvalPython (all Python is
+    Arrow-batched — row-at-a-time UDFs never reach a hot path), and no
+    unpartitioned window outside the pinned tiny-frame allowlist (an empty
+    partition spec on a data-bearing frame = the whole table through one
+    task)."""
     offenders = {}
     for name, q in REG.items():
-        plan = plan_of(spark, name)
+        df = q.fn(spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
         marks = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
+        if name not in TINY_FRAME_WINDOW_OK and _empty_partition_windows(df):
+            marks.append("unpartitioned Window (not in tiny-frame allowlist)")
         if marks:
             offenders[name] = marks
     assert not offenders, offenders
