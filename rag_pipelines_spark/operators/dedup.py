@@ -308,6 +308,75 @@ def minhash_band_keys(
     )
 
 
+_MANIFEST = "MANIFEST"
+
+
+def _write_manifest(state_path: str, version: str) -> None:
+    """Atomically point the state's MANIFEST at ``version``.
+
+    Written to a temp sibling then ``os.replace``d — atomic on POSIX/HDFS;
+    on an object store the manifest is a single small key whose PUT is
+    itself atomic, which is exactly why the live state is named by a
+    pointer file instead of by directory renames (multi-key "renames" on
+    object stores are non-atomic copies).
+    """
+    import os
+    import uuid
+
+    tmp = os.path.join(state_path, f".{_MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(version + "\n")
+    os.replace(tmp, os.path.join(state_path, _MANIFEST))
+
+
+def neardup_state_dir(state_path: str) -> str | None:
+    """Resolve the LIVE version directory of an incremental_neardup state.
+
+    Layout: ``<state_path>/MANIFEST`` (one line naming the live prefix)
+    plus ``<state_path>/v-<hex>/`` parquet directories. Returns the live
+    directory, or ``None`` only when the state is *provably* fresh (root
+    missing/empty, or only data-less version dirs from a crashed first
+    init). A root that holds committed parquet data we cannot resolve —
+    version dirs without a MANIFEST, or a MANIFEST naming a missing dir —
+    raises instead: treating such a state as empty would silently re-admit
+    every previously-accepted document, the one failure mode an
+    incremental dedup must never have.
+    """
+    import os
+
+    if not os.path.isdir(state_path):
+        return None
+    names = os.listdir(state_path)
+    manifest = os.path.join(state_path, _MANIFEST)
+    if os.path.isfile(manifest):
+        with open(manifest) as f:
+            version = f.read().strip()
+        live = os.path.join(state_path, version)
+        if not os.path.isdir(live):
+            raise RuntimeError(
+                f"neardup state MANIFEST names '{version}' but "
+                f"{live} does not exist — restore the version dir or the "
+                "previous MANIFEST; refusing to treat state as empty"
+            )
+        return live
+    versions = [n for n in names if n.startswith("v-")]
+    with_data = [
+        v
+        for v in versions
+        if any(
+            n.endswith(".parquet")
+            for n in os.listdir(os.path.join(state_path, v))
+        )
+    ]
+    if with_data:
+        raise RuntimeError(
+            f"neardup state at {state_path} has committed version dirs "
+            f"{with_data} but no {_MANIFEST} — a crashed first init or a "
+            "deleted manifest; refusing to treat state as empty"
+        )
+    return None  # fresh (empty root, or only data-less init leftovers)
+
+
 def incremental_neardup(
     spark,
     batch: DataFrame,
@@ -325,19 +394,29 @@ def incremental_neardup(
     with state, or (b) collides with a smaller-id batch doc (deterministic
     within-batch keeper). Survivors' band keys append to state; returns
     the surviving rows of `batch`.
+
+    State is addressed through a MANIFEST pointer (see neardup_state_dir):
+    appends land in the live version directory; compaction swaps the
+    pointer, never the directory. Single-writer: batches and compactions
+    are assumed serialized (the reference's watcher is a singleton cron —
+    fda_watcher.py scheduling); a crashed append leaves only uncommitted
+    temp files, so retrying the batch is safe and idempotent w.r.t.
+    verdicts (replayed content collides with its own accepted keys).
     """
     import os
+    import uuid
 
     new_bands = minhash_band_keys(batch, id_col, text_col).localCheckpoint(
         eager=True
     )
 
-    state_exists = os.path.isdir(state_path) and any(
-        n.endswith(".parquet") for n in os.listdir(state_path)
+    live = neardup_state_dir(state_path)
+    state_exists = live is not None and any(
+        n.endswith(".parquet") for n in os.listdir(live)
     )
     dup_vs_state = None
     if state_exists:
-        state = spark.read.parquet(state_path)
+        state = spark.read.parquet(live)
         dup_vs_state = (
             new_bands.join(state, ["band", "bkey"], "left_semi")
             .select(id_col)
@@ -359,10 +438,18 @@ def incremental_neardup(
         else dup_in_batch
     )
     clean = batch.join(dups, id_col, "left_anti").localCheckpoint(eager=True)
+    if live is None:
+        # first init: version dir BEFORE manifest — a crash between the two
+        # leaves a data-less v-dir, which neardup_state_dir proves harmless
+        # and still reports as fresh
+        version = f"v-{uuid.uuid4().hex[:8]}"
+        live = os.path.join(state_path, version)
+        os.makedirs(live, exist_ok=True)
+        _write_manifest(state_path, version)
     # append only the SURVIVORS' keys (state stays one row set per accepted doc)
     new_bands.join(clean.select(id_col), id_col, "left_semi").write.mode(
         "append"
-    ).parquet(state_path)
+    ).parquet(live)
     return clean
 
 
@@ -375,8 +462,7 @@ def compact_neardup_state(
     incremental_neardup appends one small parquet file-set per batch, so a
     daily cadence over years accretes thousands of files (listing +
     footer-read overhead starts to dominate the (band,bkey) probe join).
-    Compaction reads the whole state ONCE, localCheckpoints it (so the
-    overwrite of the directory being read is safe), and rewrites it
+    Compaction reads the whole live version ONCE and rewrites it
     hash-partitioned on bkey — collision probes against compacted state
     shuffle-prune to the matching partitions, and the file count is fixed
     at num_partitions regardless of how many batches accreted.
@@ -386,26 +472,41 @@ def compact_neardup_state(
     replayed content never reaches the append path). Cadence guidance in
     SCALE.md: compact when the file count exceeds ~10x cluster parallelism.
 
-    Crash safety: the compacted copy is written to a sibling temp dir
-    FIRST and only then swapped into place — an in-place overwrite would
-    truncate the only copy of the state before the new one exists, so a
-    mid-write failure (lost executor, killed driver) would permanently
-    re-admit all previously-seen content. With the swap, a failure at any
-    point leaves either the old state or the new state intact (on HDFS /
-    local FS the two renames are metadata ops; on object stores, run
-    compaction against a manifest/versioned prefix instead).
+    Crash safety — manifest/versioned-prefix scheme (object-store safe):
+    the compacted copy is written to a NEW version directory while the
+    MANIFEST still names the old one, then the pointer is flipped with one
+    atomic replace (one small-key PUT on an object store — no multi-key
+    rename anywhere), then superseded version dirs are GC'd. The live
+    state path therefore exists at every instant:
+
+    * crash before the flip → MANIFEST still names the old version; the
+      orphaned new dir is unreferenced and removed by the next
+      compaction's GC sweep;
+    * crash after the flip, before GC → MANIFEST names the new version;
+      the stale old dir is unreferenced and GC'd next time;
+    * neardup_state_dir refuses to resolve a state whose pointer is
+      missing/dangling, so no crash mode degrades to "state looks empty".
+
+    Single-writer, like the append path: one compaction at a time (a
+    concurrent compactor's un-pointered new dir would be GC'd as an
+    orphan).
     """
     import os
     import shutil
     import uuid
 
-    state = spark.read.parquet(state_path)
+    live = neardup_state_dir(state_path)
+    if live is None:
+        raise FileNotFoundError(f"no neardup state at {state_path}")
+    state = spark.read.parquet(live)
     n_rows = state.count()
     n = num_partitions or spark.sparkContext.defaultParallelism
-    tmp_path = f"{state_path}.compact-{uuid.uuid4().hex[:8]}"
-    state.repartition(n, "bkey").write.mode("overwrite").parquet(tmp_path)
-    old_path = f"{state_path}.old-{uuid.uuid4().hex[:8]}"
-    os.rename(state_path, old_path)
-    os.rename(tmp_path, state_path)
-    shutil.rmtree(old_path)
+    new_version = f"v-{uuid.uuid4().hex[:8]}"
+    state.repartition(n, "bkey").write.mode("overwrite").parquet(
+        os.path.join(state_path, new_version)
+    )
+    _write_manifest(state_path, new_version)  # atomic pointer flip
+    for name in os.listdir(state_path):  # GC every unreferenced version
+        if name.startswith("v-") and name != new_version:
+            shutil.rmtree(os.path.join(state_path, name), ignore_errors=True)
     return n_rows
