@@ -265,6 +265,87 @@ def q_gap_fill(spark, sf_dir):
 
 
 @register(
+    "q_gap_fill_checksum",
+    oracle="""
+    WITH per_hour AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               SUM(CAST(value AS DECIMAL(18,2))) AS v,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id,
+               date_trunc('hour', MIN(ts)) AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM events GROUP BY user_id
+    ),
+    buckets AS (
+        SELECT user_id,
+               unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+        FROM span
+    ),
+    filled AS (
+        SELECT b.user_id, b.bucket,
+               p.n_events,
+               LAST_VALUE(p.v IGNORE NULLS) OVER (
+                   PARTITION BY b.user_id ORDER BY b.bucket
+                   ROWS UNBOUNDED PRECEDING) AS vf
+        FROM buckets b LEFT JOIN per_hour p USING (user_id, bucket)
+    )
+    SELECT user_id,
+           COUNT(*) AS n_buckets,
+           CAST(COUNT(*) - COUNT(n_events) AS BIGINT) AS n_filled,
+           (CAST(FLOOR(SUM(vf * (EXTRACT(hour FROM bucket) + 1))) AS DOUBLE)
+            + CAST(SUM(vf * (EXTRACT(hour FROM bucket) + 1))
+                   - FLOOR(SUM(vf * (EXTRACT(hour FROM bucket) + 1)))
+                   AS DOUBLE)) AS checksum
+    FROM filled
+    GROUP BY user_id
+    """,
+    doc="bounded differential form of q_gap_fill for the sf10 scaling rung "
+    "(SCALE.md): the same gap-fill + forward-fill dataflow reduced to one "
+    "row per user — bucket count, filled-bucket count, and a "
+    "position-weighted checksum of the filled series (forward fill stays "
+    "in the exact-decimal domain, x (hour+1) weight, decimal sum, split "
+    "double conversion) — so the ~100M-row sf10 result is verified "
+    "engine-side without materializing it in the compare harness",
+)
+def q_gap_fill_checksum(spark, sf_dir):
+    from rag_pipelines_spark.queries._util import dec, dec_to_dbl
+
+    e = t(spark, sf_dir, "events")
+    per_hour = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.sum(dec("value")).alias("v"), F.count("*").alias("n_events"))
+    span = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    buckets = span.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    w = W.partitionBy("user_id").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    filled = buckets.join(per_hour, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        "n_events",
+        F.last("v", ignorenulls=True).over(w).alias("vf"),
+    )
+    # decimal x small-int weight is exact, decimal sum is order-independent,
+    # and the final split conversion is the repo's bit-reproducible
+    # decimal->double (see _util.dec_to_dbl)
+    weighted = F.col("vf") * (F.hour("bucket") + F.lit(1))
+    return filled.groupBy("user_id").agg(
+        F.count("*").alias("n_buckets"),
+        (F.count("*") - F.count("n_events")).alias("n_filled"),
+        dec_to_dbl(F.sum(weighted)).alias("checksum"),
+    )
+
+
+@register(
     "q_window_dist",
     oracle="""
     SELECT o_orderkey,
