@@ -52,3 +52,25 @@ def test_generated_schemas_match_driver_fixtures(spark, tmp_path):
     lk = {r.l_orderkey for r in gens["lineitem"].select("l_orderkey").distinct().collect()}
     ok = {r.o_orderkey for r in gens["orders"].select("o_orderkey").collect()}
     assert lk <= ok
+
+
+def test_skewed_events_plant_heavy_hitter(spark):
+    """--skew-events plants a deterministic hot user: user 0 owns ~frac of
+    all rows, the rest stay ~uniform, and the schema is unchanged."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import gen_sf
+
+    n, users, frac = 20_000, 200, 0.25
+    e = gen_sf.gen_events(spark, n, users, hot_user_frac=frac)
+    counts = {r.user_id: r.n for r in e.groupBy("user_id").count().withColumnRenamed("count", "n").collect()}
+    hot = counts[0]
+    rest = sorted(v for k, v in counts.items() if k != 0)
+    assert abs(hot / n - (frac + (1 - frac) / users)) < 0.03  # ~frac + its uniform share
+    assert rest[-1] < hot / 10  # no other user is remotely close
+    # deterministic: same seed family -> identical assignment
+    e2 = gen_sf.gen_events(spark, n, users, hot_user_frac=frac)
+    assert e.select("event_id", "user_id").exceptAll(
+        e2.select("event_id", "user_id")
+    ).count() == 0

@@ -21,12 +21,18 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # with none of session.py's confs (that mismatch hid the round-1 NANOS
 # bug: every events query ERR'd only under the driver). Everything the
 # queries need (nanosAsLong, UTC timezone) must come from io.table itself.
-spark = (
+_b = (
     SparkSession.builder.master("local[*]")
     .appName("driver-sim")
     .config("spark.ui.enabled", "false")
-    .getOrCreate()
 )
+# stay vanilla unless explicitly overridden: big-SF reruns (sf>=1) funnel
+# multi-M-row results through toPandas in THIS HARNESS (the engine never
+# does) and need a driver heap beyond the 1g default —
+# SPARK_DRIVER_MEMORY=16g python tools/driver_sim.py _testdata/sf1
+if os.environ.get("SPARK_DRIVER_MEMORY"):
+    _b = _b.config("spark.driver.memory", os.environ["SPARK_DRIVER_MEMORY"])
+spark = _b.getOrCreate()
 
 # t1 smoke
 df = E.entry(spark)
@@ -40,23 +46,7 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     src = f"{p}/*.parquet" if os.path.isdir(p) else p
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
-def vhash(pdf):
-    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
-    def cell(v):
-        import numpy as np, datetime
-        if v is None: return "<null>"
-        if isinstance(v,(float,np.floating)):
-            return "<null>" if pd.isna(v) else repr(float(v))
-        if isinstance(v,(int,np.integer,bool)): return str(int(v))
-        if isinstance(v,(pd.Timestamp,datetime.datetime)): return pd.Timestamp(v).isoformat()
-        if isinstance(v,(list,tuple)) or type(v).__name__=='ndarray': return "["+",".join(cell(x) for x in v)+"]"
-        try:
-            if pd.isna(v): return "<null>"
-        except (TypeError,ValueError): pass
-        return str(v)
-    rows = sorted(tuple(cell(v) for v in r) for r in pdf.itertuples(index=False))
-    import hashlib
-    return hashlib.md5(repr(rows).encode()).hexdigest(), len(rows)
+from tools.driver_sim_lib import vhash  # shared with sf_diff.py
 
 qs, oracles = E.queries(), E.oracle_sql()
 n_pass = n_fail = n_rows_only = 0

@@ -161,11 +161,19 @@ def gen_lineitem(spark, n_orders, n_part, n_supp):
     )
 
 
-def gen_events(spark, n, n_users):
+def gen_events(spark, n, n_users, hot_user_frac: float = 0.0):
+    """`hot_user_frac` > 0 plants a deliberate heavy hitter: that fraction
+    of all events is reassigned to user_id 0 (deterministically, by the
+    same hash family), turning the otherwise-uniform user distribution
+    into the skewed shape that overflows a single reducer — the fixture
+    behind SCALE.md's skew-mitigation evidence."""
     i = F.col("id")
     span_us = 30 * 86_400 * 1_000_000
     # value ~ Exp(mean 50), like the driver's (avg 49.9, sd 49.6)
     val = F.round(F.lit(-50.0) * F.log(F.lit(1.0) - _uni(i, 63)), 4)
+    user = _mod(i, 62, n_users)
+    if hot_user_frac > 0.0:
+        user = F.when(_uni(i, 66) < hot_user_frac, F.lit(0)).otherwise(user)
     # timestampadd on an NTZ literal: pure wall-clock integer arithmetic,
     # identical on any host/session timezone (an ltz->ntz cast would
     # shift by the session zone); fixtures expose ts as TIMESTAMP_NTZ
@@ -179,7 +187,7 @@ def gen_events(spark, n, n_users):
                 "timestampadd(MICROSECOND, _us,"
                 " timestamp_ntz'2024-01-01 00:00:00')"
             ).alias("ts"),
-            _mod(i, 62, n_users).alias("user_id"),
+            user.alias("user_id"),
             _pick(i, 64, EVENT_TYPES).alias("event_type"),
             val.alias("value"),
             F.concat(
@@ -246,12 +254,14 @@ def gen_embeddings(spark, n, dim=64):
 
 
 def main() -> None:
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    out = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else f"/root/repo/_testdata/sf{sf:g}"
-    )
+    args = list(sys.argv[1:])
+    hot_user_frac = 0.0
+    if "--skew-events" in args:  # e.g. --skew-events 0.2 => user 0 owns 20%
+        j = args.index("--skew-events")
+        hot_user_frac = float(args[j + 1])
+        del args[j : j + 2]
+    sf = float(args[0]) if args else 1.0
+    out = args[1] if len(args) > 1 else f"/root/repo/_testdata/sf{sf:g}"
     from rag_pipelines_spark.session import get_spark
 
     spark = get_spark("gen-sf")
@@ -285,9 +295,9 @@ def main() -> None:
     gen_lineitem(
         spark, counts["orders"], counts["part"], counts["supplier"]
     ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
-    gen_events(spark, counts["events"], int(15_000 * k)).write.mode(
-        "overwrite"
-    ).parquet(f"{out}/events.parquet")
+    gen_events(
+        spark, counts["events"], int(15_000 * k), hot_user_frac=hot_user_frac
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
     gen_documents(spark, counts["documents"]).write.mode("overwrite").parquet(
         f"{out}/documents.parquet"
     )

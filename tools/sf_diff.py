@@ -1,0 +1,142 @@
+"""Targeted large-SF differential (the scaling-ladder correctness rung).
+
+driver_sim.py re-runs the WHOLE registry differential and is the right
+tool up to sf1; at sf10 a handful of queries return data-sized results
+(e.g. q_gap_fill: one row per user-hour, ~100M rows) that are fine to
+COMPUTE but not to `toPandas()` into the compare harness. This runner
+makes the big-SF rung exemption-free instead of skipping those queries:
+
+* every requested query still executes end-to-end in Spark;
+* results under --row-cap are hash-compared against DuckDB exactly like
+  driver_sim (sorted-column, order-insensitive canonical rows);
+* a query whose SPARK-side count exceeds the cap is reported as
+  TOO-BIG — and must have a registered `<name>_checksum` twin in the run
+  (a bounded engine-side reduction of the same dataflow, e.g.
+  q_gap_fill_checksum) or the run fails. The asterisk is gone because
+  the twin IS oracle-checked at full scale.
+
+Usage:
+    python tools/sf_diff.py SF_DIR [name ...]
+        [--row-cap N]            default 2_000_000
+        [--prefix tpch agg ...]  select by prefix instead of full names
+
+Defaults to the round-3 targeted sf10 set: all TPC-H + the aggregate
+family + minhash pairs + the gap-fill checksum twin.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as E  # noqa: E402
+
+DEFAULT_SET = [
+    *[f"q_tpch_q{i}" for i in range(1, 23)],
+    "q_agg_stats",
+    "q_agg_summary",
+    "q_group_count",
+    "q_rollup_source",
+    "q_max_by",
+    "q_distinct",
+    "q_count_distinct",
+    "q_minhash_neardup",
+    "q_gap_fill",  # data-sized at sf10 -> TOO-BIG, covered by the twin:
+    "q_gap_fill_checksum",
+]
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    row_cap = 2_000_000
+    if "--row-cap" in args:
+        i = args.index("--row-cap")
+        row_cap = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0]
+    names = args[1:] or DEFAULT_SET
+
+    from pyspark.sql import SparkSession
+
+    # vanilla session like driver_sim — everything queries need must come
+    # from io.table
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .appName("sf-diff")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+
+    from tools.driver_sim_lib import vhash  # shared canonical hasher
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 2
+
+    n_pass = n_fail = n_big = n_rows_only = 0
+    big_without_twin = []
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        n_spark = df.count()  # full distributed execution, driver sees a long
+        if name not in oracles:
+            n_rows_only += 1
+            print(f"ROWS-ONLY {name}: {n_spark} rows", flush=True)
+            continue
+        if n_spark > row_cap:
+            n_big += 1
+            twin = f"{name}_checksum"
+            has_twin = twin in names and twin in oracles
+            print(
+                f"TOO-BIG {name}: {n_spark} rows > cap {row_cap} "
+                f"({'bounded twin ' + twin + ' in run' if has_twin else 'NO TWIN'})",
+                flush=True,
+            )
+            if not has_twin:
+                big_without_twin.append(name)
+            continue
+        sdf = df.toPandas()
+        ddf = con.sql(oracles[name]).df()
+        hs, ns = vhash(sdf)
+        hd, nd = vhash(ddf)
+        ok = hs == hd and sorted(sdf.columns) == sorted(ddf.columns)
+        n_pass += ok
+        n_fail += not ok
+        print(f"{'PASS' if ok else 'FAIL'} {name}: spark={ns} duck={nd}", flush=True)
+
+    print(
+        f"TOTAL: {n_pass} pass, {n_fail} fail, {n_big} too-big, "
+        f"{n_rows_only} rows-only"
+    )
+    if big_without_twin:
+        print(f"FAIL: too-big queries without a bounded twin: {big_without_twin}")
+        return 1
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
