@@ -84,6 +84,23 @@ def main() -> None:
         f"min={sizes[0]} (max/p50 = {sizes[-1] / max(sizes[len(sizes) // 2], 1):.1f}x)"
     )
 
+    # 2b. HISTO-SALTED — the same exchange on (user_id, salt): the row
+    # histogram a salted shuffle produces. Rows, not seconds, so the
+    # before/after transfers to any cluster size.
+    salted_rows = (
+        e.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
+        .repartition(32, "user_id", "_salt")
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    )
+    ssize = sorted(r.rows for r in salted_rows)
+    print(
+        f"HISTO-SALTED (8 salts) partition rows: max={ssize[-1]}, "
+        f"p50={ssize[len(ssize) // 2]}, min={ssize[0]} "
+        f"(max/p50 = {ssize[-1] / max(ssize[len(ssize) // 2], 1):.1f}x)"
+    )
+
     # 3. JOIN — skewed SMJ with AQE skew split off/on + explicit salting.
     # Per-user dim; > broadcast threshold is forced off so the join is SMJ.
     dim = counts.select("user_id", (F.col("n") % 7).alias("segment"))
@@ -99,11 +116,15 @@ def main() -> None:
     t_off = min(timed(run_join) for _ in range(2))
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     # default thresholds need 256MB partitions; drop them so the local-mode
-    # hot partition qualifies exactly like a 100x one would on a cluster
+    # hot partition qualifies exactly like a 100x one would on a cluster.
+    # Keep the advisory target well above the healthy-partition size —
+    # an earlier probe run set both to 8m and the split shattered the
+    # healthy partitions too (AQE-on measured SLOWER than AQE-off);
+    # the skew knob must only ever bite the outlier.
     spark.conf.set(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m"
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64m"
     )
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
     t_on = min(timed(run_join) for _ in range(2))
 
     from rag_pipelines_spark.operators.skew import replicated_skew_join
