@@ -1,0 +1,190 @@
+"""Warehouse-lifecycle extensions: SCD2 dimension versioning, cohort
+retention, and schema-evolution reads.
+
+The reference maintains exactly one "current" row per record id in its
+master state (fda_watcher.py keeps the Excel master as latest-only and
+re-derives deltas per run). At warehouse scale the standard upgrade is
+type-2 history — keep every version with a validity interval — plus the
+cohort rollups analysts run on the resulting timelines, plus tolerating
+the schema drift that N years of appended batches always accumulate.
+All three are pure DataFrame formulations:
+
+* SCD2 builds versions with two windows that SHARE one (user) partition
+  sort — one shuffle total, no self-join against history (the naive
+  MERGE formulation rewrites the whole dimension per batch).
+* Cohort retention is two hash aggregates and one equi-join on user_id.
+* Schema evolution uses parquet mergeSchema for the demo read; the
+  scale posture (see docstring) is an explicit unified schema, because
+  mergeSchema footer-samples every file at planning time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rag_pipelines_spark.registry import register
+from rag_pipelines_spark.queries._util import t
+
+# ---------------------------------------------------------------------------
+# SCD2 — type-2 slowly-changing dimension from a change/event stream
+# ref: fda_watcher.py:397-416 keeps latest-only master state; this is the
+# history-preserving upgrade of that same dataflow.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scd2_versions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_attr
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE prev_attr IS NULL OR prev_attr <> event_type
+    )
+    SELECT user_id,
+           event_type AS attr,
+           ts AS valid_from,
+           lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM changes
+    """,
+    doc="SCD2 dimension versioning: collapse an event stream into type-2 "
+    "version rows (attr, valid_from, valid_to, is_current) via "
+    "lag-change-detect + lead-close — two windows sharing ONE (user_id) "
+    "sort, no self-join. History-preserving upgrade of the reference's "
+    "latest-only master state (fda_watcher.py:397-416)",
+)
+def q_scd2_versions(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    # event_id tiebreak: ts collisions within a user must order identically
+    # in both engines or lag/lead disagree on which row "changed"
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_attr", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_attr").isNull()
+            | (F.col("prev_attr") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    # same partition key and sort order as `w`: Catalyst reuses the single
+    # exchange+sort — the whole query is ONE shuffle on user_id
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.when(F.lead("ts").over(w).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — month-of-first-event cohorts x active-month offsets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+        FROM events
+    )
+    SELECT f.cohort,
+           date_diff('day', f.cohort, a.w) // 7 AS week_offset,
+           COUNT(*) AS n_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY f.cohort, week_offset
+    """,
+    doc="cohort retention matrix: cohort = ISO week of first event, cell = "
+    "distinct users from that cohort active at each later week offset. Two "
+    "hash aggregates + one user_id equi-join; offsets computed as exact "
+    "day-diff/7 integers so both engines agree (weekly grain because the "
+    "events fixture spans 30 days — swap 'week' for 'month' on real data)",
+)
+def q_cohort_retention(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    )
+    # min(week(ts)) == week(min(ts)): date_trunc is monotonic, so the
+    # cohort agg runs on the narrow (user, week) projection
+    firsts = e.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    # DISTINCT collapses (user, week) BEFORE the join: at 100 TB the join
+    # input shrinks from |events| to |users|x|active weeks|
+    activity = e.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("w"), F.col("cohort")) / F.lit(7))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution — read heterogeneous parquet batches as one relation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+    SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS n_tokens_est
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, n_chars, n_chars // 5 AS n_tokens_est
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    doc="schema-evolution read: two parquet batches written with drifted "
+    "schemas (v2 adds n_tokens_est) scanned as ONE relation via "
+    "mergeSchema; missing columns null-fill. Scale posture: mergeSchema "
+    "footer-samples every file at planning time — on a 100 TB lake pin "
+    "the unified schema explicitly (spark.read.schema(...)) and keep "
+    "mergeSchema for ad-hoc discovery only",
+)
+def q_schema_evolution(spark, sf_dir):
+    import os
+
+    from rag_pipelines_spark.queries.sources import _scratch
+
+    base = _scratch("schema-evo", sf_dir)
+    d = t(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    v2 = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.col("n_chars") / F.lit(5)).cast("long").alias("n_tokens_est"),
+        )
+    )
+    p1, p2 = os.path.join(base, "batch1"), os.path.join(base, "batch2")
+    v1.write.mode("overwrite").parquet(p1)
+    v2.write.mode("overwrite").parquet(p2)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(p1, p2)
+        .select("doc_id", "lang", "n_chars", "n_tokens_est")
+    )

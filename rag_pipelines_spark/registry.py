@@ -65,6 +65,9 @@ PRIORITY: tuple[str, ...] = (
     "q_gap_fill_checksum",  # new: bounded sf10 form of q_gap_fill
     "q_stream_dedup",  # rewritten: parquet sink + read-back (rows-only)
     "q_batch_assign",  # identifier quoting in block-offset indexing
+    "q_scd2_versions",  # new: type-2 dimension versioning (warehouse.py)
+    "q_cohort_retention",  # new: cohort retention matrix (warehouse.py)
+    "q_schema_evolution",  # new: mergeSchema drifted-batch read (warehouse.py)
     # --- (c) re-verify, oldest driver rows first: the r1-only 39 ---
     "q_group_count",
     "q_agg_summary",
@@ -106,12 +109,11 @@ PRIORITY: tuple[str, ...] = (
     "q_join_cross",
     "q_join_full",
     # --- (c) cont.: r3 bench-regression pair (hash stability alongside the
-    # isolated re-measure) + r2 rows anchoring skew/as-of/CDC claims ---
+    # isolated re-measure). The three r2-anchor slots (q_heavy_hitters,
+    # q_join_asof, q_snapshot_diff) rotated out to make room for the
+    # round-4 warehouse adds — they hold r2 driver rows; re-verify in r5.
     "q_dup_clusters",
     "q_line_dedup",
-    "q_heavy_hitters",
-    "q_join_asof",
-    "q_snapshot_diff",
 )
 
 
@@ -130,6 +132,7 @@ def load_all() -> dict[str, Query]:
         streaming,
         text,
         tpch,
+        warehouse,
         windows,
     )
 
