@@ -17,6 +17,12 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _scratch_local_dir() -> str:
+    path = "/root/repo/.scratch/spark-local"
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def get_spark(
     app_name: str = "rag-pipelines-spark",
     shuffle_partitions: int | None = None,
@@ -47,6 +53,15 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # shuffle/spill scratch OUTSIDE /tmp: this host reaps stale /tmp
+        # entries, and a long differential run lost in-flight
+        # temp_shuffle files to it (observed: executor FileNotFound on
+        # its own blockmgr dir ~20 min into an sf1 sweep). On a cluster
+        # this is the same knob you point at the fast local SSD array.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", _scratch_local_dir()),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
