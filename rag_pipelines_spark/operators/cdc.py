@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def payload_hash(df: DataFrame, cols: list[str]) -> F.Column:
@@ -56,6 +57,98 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(key, "change")
     )
+
+
+def scd2_from_events(
+    events: DataFrame,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Collapse a change/event stream into type-2 dimension rows.
+
+    Output: (key, attr, valid_from, valid_to, is_current) — one row per
+    consecutive run of `attr` per key, intervals contiguous, exactly one
+    open (is_current=1) row per key. `tiebreak` must totally order events
+    within a (key, ts) tie or both the change detection and the interval
+    close become nondeterministic.
+
+    One shuffle total: the lag (change detect) and lead (interval close)
+    windows share the same (key) partitioning and (ts, tiebreak)-prefix
+    sort, so Catalyst reuses a single exchange+sort. No self-join against
+    history — the naive MERGE formulation rewrites the whole dimension.
+    History-preserving upgrade of the reference's latest-only master
+    state (fda_watcher.py:397-416).
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    changes = (
+        events.withColumn("_prev", F.lag(attr).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr)))
+        .select(
+            key,
+            F.col(attr).alias("attr"),
+            F.col(ts).alias("valid_from"),
+            F.col(tiebreak).alias("_tb"),
+        )
+    )
+    w2 = Window.partitionBy(key).orderBy("valid_from", "_tb")
+    return changes.select(
+        key,
+        "attr",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.when(F.lead("valid_from").over(w2).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_current"),
+    )
+
+
+def scd2_merge(
+    dim: DataFrame,
+    batch: DataFrame,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Merge a new event batch into an existing SCD2 dimension.
+
+    The incremental form of `scd2_from_events`: closed rows and untouched
+    keys pass through byte-identical; only the OPEN rows of keys present
+    in the batch are replayed (as pseudo-events seeded at their
+    valid_from) together with the batch, so the window recompute is
+    batch-sized, never history-sized — a day's batch against a 100 TB
+    dimension shuffles ~|batch| rows plus one open row per touched key.
+    The touched-key set rides a broadcast anti/semi join (small side by
+    construction).
+
+    Assumes batches arrive in event-time order: every batch event for a
+    key must be later than that key's open valid_from (the seed tiebreak
+    of -1 also wins exact ties). A late event older than an already-
+    closed interval needs a raw-history rebuild of that key — same
+    contract as any warehouse SCD2 loader.
+
+    Equivalence `scd2_merge(scd2(e<=T), e>T) == scd2(e)` and the
+    empty-batch no-op are pinned in tests/test_warehouse.py.
+    """
+    touched = batch.select(key).distinct()
+    closed = dim.filter(F.col("is_current") == 0)
+    open_rows = dim.filter(F.col("is_current") == 1)
+    untouched_open = open_rows.join(F.broadcast(touched), key, "left_anti")
+    tb_type = dict(batch.dtypes)[tiebreak]
+    seeds = open_rows.join(F.broadcast(touched), key, "left_semi").select(
+        F.col(key),
+        F.col("attr").alias(attr),
+        F.col("valid_from").alias(ts),
+        F.lit(-1).cast(tb_type).alias(tiebreak),
+    )
+    replay = seeds.unionByName(
+        batch.select(key, attr, ts, tiebreak)
+    )
+    rebuilt = scd2_from_events(replay, key, attr, ts, tiebreak)
+    return closed.unionByName(untouched_open).unionByName(rebuilt)
 
 
 def compact(df: DataFrame, path: str, target_rows_per_file: int) -> int:

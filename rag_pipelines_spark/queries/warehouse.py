@@ -21,7 +21,6 @@ All three are pure DataFrame formulations:
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from rag_pipelines_spark.registry import register
 from rag_pipelines_spark.queries._util import t
@@ -66,30 +65,12 @@ from rag_pipelines_spark.queries._util import t
     "latest-only master state (fda_watcher.py:397-416)",
 )
 def q_scd2_versions(spark, sf_dir):
-    e = t(spark, sf_dir, "events")
+    from rag_pipelines_spark.operators.cdc import scd2_from_events
+
     # event_id tiebreak: ts collisions within a user must order identically
-    # in both engines or lag/lead disagree on which row "changed"
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        e.withColumn("prev_attr", F.lag("event_type").over(w))
-        .filter(
-            F.col("prev_attr").isNull()
-            | (F.col("prev_attr") != F.col("event_type"))
-        )
-        .select("user_id", "event_type", "ts", "event_id")
-    )
-    # same partition key and sort order as `w`: Catalyst reuses the single
-    # exchange+sort — the whole query is ONE shuffle on user_id
-    return changes.select(
-        "user_id",
-        F.col("event_type").alias("attr"),
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w).alias("valid_to"),
-        F.when(F.lead("ts").over(w).isNull(), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("is_current"),
-    )
+    # in both engines or lag/lead disagree on which row "changed".
+    # Incremental form: operators/cdc.py scd2_merge (batch-sized replay).
+    return scd2_from_events(t(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------

@@ -96,6 +96,50 @@ def test_cohort_offset_zero_covers_every_user(spark):
     res.unpersist()
 
 
+def _rows(df):
+    return sorted(
+        tuple(str(v) for v in r)
+        for r in df.select(
+            "user_id", "attr", "valid_from", "valid_to", "is_current"
+        ).collect()
+    )
+
+
+def test_scd2_merge_equals_full_rebuild(spark):
+    # split the stream at the median ts: merging the tail batch into the
+    # head's dimension must reproduce the full rebuild exactly
+    from rag_pipelines_spark.operators.cdc import scd2_from_events, scd2_merge
+
+    e = table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    # cut on ts (not event_id — generation order, not time order) so the
+    # batch is strictly later than every open row, the merge contract
+    cut_ts = (
+        e.orderBy("ts", "event_id")
+        .limit(e.count() // 2)
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    head = e.filter(F.col("ts") <= cut_ts)
+    tail = e.filter(F.col("ts") > cut_ts)
+    assert head.count() > 0 and tail.count() > 0
+    merged = scd2_merge(scd2_from_events(head), tail)
+    full = scd2_from_events(e)
+    assert _rows(merged) == _rows(full)
+
+
+def test_scd2_merge_empty_batch_is_noop(spark):
+    from rag_pipelines_spark.operators.cdc import scd2_from_events, scd2_merge
+
+    e = table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    dim = scd2_from_events(e)
+    merged = scd2_merge(dim, e.filter(F.lit(False)))
+    assert _rows(merged) == _rows(dim)
+
+
 def test_schema_evolution_nulls_only_in_v1_rows(spark):
     res = q_schema_evolution(spark, SF_DIR).cache()
     assert res.filter(
