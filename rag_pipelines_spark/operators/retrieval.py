@@ -1,0 +1,178 @@
+"""Lexical + hybrid retrieval operators: BM25 top-k, reciprocal-rank
+fusion, and ordered context assembly.
+
+The reference repo exists to FEED a retrieval-augmented generator
+(README.md:1-40 — scrape → clean → chunk → "RAG pipelines"); the serving
+side of that loop is a retrieval query, so the engine ships it as a
+first-class operator family rather than leaving it to a downstream vector
+store.
+
+Scale design (100 TB corpus, small serving batch of queries):
+  * The corpus NEVER shuffles to build an index: term frequencies are
+    computed per document against a broadcast list of the batch's distinct
+    query terms (`size(filter(tokens, t))` — JVM higher-order function,
+    no explode of the full token stream, no inverted-index materialization
+    step on the hot path).
+  * Document frequencies reduce the (doc × term) hit frame to |terms| rows
+    with a map-side partial aggregate — the only data-sized shuffle in the
+    whole plan is the final (query_id, doc_id) score combine, whose input
+    is already filtered to hit rows (tf > 0).
+  * Per-query top-k is a window over query_id — at serving batch sizes the
+    window partitions are the number of queries, each reduced by rank
+    filter; for a standing corpus the heavy side stays embarrassingly
+    parallel.
+  * RRF fuses two already-small ranked lists (top-k per query from each
+    retriever) — a full-outer join on (query_id, doc_id) over k·|queries|
+    rows; corpus size is out of the picture by then.
+
+Float determinism (driver hash contract): idf/length-normalization math is
+per-row IEEE double arithmetic on bitwise-identical inputs (ln verified
+bit-equal between the JVM and DuckDB's libm on this platform); the only
+order-sensitive step — summing per-term contributions — goes through
+decimal(30,15) (exact, associative), and the final score is rounded to 9
+decimals exactly like q_cosine_topk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from rag_pipelines_spark.queries._util import dec_to_dbl
+
+# BM25 constants (Robertson k1/b defaults). Derived literals are
+# precomputed in Python and embedded via repr() on BOTH the Spark and the
+# oracle side, so each engine parses the exact same decimal string and the
+# per-row double math sees bitwise-identical constants.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_K1_PLUS_1 = BM25_K1 + 1.0
+BM25_ONE_MINUS_B = 1.0 - BM25_B
+RRF_K = 60.0
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.split(text_col, " ")
+
+
+def term_hits(docs: DataFrame, terms: DataFrame, *, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(doc_id, dl, term, tf) for every document × query-term with tf > 0.
+
+    `terms` must be a tiny one-column ("term") DataFrame — it is broadcast
+    and the corpus is scanned exactly once with no explode: tf comes from
+    `size(filter(tokens, x == term))`, a codegen'd array scan per term.
+    """
+    toks = _tokens(F.col(text_col))
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.size(toks).alias("dl"),
+    )
+    hit = d.crossJoin(F.broadcast(terms.select("term"))).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(F.filter("toks", lambda x: x == F.col("term"))).alias("tf"),
+    )
+    return hit.filter(F.col("tf") > 0)
+
+
+def bm25_scores(docs: DataFrame, queries: DataFrame, *, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """BM25 score of every (query_id, doc_id) pair with ≥1 term match.
+
+    `queries` is (query_id, query_text). Returns (query_id, doc_id, score)
+    with score already rounded to 9 decimals (cross-engine stable).
+    """
+    qterms = queries.select(
+        "query_id", F.explode(F.split("query_text", " ")).alias("term")
+    ).distinct()
+    uterms = qterms.select("term").distinct()
+
+    hits = term_hits(docs, uterms, id_col=id_col, text_col=text_col)
+
+    # Corpus-global stats: one all-agg row, broadcast-cross-joined back.
+    toks = _tokens(F.col(text_col))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"), F.sum(F.size(toks)).alias("sum_dl")
+    )
+
+    dfs = hits.groupBy("term").agg(F.count("*").alias("dfreq"))
+
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n
+    idf = F.log(
+        ((F.col("n_docs") - F.col("dfreq")).cast("double") + F.lit(0.5))
+        / (F.col("dfreq").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(BM25_K1) * (
+        F.lit(BM25_ONE_MINUS_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+    )
+    contrib = idf * ((tf * F.lit(BM25_K1_PLUS_1)) / norm)
+
+    scored = (
+        hits.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id", contrib.cast("decimal(30,15)").alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(dec_to_dbl(F.sum("c")), 9).alias("score"))
+    )
+    return scored
+
+
+def topk_per_query(scored: DataFrame, k: int, *, score_col: str = "score",
+                   id_col: str = "doc_id") -> DataFrame:
+    """rank ≤ k per query_id, deterministic tie-break on the doc id."""
+    w = W.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    )
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, *, k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of two (query_id, doc_id, rk) ranked lists.
+
+    rrf = Σ 1/(k + rank) over the lists the doc appears in (Cormack &
+    Clarke's parameter-free default, k=60). Missing-from-one-list docs
+    contribute only the list they appear in. Returns
+    (query_id, doc_id, rrf) rounded to 9 decimals.
+    """
+    a = ranked_a.select("query_id", "doc_id", F.col("rk").alias("rk_a"))
+    b = ranked_b.select("query_id", "doc_id", F.col("rk").alias("rk_b"))
+    fused = a.join(b, ["query_id", "doc_id"], "full_outer")
+    kf = F.lit(float(k))
+    part = lambda rk: F.when(  # noqa: E731
+        rk.isNotNull(), F.lit(1.0) / (kf + rk.cast("double"))
+    ).otherwise(F.lit(0.0))
+    return fused.select(
+        "query_id",
+        "doc_id",
+        F.round(part(F.col("rk_a")) + part(F.col("rk_b")), 9).alias("rrf"),
+    )
+
+
+def assemble_context(ranked: DataFrame, *, snippet_col: str = "snippet",
+                     sep: str = " | ") -> DataFrame:
+    """Collapse a ranked (query_id, rk, snippet) frame into one ordered
+    context string per query — the prompt-assembly step of a RAG serve.
+
+    Order is pinned by sorting the collected (rk, snippet) structs (struct
+    ordering compares rk first), NOT by assuming collect_list order — so
+    the result is partition-invariant.
+    """
+    return ranked.groupBy("query_id").agg(
+        F.count("*").alias("n_ctx"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", snippet_col))),
+                lambda s: s[snippet_col],
+            ),
+            sep,
+        ).alias("context"),
+    )

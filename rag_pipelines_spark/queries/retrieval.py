@@ -1,0 +1,299 @@
+"""Retrieval-serving queries: BM25 lexical top-k, hybrid RRF fusion, and
+RAG context assembly — the serving side of the reference's pipeline.
+
+The reference repo prepares corpora FOR retrieval-augmented generation
+(its README positions every pipeline as feeding a RAG index); these
+queries close that loop inside the engine: given a batch of user queries,
+rank the corpus lexically (BM25), fuse with the embedding-space ranking
+(reciprocal-rank fusion), and assemble the ordered context block a
+generator would consume. All three are oracle-checked — scoring math is
+arranged so every float is bitwise identical in DuckDB (see
+operators/retrieval.py docstring).
+
+Scale posture: the query batch is tiny and broadcast everywhere; the
+corpus is scanned once per retriever with no index-build shuffle, and the
+only data-sized shuffle is the per-(query, doc) score combine over hit
+rows. See operators/retrieval.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rag_pipelines_spark.operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    BM25_K1_PLUS_1,
+    BM25_ONE_MINUS_B,
+    assemble_context,
+    bm25_scores,
+    rrf_fuse,
+    term_hits,
+    topk_per_query,
+)
+from rag_pipelines_spark.queries._util import o_dec_to_dbl, t
+from rag_pipelines_spark.queries.extensions import _dot_dec
+from rag_pipelines_spark.registry import register
+
+# The serving batch: fixed literal queries over the fixture vocabulary
+# (31 distinct words; "dup" is ~35x rarer than the rest, giving the idf
+# real spread). Literal so the query set — like any serving batch — is
+# data-independent and identical at every scale factor.
+QUERY_SET: tuple[tuple[int, str], ...] = (
+    (0, "spark join order"),
+    (1, "dup scan table"),
+    (2, "window agg batch fast"),
+    (3, "customer query line"),
+)
+
+_QUERIES_SCHEMA = "query_id INT, query_text STRING"
+
+
+def _queries_df(spark):
+    return spark.createDataFrame(list(QUERY_SET), _QUERIES_SCHEMA)
+
+
+def _sql_qterms() -> str:
+    """VALUES list of (query_id, term) — the oracle's copy of the batch."""
+    rows = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, text in QUERY_SET
+        for term in dict.fromkeys(text.split(" "))
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS q(query_id, term)"
+
+
+# Shared oracle CTE block: docs/stats/hits/dfs/BM25 per-pair scores.
+# Constants are embedded via repr() of the SAME Python floats the Spark
+# side uses, so both engines parse identical doubles.
+def _sql_bm25_scored() -> str:
+    return f"""
+    docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM docs),
+    qterms AS ({_sql_qterms()}),
+    uterms AS (SELECT DISTINCT term FROM qterms),
+    hits AS (
+        SELECT doc_id, dl, term,
+               len(list_filter(toks, x -> x = term)) AS tf
+        FROM docs CROSS JOIN uterms
+        WHERE len(list_filter(toks, x -> x = term)) > 0
+    ),
+    dfs AS (SELECT term, COUNT(*) AS dfreq FROM hits GROUP BY term),
+    contribs AS (
+        SELECT q.query_id, h.doc_id,
+               CAST(
+                 ln((CAST(s.n_docs - f.dfreq AS DOUBLE) + 0.5)
+                    / (CAST(f.dfreq AS DOUBLE) + 0.5) + 1.0)
+                 * ((CAST(h.tf AS DOUBLE) * {BM25_K1_PLUS_1!r})
+                    / (CAST(h.tf AS DOUBLE)
+                       + {BM25_K1!r} * ({BM25_ONE_MINUS_B!r}
+                          + {BM25_B!r} * (CAST(h.dl AS DOUBLE)
+                             / (CAST(s.sum_dl AS DOUBLE)
+                                / CAST(s.n_docs AS DOUBLE))))))
+               AS DECIMAL(30,15)) AS c
+        FROM hits h
+        JOIN dfs f USING (term)
+        JOIN qterms q USING (term)
+        CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               round({o_dec_to_dbl("SUM(c)")}, 9) AS score
+        FROM contribs GROUP BY query_id, doc_id
+    )"""
+
+
+@register(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH {_sql_bm25_scored()}
+    SELECT query_id, doc_id, score, rk FROM (
+        SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rk
+        FROM scored
+    ) WHERE rk <= 10
+    """,
+    doc="BM25 lexical top-10 per query over documents: tf from a broadcast "
+    "term list (no corpus explode/index shuffle), idf/avgdl from one "
+    "stats row, decimal-summed contributions (operators/retrieval.py)",
+)
+def q_bm25_topk(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, _queries_df(spark))
+    return topk_per_query(scored, 10).select("query_id", "doc_id", "score", "rk")
+
+
+def _cosine_ranked(spark, sf_dir, k: int):
+    """(query_id, doc_id, rk): embedding-space top-k per query vector.
+
+    Query vectors are embeddings with vec_id == query_id (the serving
+    batch's dense twin); candidates are the whole embeddings table minus
+    self. Same brute-force-baseline posture as q_cosine_topk — the scale
+    path is operators/similarity.py's LSH/IVF candidate generation.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "vec_id",
+        "embedding",
+        _dot_dec(F.col("embedding"), F.col("embedding")).cast("double").alias("n2"),
+    )
+    nq = len(QUERY_SET)
+    q = norms.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("qn2"),
+    )
+    c = norms.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("n2").alias("cn2"),
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("doc_id"))
+    cosine = F.round(
+        _dot_dec(F.col("q_emb"), F.col("c_emb")).cast("double")
+        / (F.sqrt("qn2") * F.sqrt("cn2")),
+        9,
+    )
+    ranked = topk_per_query(
+        pairs.withColumn("score", cosine), k, score_col="score"
+    )
+    return ranked.select("query_id", "doc_id", "rk")
+
+
+def _sql_cosine_ranked(k: int, nq: int) -> str:
+    return f"""
+    norms AS (
+        SELECT vec_id, embedding,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS n2
+        FROM (SELECT vec_id, embedding, unnest(embedding) AS x FROM embeddings)
+        GROUP BY vec_id, embedding
+    ),
+    vpairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               q.embedding AS q_emb, c.embedding AS c_emb,
+               q.n2 AS qn2, c.n2 AS cn2
+        FROM norms q, norms c
+        WHERE q.vec_id < {nq} AND q.vec_id <> c.vec_id
+    ),
+    vdots AS (
+        SELECT query_id, doc_id, qn2, cn2,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS dot
+        FROM (SELECT query_id, doc_id, qn2, cn2,
+                     unnest(q_emb) AS x, unnest(c_emb) AS y FROM vpairs)
+        GROUP BY query_id, doc_id, qn2, cn2
+    ),
+    vranked AS (
+        SELECT query_id, doc_id, rk FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(dot / (sqrt(qn2) * sqrt(cn2)), 9) DESC,
+                                doc_id) AS rk
+            FROM vdots
+        ) WHERE rk <= {k}
+    )"""
+
+
+@register(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH {_sql_bm25_scored()},
+    lranked AS (
+        SELECT query_id, doc_id, rk FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rk
+            FROM scored
+        ) WHERE rk <= 20
+    ),
+    {_sql_cosine_ranked(20, len(QUERY_SET))},
+    fused AS (
+        SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+               COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               round(COALESCE(1.0 / (60.0 + CAST(l.rk AS DOUBLE)), 0.0)
+                     + COALESCE(1.0 / (60.0 + CAST(v.rk AS DOUBLE)), 0.0),
+                     9) AS rrf
+        FROM lranked l
+        FULL OUTER JOIN vranked v
+          ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    )
+    SELECT query_id, doc_id, rrf, rk FROM (
+        SELECT query_id, doc_id, rrf,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rrf DESC, doc_id) AS rk
+        FROM fused
+    ) WHERE rk <= 10
+    """,
+    doc="hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 "
+    "top-20 and the embedding-cosine top-20 per query, re-ranked to a "
+    "fused top-10 — both input lists are per-query-small, so fusion cost "
+    "is independent of corpus size",
+)
+def q_rrf_fusion(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    lex = topk_per_query(bm25_scores(docs, _queries_df(spark)), 20).select(
+        "query_id", "doc_id", "rk"
+    )
+    vec = _cosine_ranked(spark, sf_dir, 20)
+    fused = rrf_fuse(lex, vec)
+    return topk_per_query(fused, 10, score_col="rrf").select(
+        "query_id", "doc_id", "rrf", "rk"
+    )
+
+
+@register(
+    "q_rag_context",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ),
+    qterms AS ({_sql_qterms()}),
+    ovl AS (
+        SELECT q.query_id, d.doc_id,
+               COUNT(DISTINCT q.term) AS n_terms,
+               ANY_VALUE(substring(d.text, 1, 60)) AS snippet
+        FROM docs d JOIN qterms q
+          ON len(list_filter(d.toks, x -> x = q.term)) > 0
+        GROUP BY q.query_id, d.doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, snippet,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY n_terms DESC, doc_id) AS rk
+        FROM ovl
+    )
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ctx,
+           string_agg(snippet, ' | ' ORDER BY rk) AS context
+    FROM ranked WHERE rk <= 3
+    GROUP BY query_id
+    """,
+    doc="RAG context assembly: top-3 docs per query by distinct-term "
+    "overlap (exact integer score), 60-char snippets concatenated in rank "
+    "order via sorted-struct collect (partition-invariant) — the "
+    "prompt-building step a generator consumes",
+)
+def q_rag_context(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    qterms = _queries_df(spark).select(
+        "query_id", F.explode(F.split("query_text", " ")).alias("term")
+    ).distinct()
+    uterms = qterms.select("term").distinct()
+    hits = term_hits(docs, uterms)  # (doc_id, dl, term, tf>0)
+    overlaps = (
+        hits.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("term").alias("n_terms"))
+    )
+    snippets = docs.select("doc_id", F.substring("text", 1, 60).alias("snippet"))
+    ranked = topk_per_query(
+        overlaps.join(snippets, "doc_id"), 3, score_col="n_terms"
+    )
+    return assemble_context(ranked).select("query_id", "n_ctx", "context")

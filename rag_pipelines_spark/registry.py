@@ -53,9 +53,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (a) the 3 queries added after the round-3 window froze (the only ones
 # with no driver row anywhere — closing union coverage to 137/137),
 # (b) everything touched or added this round, then (c) re-verify slots
-# ordered by driver-row AGE — all 39 queries whose only driver row is from
-# round 1, plus the round-3 bench-regression pair and three round-2 rows
-# that anchor the skew/CDC/as-of claims.
+# ordered by driver-row AGE — the r1-only queries, plus the round-3
+# bench-regression pair. Rotated out to fit the retrieval family adds
+# (re-verify in r5): q_join_cross, q_join_full, q_checkpoint_semi (r1
+# rows; the last shares its implementation with q_delta_anti_join, which
+# re-passed r3), and the three r2-anchor rows noted below.
 PRIORITY: tuple[str, ...] = (
     # --- (a) no driver row yet (post-r3-freeze adds) ---
     "q_mixture_weights",
@@ -68,6 +70,9 @@ PRIORITY: tuple[str, ...] = (
     "q_scd2_versions",  # new: type-2 dimension versioning (warehouse.py)
     "q_cohort_retention",  # new: cohort retention matrix (warehouse.py)
     "q_schema_evolution",  # new: mergeSchema drifted-batch read (warehouse.py)
+    "q_bm25_topk",  # new: lexical retrieval family (queries/retrieval.py)
+    "q_rrf_fusion",  # new: hybrid lexical+vector rank fusion
+    "q_rag_context",  # new: ordered context assembly (RAG serve step)
     # --- (c) re-verify, oldest driver rows first: the r1-only 39 ---
     "q_group_count",
     "q_agg_summary",
@@ -100,14 +105,11 @@ PRIORITY: tuple[str, ...] = (
     "q_chunk_udtf",
     "q_rolling_hash",
     "q_bpe_token_count",
-    "q_checkpoint_semi",
     "q_enrich_left_join",
     "q_fuzzy_join",
     "q_fallback_join",
     "q_deadletter_split",
     "q_join_inner",
-    "q_join_cross",
-    "q_join_full",
     # --- (c) cont.: r3 bench-regression pair (hash stability alongside the
     # isolated re-measure). The three r2-anchor slots (q_heavy_hitters,
     # q_join_asof, q_snapshot_diff) rotated out to make room for the
@@ -128,6 +130,7 @@ def load_all() -> dict[str, Query]:
         extensions,
         joins,
         relational,
+        retrieval,
         sources,
         streaming,
         text,

@@ -1,0 +1,120 @@
+"""Unit tests for the retrieval family (operators/retrieval.py): BM25
+scoring vs a hand-rolled Python oracle, RRF identities, context-assembly
+partition invariance. The cross-engine differential (vs DuckDB) runs in
+test_oracle.py like every registered query."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_pipelines_spark.operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    assemble_context,
+    bm25_scores,
+    rrf_fuse,
+    term_hits,
+    topk_per_query,
+)
+
+DOCS = [
+    (1, "spark join join fast"),
+    (2, "slow table scan scan scan"),
+    (3, "join order spark spark join"),
+    (4, "window agg"),
+]
+QUERIES = [(0, "spark join"), (1, "scan")]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id INT, text STRING")
+
+
+def _queries(spark):
+    return spark.createDataFrame(QUERIES, "query_id INT, query_text STRING")
+
+
+def _py_bm25(docs, queries):
+    """Straight-line reference implementation (floats, no decimal detour)."""
+    toks = {d: t.split(" ") for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for qid, qtext in queries:
+        for term in dict.fromkeys(qtext.split(" ")):
+            df = sum(1 for v in toks.values() if term in v)
+            if df == 0:
+                continue
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            for d, v in toks.items():
+                tf = v.count(term)
+                if tf == 0:
+                    continue
+                norm = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(v) / avgdl)
+                out.setdefault((qid, d), 0.0)
+                out[(qid, d)] += idf * (tf * (BM25_K1 + 1.0)) / norm
+    return out
+
+
+def test_term_hits_tf_and_dl(spark):
+    terms = spark.createDataFrame([("scan",), ("join",)], "term STRING")
+    rows = {
+        (r.doc_id, r.term): (r.tf, r.dl)
+        for r in term_hits(_docs(spark), terms).collect()
+    }
+    assert rows[(2, "scan")] == (3, 5)
+    assert rows[(1, "join")] == (2, 4)
+    assert rows[(3, "join")] == (2, 5)
+    assert (4, "scan") not in rows  # tf=0 rows are dropped
+
+
+def test_bm25_matches_python_oracle(spark):
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_scores(_docs(spark), _queries(spark)).collect()
+    }
+    want = _py_bm25(DOCS, QUERIES)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
+def test_bm25_rare_term_outscores_common(spark):
+    """One doc holding the corpus's only occurrence of a term must rank
+    first for a query on that term."""
+    docs = spark.createDataFrame(
+        [(1, "a a a rare"), (2, "a a a a"), (3, "a a")], "doc_id INT, text STRING"
+    )
+    qs = spark.createDataFrame([(0, "rare a")], "query_id INT, query_text STRING")
+    top = topk_per_query(bm25_scores(docs, qs), 3).orderBy("rk").collect()
+    assert top[0].doc_id == 1
+
+
+def test_rrf_identities(spark):
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id INT, doc_id INT, rk INT"
+    )
+    b = spark.createDataFrame(
+        [(0, 10, 2), (0, 12, 1)], "query_id INT, doc_id INT, rk INT"
+    )
+    got = {r.doc_id: r.rrf for r in rrf_fuse(a, b).collect()}
+    assert got[10] == pytest.approx(1 / 61 + 1 / 62, abs=1e-9)  # in both lists
+    assert got[11] == pytest.approx(1 / 62, abs=1e-9)  # lexical only
+    assert got[12] == pytest.approx(1 / 61, abs=1e-9)  # vector only
+
+
+def test_assemble_context_order_is_partition_invariant(spark):
+    ranked = spark.createDataFrame(
+        [(0, 2, "b"), (0, 1, "a"), (0, 3, "c"), (1, 1, "x")],
+        "query_id INT, rk INT, snippet STRING",
+    )
+    expect = {0: "a | b | c", 1: "x"}
+    for nparts in (1, 7):
+        got = {
+            r.query_id: r.context
+            for r in assemble_context(ranked.repartition(nparts)).collect()
+        }
+        assert got == expect
