@@ -59,6 +59,10 @@ EXTRAS = [
     "q_pretraining_prep",
     # round 3: scale-safe global index (block-offset formulation)
     "q_batch_assign",
+    # round 4: retrieval serve — BM25 lexical alone, then the full hybrid
+    # (BM25 + cosine + rank fusion) as one plan
+    "q_bm25_topk",
+    "q_rrf_fusion",
 ]
 
 HEADLINE = CORE + EXTRAS

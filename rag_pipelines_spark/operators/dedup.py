@@ -308,73 +308,25 @@ def minhash_band_keys(
     )
 
 
-_MANIFEST = "MANIFEST"
-
-
-def _write_manifest(state_path: str, version: str) -> None:
-    """Atomically point the state's MANIFEST at ``version``.
-
-    Written to a temp sibling then ``os.replace``d — atomic on POSIX/HDFS;
-    on an object store the manifest is a single small key whose PUT is
-    itself atomic, which is exactly why the live state is named by a
-    pointer file instead of by directory renames (multi-key "renames" on
-    object stores are non-atomic copies).
-    """
-    import os
-    import uuid
-
-    tmp = os.path.join(state_path, f".{_MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        f.write(version + "\n")
-    os.replace(tmp, os.path.join(state_path, _MANIFEST))
+# Manifest/versioned-prefix state addressing is shared with every other
+# incremental operator (BM25 corpus stats in operators/retrieval.py) —
+# mechanics and crash-safety rationale live in operators/state.py; the
+# crash drills that pin this behavior are tests/test_incremental_neardup.py.
+from rag_pipelines_spark.operators.state import (  # noqa: E402
+    write_manifest as _write_manifest,
+)
+from rag_pipelines_spark.operators.state import (  # noqa: E402
+    live_version_dir as _live_version_dir,
+)
 
 
 def neardup_state_dir(state_path: str) -> str | None:
     """Resolve the LIVE version directory of an incremental_neardup state.
 
-    Layout: ``<state_path>/MANIFEST`` (one line naming the live prefix)
-    plus ``<state_path>/v-<hex>/`` parquet directories. Returns the live
-    directory, or ``None`` only when the state is *provably* fresh (root
-    missing/empty, or only data-less version dirs from a crashed first
-    init). A root that holds committed parquet data we cannot resolve —
-    version dirs without a MANIFEST, or a MANIFEST naming a missing dir —
-    raises instead: treating such a state as empty would silently re-admit
-    every previously-accepted document, the one failure mode an
-    incremental dedup must never have.
+    Thin wrapper over operators/state.py::live_version_dir (see that
+    module for the layout and the refuse-to-look-empty contract).
     """
-    import os
-
-    if not os.path.isdir(state_path):
-        return None
-    names = os.listdir(state_path)
-    manifest = os.path.join(state_path, _MANIFEST)
-    if os.path.isfile(manifest):
-        with open(manifest) as f:
-            version = f.read().strip()
-        live = os.path.join(state_path, version)
-        if not os.path.isdir(live):
-            raise RuntimeError(
-                f"neardup state MANIFEST names '{version}' but "
-                f"{live} does not exist — restore the version dir or the "
-                "previous MANIFEST; refusing to treat state as empty"
-            )
-        return live
-    versions = [n for n in names if n.startswith("v-")]
-    with_data = [
-        v
-        for v in versions
-        if any(
-            n.endswith(".parquet")
-            for n in os.listdir(os.path.join(state_path, v))
-        )
-    ]
-    if with_data:
-        raise RuntimeError(
-            f"neardup state at {state_path} has committed version dirs "
-            f"{with_data} but no {_MANIFEST} — a crashed first init or a "
-            "deleted manifest; refusing to treat state as empty"
-        )
-    return None  # fresh (empty root, or only data-less init leftovers)
+    return _live_version_dir(state_path, what="neardup state")
 
 
 def incremental_neardup(

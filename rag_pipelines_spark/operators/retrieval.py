@@ -79,11 +79,18 @@ def term_hits(docs: DataFrame, terms: DataFrame, *, id_col: str = "doc_id",
 
 
 def bm25_scores(docs: DataFrame, queries: DataFrame, *, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                corpus_stats: tuple[DataFrame, DataFrame] | None = None) -> DataFrame:
     """BM25 score of every (query_id, doc_id) pair with ≥1 term match.
 
     `queries` is (query_id, query_text). Returns (query_id, doc_id, score)
     with score already rounded to 9 decimals (cross-engine stable).
+
+    `corpus_stats`, when given, is the (terms, totals) pair maintained by
+    `merge_corpus_stats` — idf/avgdl then come from the accreted state
+    instead of two global aggregates over `docs`, so a serving batch
+    against a standing 100 TB corpus reads vocabulary-sized parquet
+    (term-pruned by pushdown) rather than re-aggregating the corpus.
     """
     qterms = queries.select(
         "query_id", F.explode(F.split("query_text", " ")).alias("term")
@@ -92,13 +99,17 @@ def bm25_scores(docs: DataFrame, queries: DataFrame, *, id_col: str = "doc_id",
 
     hits = term_hits(docs, uterms, id_col=id_col, text_col=text_col)
 
-    # Corpus-global stats: one all-agg row, broadcast-cross-joined back.
-    toks = _tokens(F.col(text_col))
-    stats = docs.agg(
-        F.count("*").alias("n_docs"), F.sum(F.size(toks)).alias("sum_dl")
-    )
-
-    dfs = hits.groupBy("term").agg(F.count("*").alias("dfreq"))
+    if corpus_stats is not None:
+        terms_state, totals = corpus_stats
+        stats = totals.select("n_docs", "sum_dl")
+        dfs = terms_state.join(F.broadcast(uterms), "term").select("term", "dfreq")
+    else:
+        # Corpus-global stats: one all-agg row, broadcast-cross-joined back.
+        toks = _tokens(F.col(text_col))
+        stats = docs.agg(
+            F.count("*").alias("n_docs"), F.sum(F.size(toks)).alias("sum_dl")
+        )
+        dfs = hits.groupBy("term").agg(F.count("*").alias("dfreq"))
 
     n = F.col("n_docs").cast("double")
     avgdl = F.col("sum_dl").cast("double") / n
@@ -155,6 +166,101 @@ def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, *, k: int = 60) -> DataFr
         "doc_id",
         F.round(part(F.col("rk_a")) + part(F.col("rk_b")), 9).alias("rrf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental BM25 corpus statistics (continuous-ingest serving path)
+# ---------------------------------------------------------------------------
+# The reference's watcher accretes the corpus batch-by-batch (delta
+# anti-join, fda_watcher.py run_pipeline); its retrieval twin is corpus
+# statistics that accrete the same way. State is vocabulary-sized — (term,
+# dfreq) plus one totals row — i.e. MBs even for a 100 TB corpus, so each
+# merge rewrites it whole into a new manifest-addressed version (same
+# crash-safety scheme as the near-dup state, operators/state.py;
+# compaction is built into the rewrite).
+
+
+def batch_corpus_stats(docs: DataFrame, *, text_col: str = "text"):
+    """(terms, totals) for one batch: per-term doc frequency + corpus
+    totals, using the same whitespace tokenization as term_hits (dfreq
+    counts docs with tf > 0)."""
+    toks = _tokens(F.col(text_col))
+    terms = (
+        docs.select(F.explode(F.array_distinct(toks)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("dfreq"))
+    )
+    totals = docs.agg(
+        F.count("*").alias("n_docs"), F.sum(F.size(toks)).alias("sum_dl")
+    )
+    return terms, totals
+
+
+def corpus_stats(spark, state_path: str):
+    """(terms, totals) DataFrames of the live corpus-stats state."""
+    import os
+
+    from rag_pipelines_spark.operators.state import live_version_dir
+
+    live = live_version_dir(state_path, what="corpus-stats state")
+    if live is None:
+        raise FileNotFoundError(f"no corpus-stats state at {state_path}")
+    return (
+        spark.read.parquet(os.path.join(live, "terms")),
+        spark.read.parquet(os.path.join(live, "totals")),
+    )
+
+
+def merge_corpus_stats(spark, batch: DataFrame, state_path: str, *,
+                       text_col: str = "text") -> None:
+    """Accrete BM25 corpus statistics with a new document batch.
+
+    merged dfreq = old + batch per term (full-outer sum); totals add.
+    The merged state is written to a NEW version dir (terms/ + totals/),
+    the MANIFEST flips atomically, superseded versions are GC'd — the
+    crash-safety contract of operators/state.py, shared with the near-dup
+    state. Identity pinned by test: N merges == one batch over the union.
+
+    Single-writer like the reference's singleton watcher cron. Note the
+    stats are additive COUNTS, so replaying a batch double-counts — run
+    the batch through the dedup/anti-join front door first (the watcher
+    pipeline already does), which makes replays empty.
+    """
+    import os
+
+    from rag_pipelines_spark.operators.state import (
+        gc_orphans,
+        live_version_dir,
+        new_version_name,
+        write_manifest,
+    )
+
+    b_terms, b_totals = batch_corpus_stats(batch, text_col=text_col)
+    live = live_version_dir(state_path, what="corpus-stats state")
+    if live is not None:
+        o_terms = spark.read.parquet(os.path.join(live, "terms"))
+        o_totals = spark.read.parquet(os.path.join(live, "totals"))
+        terms = (
+            o_terms.unionByName(b_terms)
+            .groupBy("term")
+            .agg(F.sum("dfreq").alias("dfreq"))
+        )
+        totals = (
+            o_totals.unionByName(b_totals)
+            .agg(
+                F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+            )
+        )
+    else:
+        terms, totals = b_terms, b_totals
+
+    os.makedirs(state_path, exist_ok=True)
+    version = new_version_name()
+    vdir = os.path.join(state_path, version)
+    terms.write.mode("overwrite").parquet(os.path.join(vdir, "terms"))
+    totals.write.mode("overwrite").parquet(os.path.join(vdir, "totals"))
+    write_manifest(state_path, version)  # atomic pointer flip
+    gc_orphans(state_path)
 
 
 def assemble_context(ranked: DataFrame, *, snippet_col: str = "snippet",

@@ -1,0 +1,109 @@
+"""Manifest-addressed versioned state prefixes — shared by every
+incremental operator that persists small key/stat state between batches
+(near-dup band keys, BM25 corpus statistics).
+
+Layout: ``<state_path>/MANIFEST`` (one line naming the live prefix) plus
+``<state_path>/v-<hex>/`` parquet directories. The live state is named by
+a POINTER FILE, never by directory renames: ``os.replace`` of the one
+small manifest is atomic on POSIX/HDFS, and on an object store it is a
+single-key PUT — whereas multi-key directory "renames" are non-atomic
+copies. The live path therefore exists at every instant; no crash window
+can make the state "look empty".
+
+A root that holds committed parquet data we cannot resolve — version dirs
+without a MANIFEST, or a MANIFEST naming a missing dir — RAISES instead
+of returning "fresh": treating such a state as empty would silently
+forget everything the state exists to remember (re-admitting seen
+documents, zeroing document frequencies), the one failure mode an
+incremental operator must never have. Crash drills are pinned in
+tests/test_incremental_neardup.py.
+
+Single-writer by design: the reference's watcher is a singleton cron
+(fda_watcher.py scheduling), so batches and compactions are serialized.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+MANIFEST = "MANIFEST"
+
+
+def write_manifest(state_path: str, version: str) -> None:
+    """Atomically point the state's MANIFEST at ``version``.
+
+    Written to a temp sibling then ``os.replace``d — atomic on POSIX;
+    the object-store equivalent is one small-key PUT.
+    """
+    tmp = os.path.join(state_path, f".{MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(version + "\n")
+    os.replace(tmp, os.path.join(state_path, MANIFEST))
+
+
+def new_version_name() -> str:
+    return f"v-{uuid.uuid4().hex[:12]}"
+
+
+def live_version_dir(state_path: str, what: str = "state") -> str | None:
+    """Resolve the LIVE version directory of a manifest-addressed state.
+
+    Returns the live directory, or ``None`` only when the state is
+    *provably* fresh (root missing/empty, or only data-less version dirs
+    from a crashed first init). Unresolvable-but-committed data raises
+    (see module docstring). ``what`` names the operator in error text.
+    """
+    if not os.path.isdir(state_path):
+        return None
+    names = os.listdir(state_path)
+    manifest = os.path.join(state_path, MANIFEST)
+    if os.path.isfile(manifest):
+        with open(manifest) as f:
+            version = f.read().strip()
+        live = os.path.join(state_path, version)
+        if not os.path.isdir(live):
+            raise RuntimeError(
+                f"{what} MANIFEST names '{version}' but {live} does not "
+                "exist — restore the version dir or the previous "
+                "MANIFEST; refusing to treat state as empty"
+            )
+        return live
+    versions = [n for n in names if n.startswith("v-")]
+
+    def _has_parquet(d: str) -> bool:
+        # recursive: a version may hold several parquet tables in subdirs
+        # (e.g. corpus-stats' terms/ + totals/)
+        for _root, _dirs, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    with_data = [v for v in versions if _has_parquet(os.path.join(state_path, v))]
+    if with_data:
+        raise RuntimeError(
+            f"{what} at {state_path} has committed version dirs "
+            f"{with_data} but no {MANIFEST} — a crashed first init or a "
+            "deleted manifest; refusing to treat state as empty"
+        )
+    return None  # fresh (empty root, or only data-less init leftovers)
+
+
+def gc_orphans(state_path: str) -> list[str]:
+    """Delete version dirs not named by the MANIFEST; returns removed names.
+
+    Safe at any time under the single-writer assumption: the manifest is
+    read AFTER listing, so a dir is only swept if it is not live now.
+    """
+    import shutil
+
+    live = live_version_dir(state_path)
+    if live is None:
+        return []
+    live_name = os.path.basename(live)
+    removed = []
+    for n in os.listdir(state_path):
+        if n.startswith("v-") and n != live_name:
+            shutil.rmtree(os.path.join(state_path, n))
+            removed.append(n)
+    return removed

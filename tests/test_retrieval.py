@@ -106,6 +106,56 @@ def test_rrf_identities(spark):
     assert got[12] == pytest.approx(1 / 61, abs=1e-9)  # vector only
 
 
+def test_incremental_corpus_stats_merge_equals_union(spark, tmp_path):
+    """N-batch accretion == one-shot stats over the union, and BM25 served
+    from the accreted state is bitwise equal to the direct computation."""
+    from rag_pipelines_spark.operators.retrieval import (
+        batch_corpus_stats,
+        corpus_stats,
+        merge_corpus_stats,
+    )
+
+    state = str(tmp_path / "stats_state")
+    batches = [DOCS[:2], DOCS[2:3], DOCS[3:]]
+    for b in batches:
+        merge_corpus_stats(
+            spark, spark.createDataFrame(b, "doc_id INT, text STRING"), state
+        )
+
+    union = _docs(spark)
+    terms_direct, totals_direct = batch_corpus_stats(union)
+    terms_state, totals_state = corpus_stats(spark, state)
+    assert {
+        (r.term, r.dfreq) for r in terms_state.collect()
+    } == {(r.term, r.dfreq) for r in terms_direct.collect()}
+    assert totals_state.collect() == totals_direct.collect()
+
+    direct = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_scores(union, _queries(spark)).collect()
+    }
+    served = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_scores(
+            union, _queries(spark), corpus_stats=(terms_state, totals_state)
+        ).collect()
+    }
+    assert direct == served  # bitwise: same floats either path
+
+    # only one version dir remains after GC; a second merge keeps it so
+    import os
+
+    vdirs = [n for n in os.listdir(state) if n.startswith("v-")]
+    assert len(vdirs) == 1
+
+
+def test_corpus_stats_missing_state_raises(spark, tmp_path):
+    from rag_pipelines_spark.operators.retrieval import corpus_stats
+
+    with pytest.raises(FileNotFoundError):
+        corpus_stats(spark, str(tmp_path / "nope"))
+
+
 def test_assemble_context_order_is_partition_invariant(spark):
     ranked = spark.createDataFrame(
         [(0, 2, "b"), (0, 1, "a"), (0, 3, "c"), (1, 1, "x")],
