@@ -249,6 +249,79 @@ def q_rrf_fusion(spark, sf_dir):
 
 
 @register(
+    "q_retrieval_eval",
+    oracle=f"""
+    WITH {_sql_bm25_scored()},
+    lranked AS (
+        SELECT query_id, doc_id, rk FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rk
+            FROM scored
+        ) WHERE rk <= 20
+    ),
+    {_sql_cosine_ranked(20, len(QUERY_SET))},
+    fused AS (
+        SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+               COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               round(COALESCE(1.0 / (60.0 + CAST(l.rk AS DOUBLE)), 0.0)
+                     + COALESCE(1.0 / (60.0 + CAST(v.rk AS DOUBLE)), 0.0),
+                     9) AS rrf
+        FROM lranked l
+        FULL OUTER JOIN vranked v
+          ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    ),
+    hranked AS (
+        SELECT query_id, doc_id, rk FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rrf DESC, doc_id) AS rk
+            FROM fused
+        ) WHERE rk <= 10
+    ),
+    vref AS (
+        SELECT query_id, doc_id, rk AS vrk FROM vranked WHERE rk <= 10
+    ),
+    joined AS (
+        SELECT h.query_id, h.rk, v.vrk
+        FROM hranked h
+        LEFT JOIN vref v
+          ON h.query_id = v.query_id AND h.doc_id = v.doc_id
+    )
+    SELECT query_id,
+           CAST(COUNT(vrk) AS BIGINT) AS n_overlap,
+           CAST(COUNT(vrk) AS DOUBLE) / 10.0 AS recall_at_10,
+           COALESCE(1.0 / CAST(MIN(CASE WHEN vrk IS NOT NULL THEN rk END)
+                               AS DOUBLE), 0.0) AS mrr
+    FROM joined GROUP BY query_id
+    """,
+    doc="retrieval eval harness: recall@10 and MRR of the hybrid RRF list "
+    "against the exact-cosine reference list per query (how much of the "
+    "dense signal survives fusion) — joined on two per-query-small top-k "
+    "lists so eval cost is independent of corpus size",
+)
+def q_retrieval_eval(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    lex = topk_per_query(bm25_scores(docs, _queries_df(spark)), 20).select(
+        "query_id", "doc_id", "rk"
+    )
+    vec20 = _cosine_ranked(spark, sf_dir, 20)
+    hybrid = topk_per_query(rrf_fuse(lex, vec20), 10, score_col="rrf").select(
+        "query_id", "doc_id", "rk"
+    )
+    vref = vec20.filter(F.col("rk") <= 10).withColumnRenamed("rk", "vrk")
+    joined = hybrid.join(vref, ["query_id", "doc_id"], "left")
+    first_rel = F.min(F.when(F.col("vrk").isNotNull(), F.col("rk")))
+    return joined.groupBy("query_id").agg(
+        F.count("vrk").alias("n_overlap"),
+        (F.count("vrk").cast("double") / F.lit(10.0)).alias("recall_at_10"),
+        F.coalesce(
+            F.lit(1.0) / first_rel.cast("double"), F.lit(0.0)
+        ).alias("mrr"),
+    )
+
+
+@register(
     "q_rag_context",
     oracle=f"""
     WITH docs AS (

@@ -57,7 +57,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # bench-regression pair. Rotated out to fit the retrieval family adds
 # (re-verify in r5): q_join_cross, q_join_full, q_checkpoint_semi (r1
 # rows; the last shares its implementation with q_delta_anti_join, which
-# re-passed r3), and the three r2-anchor rows noted below.
+# re-passed r3), q_rolling_hash (r1 row, trivial per-row column math),
+# and the three r2-anchor rows noted below.
 PRIORITY: tuple[str, ...] = (
     # --- (a) no driver row yet (post-r3-freeze adds) ---
     "q_mixture_weights",
@@ -73,6 +74,7 @@ PRIORITY: tuple[str, ...] = (
     "q_bm25_topk",  # new: lexical retrieval family (queries/retrieval.py)
     "q_rrf_fusion",  # new: hybrid lexical+vector rank fusion
     "q_rag_context",  # new: ordered context assembly (RAG serve step)
+    "q_retrieval_eval",  # new: recall@10/MRR of hybrid vs cosine reference
     # --- (c) re-verify, oldest driver rows first: the r1-only 39 ---
     "q_group_count",
     "q_agg_summary",
@@ -103,7 +105,6 @@ PRIORITY: tuple[str, ...] = (
     "q_dq_expectations",
     "q_stratified_sample",
     "q_chunk_udtf",
-    "q_rolling_hash",
     "q_bpe_token_count",
     "q_enrich_left_join",
     "q_fuzzy_join",

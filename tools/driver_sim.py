@@ -21,10 +21,16 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # with none of session.py's confs (that mismatch hid the round-1 NANOS
 # bug: every events query ERR'd only under the driver). Everything the
 # queries need (nanosAsLong, UTC timezone) must come from io.table itself.
+_scratch = "/root/repo/.scratch/spark-local"
+os.makedirs(_scratch, exist_ok=True)
 _b = (
     SparkSession.builder.master("local[*]")
     .appName("driver-sim")
     .config("spark.ui.enabled", "false")
+    # NOT a semantics conf (stays "vanilla"): the host tmp-reaper deletes
+    # in-flight temp_shuffle files under /tmp during long runs (killed a
+    # 30-min sf1 sweep at stage 356) — same scratch dir session.py uses
+    .config("spark.local.dir", _scratch)
 )
 # stay vanilla unless explicitly overridden: big-SF reruns (sf>=1) funnel
 # multi-M-row results through toPandas in THIS HARNESS (the engine never

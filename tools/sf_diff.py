@@ -77,11 +77,16 @@ def main() -> int:
 
     # vanilla session like driver_sim — everything queries need must come
     # from io.table
+    _scratch = "/root/repo/.scratch/spark-local"
+    os.makedirs(_scratch, exist_ok=True)
     spark = (
         SparkSession.builder.master("local[*]")
         .appName("sf-diff")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # infra conf, not semantics: keep shuffle temps off the host
+        # tmp-reaper's turf (see driver_sim.py note)
+        .config("spark.local.dir", _scratch)
         .getOrCreate()
     )
     con = duckdb.connect()
