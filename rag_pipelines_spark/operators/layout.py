@@ -1,0 +1,93 @@
+"""Z-order (Morton-curve) data layout for multi-dimensional file skipping.
+
+Why it exists: partitioned-parquet pruning (sources/files.py) handles ONE
+low-cardinality key. A 100 TB fact table queried by range on several
+dimensions at once (user AND time, price AND date) wants files whose
+min/max footer stats are tight on *all* of them simultaneously — which is
+exactly what sorting by an interleaved-bit (Morton) key gives: the curve
+keeps multi-dimensional neighborhoods in the same files, so a 2-D box
+predicate touches O(perimeter) files instead of O(rows)/O(stripe).
+
+Spark-first shape: the z-key is pure JVM integer column math (shift/mask/
+or — whole-stage codegen, no UDF), the layout write is one
+repartitionByRange on the key (a single range shuffle — same cost as any
+sort-based write), and the *reader needs no cooperation*: skipping comes
+from ordinary parquet row-group/file min-max stats on the plain columns.
+
+Bounded normalization: bit interleaving needs each dimension in
+[0, 2^bits). Columns are affinely rescaled from their observed [min, max]
+(one tiny all-agg row, broadcast) — rank-based normalization would resist
+outliers better but costs a global sort; min/max is the right first rung
+and keeps the key a pure expression.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _scale_to_bits(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
+    """Affine-rescale col from [cmin, cmax] to an integer in [0, 2^bits).
+
+    Integer-exact: (col - cmin) * (2^bits - 1) div (cmax - cmin), computed
+    in long arithmetic (inputs are cast to long first), so both engines
+    agree bitwise. Degenerate range (cmax == cmin) maps to 0.
+    """
+    span = (cmax - cmin).cast("long")
+    scaled = (col.cast("long") - cmin.cast("long")) * F.lit((1 << bits) - 1)
+    # scaled is non-negative and < 2^53 for any sane dimension span, so
+    # double division + floor is exact and identical cross-engine
+    return F.when(span > 0, F.floor(scaled / span).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
+def _interleave(cols: list[Column], bits: int) -> Column:
+    """Morton key: bit b of dimension d lands at position b*len(cols)+d."""
+    n = len(cols)
+    terms = [
+        F.shiftleft(F.shiftright(c, b).bitwiseAND(F.lit(1)), b * n + d)
+        for b in range(bits)
+        for d, c in enumerate(cols)
+    ]
+    return reduce(lambda a, t: a.bitwiseOR(t), terms[1:], terms[0]).alias("zkey")
+
+
+def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
+    """Append a ``zkey`` column interleaving the given numeric columns.
+
+    One tiny min/max aggregate (broadcast back via cross join) + pure
+    codegen bit math per row — no data shuffle until the caller lays out.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    stats = df.agg(*aggs)
+    with_stats = df.crossJoin(F.broadcast(stats))
+    scaled = [
+        _scale_to_bits(
+            F.col(c), F.col(f"__min_{c}"), F.col(f"__max_{c}"), bits
+        )
+        for c in cols
+    ]
+    out = with_stats.withColumn("zkey", _interleave(scaled, bits))
+    return out.drop(*[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str], *,
+                   n_files: int = 32, bits: int = 16) -> None:
+    """Write df clustered along the Morton curve of ``cols``.
+
+    repartitionByRange on zkey = one range shuffle; each output file then
+    covers a compact z-interval, so its parquet min/max stats are tight
+    on EVERY interleaved dimension and an AND-of-ranges predicate prunes
+    most files at planning time (asserted by metric, not by plan string,
+    in tests/test_layout.py).
+    """
+    keyed = zorder_key(df, cols, bits=bits)
+    keyed.repartitionByRange(n_files, "zkey").drop("zkey").write.mode(
+        "overwrite"
+    ).parquet(path)

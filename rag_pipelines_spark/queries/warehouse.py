@@ -169,3 +169,59 @@ def q_schema_evolution(spark, sf_dir):
         .parquet(p1, p2)
         .select("doc_id", "lang", "n_chars", "n_tokens_est")
     )
+
+
+def _sql_zorder_terms(xu: str, xt: str, bits: int = 16) -> str:
+    """DuckDB mirror of operators/layout.py::_interleave — bit b of dim d
+    lands at position b*2+d (dim order: user, time)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xu} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({xt} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "q_zorder_key",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec
+        FROM events
+    ),
+    st AS (
+        SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+               MIN(tsec) AS tmin, MAX(tsec) AS tmax
+        FROM ev
+    ),
+    sc AS (
+        SELECT event_id,
+               CASE WHEN umax > umin THEN CAST(FLOOR(
+                    CAST((user_id - umin) * 65535 AS DOUBLE) / (umax - umin)
+               ) AS BIGINT) ELSE 0 END AS xu,
+               CASE WHEN tmax > tmin THEN CAST(FLOOR(
+                    CAST((tsec - tmin) * 65535 AS DOUBLE) / (tmax - tmin)
+               ) AS BIGINT) ELSE 0 END AS xt
+        FROM ev, st
+    )
+    SELECT event_id, ({_sql_zorder_terms("xu", "xt")}) AS zkey FROM sc
+    """,
+    doc="Morton/z-order clustering key over (user_id, event-time): "
+    "min/max-rescaled 16-bit dimensions, bits interleaved with pure "
+    "codegen shift/mask math (operators/layout.py) — sorting a 100 TB "
+    "fact table by zkey makes parquet min/max stats tight on BOTH "
+    "dimensions so AND-of-ranges predicates skip most row groups "
+    "(measured in tests/test_layout.py)",
+)
+def q_zorder_key(spark, sf_dir):
+    from rag_pipelines_spark.operators.layout import zorder_key
+
+    # ts is TIMESTAMP_NTZ (io.table's nanos handling); NTZ has no direct
+    # long cast — route through an epoch diff, which is timezone-free
+    tsec = F.timestamp_diff(
+        "SECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col("ts")
+    )
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", tsec.alias("tsec")
+    )
+    return zorder_key(ev, ["user_id", "tsec"]).select("event_id", "zkey")

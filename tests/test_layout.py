@@ -1,0 +1,104 @@
+"""Z-order layout (operators/layout.py): Morton-key correctness and the
+measured row-group-skipping claim — a z-ordered parquet layout must let a
+2-D box predicate decode far fewer rows than the same data laid out
+round-robin, using nothing but ordinary parquet min/max stats."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from rag_pipelines_spark.operators.layout import write_zordered, zorder_key
+from tests.conftest import SF_DIR
+
+
+def test_morton_interleave_known_values(spark):
+    # bits=2, values already spanning [0,3]: scaling is identity, so the
+    # key is the textbook interleave — x bits at even, y bits at odd slots
+    df = spark.createDataFrame(
+        [(3, 1), (0, 0), (3, 3), (1, 2)], "x INT, y INT"
+    )
+    got = {
+        (r.x, r.y): r.zkey
+        for r in zorder_key(df, ["x", "y"], bits=2).collect()
+    }
+    assert got[(0, 0)] == 0
+    assert got[(3, 1)] == 0b0111  # x->bits 0,2 ; y->bits 1,3
+    assert got[(3, 3)] == 0b1111
+    assert got[(1, 2)] == 0b1001
+
+
+def test_zorder_key_is_partition_invariant(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    a = zorder_key(ev.repartition(1), ["user_id", "event_id"]).collect()
+    b = zorder_key(ev.repartition(13), ["user_id", "event_id"]).collect()
+    assert {(r.event_id, r.zkey) for r in a} == {(r.event_id, r.zkey) for r in b}
+
+
+def _scan_rows_decoded(spark, path, pred):
+    df = spark.read.parquet(path).filter(pred)
+    # execute THROUGH the df so the metric belongs to this QueryExecution
+    # (a write/count would plan its own) — box results are small
+    df.collect()
+    scan = df._jdf.queryExecution().executedPlan().collectLeaves().head()
+    return scan.metrics().apply("numOutputRows").value()
+
+
+def test_zordered_box_predicate_skips_row_groups(spark, tmp_path):
+    """The measured claim: same rows, same predicate, same file count —
+    the z-ordered layout decodes a small fraction of what the round-robin
+    layout decodes, because every output file's min/max stats are tight
+    on BOTH dimensions."""
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "user_id", "ts")
+        .withColumn(
+            "tsec",
+            F.timestamp_diff(
+                "SECOND",
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                F.col("ts"),
+            ),
+        )
+        .drop("ts")
+    )
+    total = ev.count()
+    lo_u, hi_u, lo_t, hi_t = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("tsec"), F.max("tsec")
+    ).first()
+    # a ~10% x ~10% box placed INSIDE the [0.25, 0.5) quadrant of both
+    # dims: its 2-bit z-prefix is then fixed, so the box maps to one
+    # compact z-interval. (A box centered on 0.5 straddles the top-level
+    # quadrant corner — Morton's worst case — and touches ~4x the files;
+    # that is inherent to any space-filling curve, not a layout bug.)
+    u0 = lo_u + (hi_u - lo_u) * 30 // 100
+    u1 = lo_u + (hi_u - lo_u) * 40 // 100
+    t0 = lo_t + (hi_t - lo_t) * 30 // 100
+    t1 = lo_t + (hi_t - lo_t) * 40 // 100
+    pred = (
+        (F.col("user_id") >= u0)
+        & (F.col("user_id") <= u1)
+        & (F.col("tsec") >= t0)
+        & (F.col("tsec") <= t1)
+    )
+
+    base = str(tmp_path / f"layout-{uuid.uuid4().hex[:6]}")
+    zpath, rpath = f"{base}/z", f"{base}/rr"
+    write_zordered(ev, zpath, ["user_id", "tsec"], n_files=16)
+    ev.repartition(16).write.mode("overwrite").parquet(rpath)
+
+    z_rows = _scan_rows_decoded(spark, zpath, pred)
+    rr_rows = _scan_rows_decoded(spark, rpath, pred)
+
+    # round-robin files all span the full 2-D range -> nothing skips
+    assert rr_rows == total
+    # z-ordered: the box touches only the files covering its z-interval
+    assert z_rows < total * 0.35, (z_rows, total)
+    # and both layouts return identical results
+    assert (
+        spark.read.parquet(zpath).filter(pred).count()
+        == spark.read.parquet(rpath).filter(pred).count()
+    )
