@@ -1,0 +1,130 @@
+"""Incremental rollup (materialized-aggregate) maintenance.
+
+The warehouse family's third leg: scd2_merge keeps *dimension history*
+current per batch, merge_corpus_stats keeps *retrieval statistics*
+current — this keeps a keyed AGGREGATE table current without ever
+re-scanning the fact history. Classic incremental-view-maintenance for
+the distributive/algebraic aggregates (count/sum/min/max, avg = sum ÷
+count at read time): each batch reduces to one partial-aggregate row per
+touched key, and the merge combines partials with the SAME combine
+functions — associativity is what makes replay-free maintenance sound.
+
+Scale posture: the state holds one row per key (not per event); a batch
+merge shuffles |batch keys| + |state keys ∩ nothing| — the state is read
+once, the batch is pre-aggregated before the union, and the combine is
+one hash aggregate keyed like the state. At 100 TB of accreted facts the
+rollup stays |keys|-sized and the merge cost tracks the BATCH, not the
+history. State versioning/crash-safety = operators/state.py (same
+manifest pointer scheme as the near-dup and corpus-stats state).
+
+Holistic aggregates (exact distinct counts, medians) are NOT mergeable
+from partials — callers needing them keep an auxiliary key-level state
+(e.g. the near-dup pattern) or accept sketches; this module refuses
+rather than silently approximating.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rag_pipelines_spark.operators.state import (
+    gc_orphans,
+    live_version_dir,
+    new_version_name,
+    write_manifest,
+)
+
+# measure -> (batch partial, state combine). Each entry emits columns
+# named <agg>_<col>; the combine re-aggregates those names.
+_MERGEABLE = ("count", "sum", "min", "max")
+
+
+def _partial_aggs(measures: dict[str, list[str]]):
+    cols = []
+    for col, aggs in measures.items():
+        for a in aggs:
+            if a not in _MERGEABLE:
+                raise ValueError(
+                    f"aggregate {a!r} on {col!r} is not mergeable from "
+                    f"partials; supported: {_MERGEABLE} (avg = sum/count "
+                    "at read time)"
+                )
+            out = f"{a}_{col}"
+            if a == "count":
+                cols.append(F.count(col).alias(out))
+            elif a == "sum":
+                # exact decimal: the merged value is then IDENTICAL no
+                # matter how history was sliced into batches (double sums
+                # would drift by merge-tree shape) — repo determinism
+                # contract, queries/_util.py
+                cols.append(
+                    F.sum(F.col(col).cast("decimal(30,15)"))
+                    .cast("decimal(30,15)")
+                    .alias(out)
+                )
+            else:
+                cols.append(getattr(F, a)(col).alias(out))
+    return cols
+
+
+def _combine_aggs(measures: dict[str, list[str]]):
+    cols = []
+    for col, aggs in measures.items():
+        for a in aggs:
+            name = f"{a}_{col}"
+            if a == "sum":
+                # keep the state schema stable across versions (a bare
+                # decimal SUM widens precision every merge)
+                cols.append(
+                    F.sum(name).cast("decimal(30,15)").alias(name)
+                )
+            elif a == "count":
+                cols.append(F.sum(name).alias(name))
+            else:
+                cols.append(getattr(F, a)(name).alias(name))
+    return cols
+
+
+def rollup_batch(batch: DataFrame, keys: list[str],
+                 measures: dict[str, list[str]]) -> DataFrame:
+    """One partial-aggregate row per key for a single batch."""
+    return batch.groupBy(*keys).agg(*_partial_aggs(measures))
+
+
+def merge_rollup(spark, batch: DataFrame, state_path: str, *,
+                 keys: list[str], measures: dict[str, list[str]]) -> None:
+    """Fold one batch into the keyed rollup state.
+
+    combine(state ∪ partial(batch)) == partial(history ∪ batch) — pinned
+    by test (N merges == one-shot groupBy over the union). Same replay
+    caveat as every additive state: run batches through the dedup/
+    anti-join front door first, replays double-count.
+    """
+    partial = rollup_batch(batch, keys, measures)
+    live = live_version_dir(state_path, what="rollup state")
+    if live is not None:
+        merged = (
+            spark.read.parquet(live)
+            .unionByName(partial)
+            .groupBy(*keys)
+            .agg(*_combine_aggs(measures))
+        )
+    else:
+        merged = partial
+    os.makedirs(state_path, exist_ok=True)
+    version = new_version_name()
+    merged.write.mode("overwrite").parquet(
+        os.path.join(state_path, version)
+    )
+    write_manifest(state_path, version)
+    gc_orphans(state_path)
+
+
+def read_rollup(spark, state_path: str) -> DataFrame:
+    live = live_version_dir(state_path, what="rollup state")
+    if live is None:
+        raise FileNotFoundError(f"no rollup state at {state_path}")
+    return spark.read.parquet(live)

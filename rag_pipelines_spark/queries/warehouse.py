@@ -225,3 +225,51 @@ def q_zorder_key(spark, sf_dir):
         "event_id", "user_id", tsec.alias("tsec")
     )
     return zorder_key(ev, ["user_id", "tsec"]).select("event_id", "zkey")
+
+
+@register(
+    "q_rollup_serve",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS count_value,
+           (CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,15)))) AS DOUBLE)
+            + CAST(SUM(CAST(value AS DECIMAL(30,15)))
+                   - FLOOR(SUM(CAST(value AS DECIMAL(30,15)))) AS DOUBLE))
+               AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="incremental rollup maintenance served end-to-end: three "
+    "time-sliced batches folded into manifest state via mergeable "
+    "partials (operators/rollup.py), read back and compared against the "
+    "one-shot aggregate the oracle computes — proving "
+    "combine(partials) == aggregate(union) at the driver gate, not just "
+    "in unit tests. State is |keys|-sized; merge cost tracks the batch",
+)
+def q_rollup_serve(spark, sf_dir):
+    import shutil
+
+    from rag_pipelines_spark.operators.rollup import merge_rollup, read_rollup
+    from rag_pipelines_spark.queries._util import dec_to_dbl
+    from rag_pipelines_spark.queries.sources import _scratch
+
+    state = _scratch("rollup-serve", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)  # additive state: fresh per run
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    for r in range(3):
+        merge_rollup(
+            spark,
+            ev.filter(F.col("event_id") % 3 == r),
+            state,
+            keys=["event_type"],
+            measures={"value": ["count", "sum", "min", "max"]},
+        )
+    return read_rollup(spark, state).select(
+        "event_type",
+        "count_value",
+        dec_to_dbl(F.col("sum_value")).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )

@@ -58,8 +58,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (re-verify in r5): q_join_cross, q_join_full, q_checkpoint_semi (r1
 # rows; the last shares its implementation with q_delta_anti_join, which
 # re-passed r3), q_rolling_hash (r1 row, trivial per-row column math),
-# q_cube (r1 row; its grouping-sets sibling re-verified in r2), and the
-# three r2-anchor rows noted below.
+# q_cube (r1 row; its grouping-sets sibling re-verified in r2),
+# q_selective_agg (r1 row; same filtered-agg family as q_agg_rates which
+# re-passed r2), and the three r2-anchor rows noted below.
 PRIORITY: tuple[str, ...] = (
     # --- (a) no driver row yet (post-r3-freeze adds) ---
     "q_mixture_weights",
@@ -77,6 +78,7 @@ PRIORITY: tuple[str, ...] = (
     "q_rag_context",  # new: ordered context assembly (RAG serve step)
     "q_retrieval_eval",  # new: recall@10/MRR of hybrid vs cosine reference
     "q_zorder_key",  # new: Morton layout key (operators/layout.py)
+    "q_rollup_serve",  # new: incremental rollup maintenance (rollup.py)
     # --- (c) re-verify, oldest driver rows first: the r1-only 39 ---
     "q_group_count",
     "q_agg_summary",
@@ -87,7 +89,6 @@ PRIORITY: tuple[str, ...] = (
     "q_count_distinct",
     "q_approx_distinct",
     "q_pivot",
-    "q_selective_agg",
     "q_percentiles",
     "q_token_stats",
     "q_lang_dist",
