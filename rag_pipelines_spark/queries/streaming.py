@@ -120,13 +120,21 @@ def q_stream_dedup(spark, sf_dir):
     import uuid
 
     # stream the same parquet through a file source with the on-disk schema
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        # file-stream source needs a directory; select the one table file
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    table_path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(table_path).schema
+    if os.path.isdir(table_path):
+        # generated big-SF fixtures are parquet DIRECTORIES — stream the
+        # dir itself (a name glob on the parent would match no leaf files
+        # and silently produce an empty zero-batch stream; found at sf1)
+        stream = spark.readStream.schema(raw_schema).parquet(table_path)
+    else:
+        # driver fixtures are single files; file-stream sources need a
+        # directory, so scope the parent by name glob
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # deterministic projection: the distinct key set (first-seen row is
     # arbitrary under parallel read, so don't carry non-key columns)
     deduped = stream.select("user_id", "event_type").dropDuplicates(

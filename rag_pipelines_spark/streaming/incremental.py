@@ -149,3 +149,79 @@ def incremental_stream_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def continuous_ingest_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    root: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rollup_keys: tuple[str, ...] = ("lang",),
+    rollup_measures: dict | None = None,
+    glob: str = "*.parquet",
+):
+    """The reference's watcher as ONE streaming job maintaining EVERY
+    state family per micro-batch (the round-4 composition):
+
+        exact-delta front door (anti-join vs ``<root>/seen``)
+          -> near-dup filter   (manifest state, ``<root>/neardup``)
+          -> corpus-stats merge (BM25 df/avgdl,  ``<root>/stats``)
+          -> rollup merge       (keyed partials,  ``<root>/rollup``)
+          -> accepted corpus append (``<root>/corpus``)
+
+    Consistency contract (single-writer, like the watcher cron): each
+    state family is individually crash-safe (manifest pointer flip or
+    idempotent anti-join). ACROSS families there is no transaction: the
+    front-door append commits FIRST, so a crash mid-batch can only make
+    downstream families MISS that batch's rows (replay finds an empty
+    delta), never double-count them — additive states (stats, rollup)
+    prefer undercount-and-detectable over silent double-count. Detection:
+    ``<root>/seen`` keys minus ``<root>/corpus`` ids = rows owed to the
+    downstream families; re-merge exactly that difference to repair.
+    (The reference has the same cross-sink property: its Excel master and
+    JSON outputs commit at different times, fda_watcher.py:544-555.)
+    """
+    from rag_pipelines_spark.operators.dedup import incremental_neardup
+    from rag_pipelines_spark.operators.retrieval import merge_corpus_stats
+    from rag_pipelines_spark.operators.rollup import merge_rollup
+
+    measures = rollup_measures or {"n_chars": ["count", "sum", "min", "max"]}
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        delta = incremental_merge(
+            s, batch_df, os.path.join(root, "seen"), key=id_col
+        )
+        if not delta.take(1):  # replayed/empty batch: all states settled
+            return
+        clean = incremental_neardup(
+            s, delta, os.path.join(root, "neardup"), id_col, text_col
+        )
+        merge_corpus_stats(
+            s, clean, os.path.join(root, "stats"), text_col=text_col
+        )
+        merge_rollup(
+            s,
+            clean,
+            os.path.join(root, "rollup"),
+            keys=list(rollup_keys),
+            measures=measures,
+        )
+        clean.write.mode("append").parquet(os.path.join(root, "corpus"))
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

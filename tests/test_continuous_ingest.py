@@ -1,0 +1,122 @@
+"""End-to-end test of the composed continuous-ingest pipeline
+(streaming/incremental.py::continuous_ingest_pipeline): one streaming job
+maintains the seen-keys front door, near-dup state, BM25 corpus stats,
+and the keyed rollup — and a full replay (same checkpoint) changes
+nothing in any state family."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from rag_pipelines_spark.streaming.incremental import continuous_ingest_pipeline
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", IntegerType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("n_chars", IntegerType()),
+    ]
+)
+
+BASE_A = "spark join order data table scan window agg batch line " * 8
+BASE_B = "customer supplier part region nation stream merge sort key value " * 8
+
+
+def _rows():
+    # batch 1: three distinct docs (distinct BASES — a shared long prefix
+    # would make docs 1 and 3 near-dups of each other)
+    b1 = [
+        (1, BASE_A + "alpha beta gamma", "en", 100),
+        (2, "completely different tiny text", "de", 30),
+        (3, BASE_B + "delta epsilon zeta", "en", 110),
+    ]
+    # batch 2: one exact-key dup (doc 1), one near-dup of doc 3 (tiny
+    # mutation), one genuinely new doc
+    b2 = [
+        (1, BASE_A + "alpha beta gamma", "en", 100),
+        (4, BASE_B + "delta epsilon zeta !", "en", 111),
+        (5, "another unrelated short document entirely", "fr", 41),
+    ]
+    return b1, b2
+
+
+def _run(spark, src, root, ckpt):
+    q = continuous_ingest_pipeline(
+        spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text"
+    )
+    q.awaitTermination(120)
+
+
+def _state_snapshot(spark, root):
+    from rag_pipelines_spark.operators.retrieval import corpus_stats
+    from rag_pipelines_spark.operators.rollup import read_rollup
+
+    corpus = {
+        r.doc_id for r in spark.read.parquet(f"{root}/corpus").collect()
+    }
+    terms, totals = corpus_stats(spark, f"{root}/stats")
+    stats = (
+        {(r.term, r.dfreq) for r in terms.collect()},
+        totals.collect()[0].asDict(),
+    )
+    rollup = {
+        r.lang: r.asDict() for r in read_rollup(spark, f"{root}/rollup").collect()
+    }
+    seen = {
+        r.doc_id for r in spark.read.parquet(f"{root}/seen").collect()
+    }
+    return corpus, stats, rollup, seen
+
+
+def test_continuous_ingest_all_families(spark, tmp_path):
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "root")
+    ckpt = str(tmp_path / "ckpt")
+    b1, b2 = _rows()
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, root, ckpt)
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, root, ckpt)
+
+    corpus, stats, rollup, seen = _state_snapshot(spark, root)
+
+    # front door saw every distinct key; exact dup (doc 1 again) blocked
+    assert seen == {1, 2, 3, 4, 5}
+    # near-dup filter dropped doc 4 (mutated twin of doc 3)
+    assert corpus == {1, 2, 3, 5}
+    # corpus stats describe exactly the accepted corpus
+    from rag_pipelines_spark.operators.retrieval import batch_corpus_stats
+
+    accepted = spark.read.parquet(f"{root}/corpus")
+    terms_d, totals_d = batch_corpus_stats(accepted)
+    assert stats[0] == {(r.term, r.dfreq) for r in terms_d.collect()}
+    assert stats[1] == totals_d.collect()[0].asDict()
+    # rollup matches a direct aggregate over the accepted corpus
+    direct = {
+        r.lang: r.asDict()
+        for r in accepted.groupBy("lang")
+        .agg(
+            F.count("n_chars").alias("count_n_chars"),
+            F.sum(F.col("n_chars").cast("decimal(30,15)"))
+            .cast("decimal(30,15)")
+            .alias("sum_n_chars"),
+            F.min("n_chars").alias("min_n_chars"),
+            F.max("n_chars").alias("max_n_chars"),
+        )
+        .collect()
+    }
+    assert rollup == direct
+
+    # full replay: fresh checkpoint over the same source files — the
+    # front door anti-join makes every batch a no-op for every family
+    before = (corpus, stats, rollup, seen)
+    _run(spark, src, root, str(tmp_path / "ckpt2"))
+    assert _state_snapshot(spark, root) == before

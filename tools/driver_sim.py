@@ -55,17 +55,25 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 from tools.driver_sim_lib import vhash  # shared with sf_diff.py
 
 qs, oracles = E.queries(), E.oracle_sql()
-n_pass = n_fail = n_rows_only = 0
+n_pass = n_fail = n_rows_only = n_err = 0
 for name, fn in sorted(qs.items()):
-    sdf = fn(spark, SF).toPandas()
-    if name in oracles:
-        ddf = con.sql(oracles[name]).df()
-        hs, ns = vhash(sdf); hd, nd = vhash(ddf)
-        ok = hs == hd and sorted(sdf.columns) == sorted(ddf.columns)
-        n_pass += ok; n_fail += (not ok)
-        print(f"{'PASS' if ok else 'FAIL'} {name}: spark={ns} duck={nd}")
-    else:
-        n_rows_only += 1
-        print(f"ROWS-ONLY {name}: {len(sdf)} rows")
-print(f"TOTAL: {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
-sys.exit(1 if n_fail else 0)
+    # per-query isolation like the real driver: one bad query records ERR
+    # and the sweep continues (an uncaught raise aborted the first sf1
+    # round-4 sweep inside q_stream_dedup)
+    try:
+        sdf = fn(spark, SF).toPandas()
+        if name in oracles:
+            ddf = con.sql(oracles[name]).df()
+            hs, ns = vhash(sdf); hd, nd = vhash(ddf)
+            ok = hs == hd and sorted(sdf.columns) == sorted(ddf.columns)
+            n_pass += ok; n_fail += (not ok)
+            print(f"{'PASS' if ok else 'FAIL'} {name}: spark={ns} duck={nd}", flush=True)
+        else:
+            n_rows_only += 1
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows", flush=True)
+    except Exception as exc:  # noqa: BLE001
+        n_err += 1
+        msg = str(exc).replace("\n", " ")[:200]
+        print(f"ERR {name}: {msg}", flush=True)
+print(f"TOTAL: {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only, {n_err} err")
+sys.exit(1 if (n_fail or n_err) else 0)
