@@ -1,0 +1,104 @@
+"""Mergeable histogram sketch: quantiles for the incremental-rollup family.
+
+operators/rollup.py refuses holistic aggregates (median/percentiles) —
+they are not mergeable from partials. This module is the standing answer:
+a fixed-bin-width histogram IS mergeable (bin counts add), deterministic
+(bin = floor(value/width), no randomized sketch state), and gives
+quantile estimates with error bounded by the bin width. Trade-off vs
+t-digest/KLL: you pick the resolution up front (width), in exchange for
+exact mergeability, bitwise-reproducible state, and an oracle-checkable
+formula — the right trade for a differential-tested engine.
+
+Scale posture: the state is one row per (key, occupied bin) — bounded by
+range/width per key regardless of row count. The batch partial is one
+hash aggregate; the merge is a union + re-aggregate keyed like the
+state. Quantile extraction windows over bins WITHIN a key (a few hundred
+rows per partition at any corpus size — never data-sized).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from rag_pipelines_spark.operators.state import (
+    gc_orphans,
+    live_version_dir,
+    new_version_name,
+    write_manifest,
+)
+
+
+def histogram_partial(batch: DataFrame, keys: list[str], col: str,
+                      width: float) -> DataFrame:
+    """One (keys..., bin, n) row per occupied bin; bin = floor(col/width)."""
+    return (
+        batch.select(*keys, F.floor(F.col(col) / F.lit(width)).alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def merge_histogram(spark, batch: DataFrame, state_path: str, *,
+                    keys: list[str], col: str, width: float) -> None:
+    """Fold one batch into histogram state (manifest scheme,
+    operators/state.py). counts add ⇒ N merges == one-shot, pinned by
+    test. Same replay caveat as every additive state."""
+    partial = histogram_partial(batch, keys, col, width)
+    live = live_version_dir(state_path, what="histogram state")
+    if live is not None:
+        partial = (
+            spark.read.parquet(live)
+            .unionByName(partial)
+            .groupBy(*keys, "bin")
+            .agg(F.sum("n").alias("n"))
+        )
+    os.makedirs(state_path, exist_ok=True)
+    version = new_version_name()
+    partial.write.mode("overwrite").parquet(os.path.join(state_path, version))
+    write_manifest(state_path, version)
+    gc_orphans(state_path)
+
+
+def read_histogram(spark, state_path: str) -> DataFrame:
+    live = live_version_dir(state_path, what="histogram state")
+    if live is None:
+        raise FileNotFoundError(f"no histogram state at {state_path}")
+    return spark.read.parquet(live)
+
+
+def histogram_quantile(hist: DataFrame, keys: list[str], width: float,
+                       prob: float) -> DataFrame:
+    """Quantile estimate per key from a (keys..., bin, n) histogram.
+
+    pos = prob * total; the estimate interpolates inside the first bin
+    whose cumulative count reaches pos:
+        est = width * (bin + (pos - cum_before) / n_bin)
+    Error ≤ width (the true value lies somewhere in that bin). All
+    arithmetic is per-row IEEE double on integer inputs — bitwise equal
+    in the DuckDB oracle mirror (queries/warehouse.py).
+    """
+    w_cum = (
+        W.partitionBy(*keys).orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        *keys,
+        "bin",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(W.partitionBy(*keys)).alias("total"),
+    )
+    pos = F.lit(prob) * F.col("total").cast("double")
+    eligible = cum.filter(F.col("cum").cast("double") >= pos)
+    w_first = W.partitionBy(*keys).orderBy("bin")
+    first = eligible.withColumn(
+        "rk", F.row_number().over(w_first)
+    ).filter(F.col("rk") == 1)
+    est = F.lit(width) * (
+        F.col("bin").cast("double")
+        + (pos - (F.col("cum") - F.col("n")).cast("double"))
+        / F.col("n").cast("double")
+    )
+    return first.select(*keys, F.round(est, 9).alias(f"q{int(prob * 100)}"))

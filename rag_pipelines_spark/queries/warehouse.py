@@ -273,3 +273,61 @@ def q_rollup_serve(spark, sf_dir):
         "min_value",
         "max_value",
     )
+
+
+def _sql_hist_quantile(prob: float, width: float, alias: str) -> str:
+    """DuckDB mirror of operators/histogram.py::histogram_quantile."""
+    pw = repr(prob)
+    ww = repr(width)
+    return f"""
+    SELECT event_type,
+           round({ww} * (CAST(bin AS DOUBLE)
+                 + ({pw} * CAST(total AS DOUBLE)
+                    - CAST(cum - n AS DOUBLE)) / CAST(n AS DOUBLE)), 9)
+               AS {alias}
+    FROM (
+        SELECT event_type, bin, n, cum, total,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bin) AS rk
+        FROM hcum
+        WHERE CAST(cum AS DOUBLE) >= {pw} * CAST(total AS DOUBLE)
+    ) WHERE rk = 1"""
+
+
+@register(
+    "q_histogram_quantiles",
+    oracle=f"""
+    WITH hbins AS (
+        SELECT event_type, CAST(FLOOR(value / 1.0) AS BIGINT) AS bin,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type, bin
+    ),
+    hcum AS (
+        SELECT event_type, bin, n,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n) OVER (PARTITION BY event_type) AS total
+        FROM hbins
+    ),
+    p50 AS ({_sql_hist_quantile(0.5, 1.0, "p50")}),
+    p95 AS ({_sql_hist_quantile(0.95, 1.0, "p95")})
+    SELECT p50.event_type, p50.p50, p95.p95
+    FROM p50 JOIN p95 USING (event_type)
+    """,
+    doc="mergeable-histogram quantiles: fixed-width bins (floor(value/w), "
+    "counts add => exactly mergeable partials — the sketch answer to "
+    "rollup.py refusing median), p50/p95 interpolated within the "
+    "reaching bin, error <= width. State is one row per occupied "
+    "(key, bin) at any corpus size (operators/histogram.py)",
+)
+def q_histogram_quantiles(spark, sf_dir):
+    from rag_pipelines_spark.operators.histogram import (
+        histogram_partial,
+        histogram_quantile,
+    )
+
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    hist = histogram_partial(ev, ["event_type"], "value", 1.0)
+    p50 = histogram_quantile(hist, ["event_type"], 1.0, 0.5)
+    p95 = histogram_quantile(hist, ["event_type"], 1.0, 0.95)
+    return p50.join(p95, "event_type").select("event_type", "q50", "q95") \
+        .withColumnRenamed("q50", "p50").withColumnRenamed("q95", "p95")

@@ -60,7 +60,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # re-passed r3), q_rolling_hash (r1 row, trivial per-row column math),
 # q_cube (r1 row; its grouping-sets sibling re-verified in r2),
 # q_selective_agg (r1 row; same filtered-agg family as q_agg_rates which
-# re-passed r2), and the three r2-anchor rows noted below.
+# re-passed r2), q_lang_dist (r1 row; q_lang_id re-verifies the same
+# family), and the three r2-anchor rows noted below.
 PRIORITY: tuple[str, ...] = (
     # --- (a) no driver row yet (post-r3-freeze adds) ---
     "q_mixture_weights",
@@ -79,6 +80,7 @@ PRIORITY: tuple[str, ...] = (
     "q_retrieval_eval",  # new: recall@10/MRR of hybrid vs cosine reference
     "q_zorder_key",  # new: Morton layout key (operators/layout.py)
     "q_rollup_serve",  # new: incremental rollup maintenance (rollup.py)
+    "q_histogram_quantiles",  # new: mergeable-histogram p50/p95 (histogram.py)
     # --- (c) re-verify, oldest driver rows first: the r1-only 39 ---
     "q_group_count",
     "q_agg_summary",
@@ -91,7 +93,6 @@ PRIORITY: tuple[str, ...] = (
     "q_pivot",
     "q_percentiles",
     "q_token_stats",
-    "q_lang_dist",
     "q_lang_id",
     "q_quality_score",
     "q_chunking",

@@ -1,0 +1,72 @@
+"""Mergeable-histogram sketch (operators/histogram.py): N merges == union
+identity, quantile error bounded by bin width, window partitioned by key
+(never data-sized)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rag_pipelines_spark.operators.histogram import (
+    histogram_partial,
+    histogram_quantile,
+    merge_histogram,
+    read_histogram,
+)
+from tests.conftest import SF_DIR
+
+WIDTH = 1.0
+
+
+def test_n_merges_equal_union_histogram(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    state = str(tmp_path / "hist")
+    for r in range(3):
+        merge_histogram(
+            spark,
+            ev.filter(F.col("event_id") % 3 == r),
+            state,
+            keys=["event_type"],
+            col="value",
+            width=WIDTH,
+        )
+    got = {
+        (r.event_type, r.bin): r.n
+        for r in read_histogram(spark, state).collect()
+    }
+    want = {
+        (r.event_type, r.bin): r.n
+        for r in histogram_partial(ev, ["event_type"], "value", WIDTH).collect()
+    }
+    assert got == want
+
+
+def test_quantile_error_bounded_by_width(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", "value"
+    )
+    hist = histogram_partial(ev, ["event_type"], "value", WIDTH)
+    for prob in (0.5, 0.95):
+        est = {
+            r.event_type: r[f"q{int(prob * 100)}"]
+            for r in histogram_quantile(hist, ["event_type"], WIDTH, prob).collect()
+        }
+        exact = {
+            r.event_type: r.x
+            for r in ev.groupBy("event_type")
+            .agg(F.expr(f"percentile(value, {prob})").alias("x"))
+            .collect()
+        }
+        for k in exact:
+            assert abs(est[k] - exact[k]) <= WIDTH + 1e-9, (prob, k)
+
+
+def test_quantile_of_single_bin_key(spark):
+    df = spark.createDataFrame(
+        [("a", 0.2), ("a", 0.3), ("a", 0.4)], "k STRING, v DOUBLE"
+    )
+    hist = histogram_partial(df, ["k"], "v", WIDTH)
+    est = histogram_quantile(hist, ["k"], WIDTH, 0.5).collect()[0]
+    # everything in bin 0: estimate interpolates inside [0, width)
+    assert 0.0 <= est.q50 <= WIDTH
