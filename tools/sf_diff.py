@@ -47,6 +47,17 @@ DEFAULT_SET = [
     "q_minhash_neardup",
     "q_gap_fill",  # data-sized at sf10 -> TOO-BIG, covered by the twin:
     "q_gap_fill_checksum",
+    # round-4 families (retrieval serve/eval, layout, rollup, histogram,
+    # warehouse lifecycle)
+    "q_bm25_topk",
+    "q_rrf_fusion",
+    "q_rag_context",
+    "q_retrieval_eval",
+    "q_zorder_key",
+    "q_rollup_serve",
+    "q_histogram_quantiles",
+    "q_scd2_versions",
+    "q_cohort_retention",
 ]
 
 TABLES = [
