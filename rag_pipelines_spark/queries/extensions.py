@@ -1392,3 +1392,60 @@ def q_pack_bestfit(spark, sf_dir):
     return pack_sequences_bestfit(
         d, ["source", "pack_shard"], "doc_id", "n_tok", budget=512
     )
+
+
+@register(
+    "q_aqp_sum",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, value,
+               ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS bucket
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type,
+               (CAST(FLOOR(SUM(CASE WHEN bucket < 10
+                        THEN CAST(value AS DECIMAL(30,15)) END)) AS DOUBLE)
+                + CAST(SUM(CASE WHEN bucket < 10
+                        THEN CAST(value AS DECIMAL(30,15)) END)
+                       - FLOOR(SUM(CASE WHEN bucket < 10
+                        THEN CAST(value AS DECIMAL(30,15)) END)) AS DOUBLE))
+                   * 10.0 AS est_sum,
+               (CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,15)))) AS DOUBLE)
+                + CAST(SUM(CAST(value AS DECIMAL(30,15)))
+                       - FLOOR(SUM(CAST(value AS DECIMAL(30,15)))) AS DOUBLE))
+                   AS exact_sum
+        FROM b GROUP BY event_type
+    )
+    SELECT event_type, round(est_sum, 9) AS est_sum,
+           round(exact_sum, 9) AS exact_sum,
+           round(abs(est_sum - exact_sum) / exact_sum, 9) AS rel_err
+    FROM agg
+    """,
+    doc="approximate query processing: SUM estimated from a DETERMINISTIC "
+    "10% content-hash sample (md5-bucket, stable under any partitioning/"
+    "cluster resize — unlike seeded sample()) scaled by 1/rate, with the "
+    "exact value and relative error alongside. At 100 TB the sample "
+    "predicate pushes to the scan and the estimate reads a tenth of the "
+    "data; fixture error <= 10% per group (pinned in test_sampling.py)",
+)
+def q_aqp_sum(spark, sf_dir):
+    from rag_pipelines_spark.queries._util import dec, dec_to_dbl
+
+    ev = t(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    sampled = F.when(bucket < 10, dec("value", 15, 30))
+    agg = ev.groupBy("event_type").agg(
+        (dec_to_dbl(F.sum(sampled)) * F.lit(10.0)).alias("est_sum"),
+        dec_to_dbl(F.sum(dec("value", 15, 30))).alias("exact_sum"),
+    )
+    return agg.select(
+        "event_type",
+        F.round("est_sum", 9).alias("est_sum"),
+        F.round("exact_sum", 9).alias("exact_sum"),
+        F.round(F.abs(F.col("est_sum") - F.col("exact_sum")) / F.col("exact_sum"), 9).alias("rel_err"),
+    )

@@ -61,7 +61,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # q_cube (r1 row; its grouping-sets sibling re-verified in r2),
 # q_selective_agg (r1 row; same filtered-agg family as q_agg_rates which
 # re-passed r2), q_lang_dist (r1 row; q_lang_id re-verifies the same
-# family), and the three r2-anchor rows noted below.
+# family), q_hash_sample (r1 row; q_aqp_sum carries the md5-bucket
+# family's fresh row), and the three r2-anchor rows noted below.
 PRIORITY: tuple[str, ...] = (
     # --- (a) no driver row yet (post-r3-freeze adds) ---
     "q_mixture_weights",
@@ -81,6 +82,7 @@ PRIORITY: tuple[str, ...] = (
     "q_zorder_key",  # new: Morton layout key (operators/layout.py)
     "q_rollup_serve",  # new: incremental rollup maintenance (rollup.py)
     "q_histogram_quantiles",  # new: mergeable-histogram p50/p95 (histogram.py)
+    "q_aqp_sum",  # new: deterministic-hash-sample SUM estimate + rel_err
     # --- (c) re-verify, oldest driver rows first: the r1-only 39 ---
     "q_group_count",
     "q_agg_summary",
@@ -103,7 +105,6 @@ PRIORITY: tuple[str, ...] = (
     "q_ann_lsh",
     "q_ann_ivf",
     "q_embed_generate",
-    "q_hash_sample",
     "q_pii_redact",
     "q_dq_expectations",
     "q_stratified_sample",

@@ -140,3 +140,16 @@ def test_global_ntile_matches_sql_ntile(spark):
     assert sorted(
         r.bucket for r in global_ntile(tiny, "v", "doc_id", k=10).collect()
     ) == [1, 2, 3]
+
+
+def test_aqp_sample_error_bounded(spark):
+    """The 10% hash-sample SUM estimate stays within 10% relative error
+    per group on the fixtures (deterministic sample => deterministic
+    error, not a statistical flake)."""
+    from rag_pipelines_spark.registry import load_all
+
+    q = load_all()["q_aqp_sum"]
+    from tests.conftest import SF_DIR
+
+    for r in q.fn(spark, SF_DIR).collect():
+        assert r.rel_err <= 0.10, (r.event_type, r.rel_err)
