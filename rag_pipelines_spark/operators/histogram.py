@@ -76,7 +76,11 @@ def histogram_quantile(hist: DataFrame, keys: list[str], width: float,
     pos = prob * total; the estimate interpolates inside the first bin
     whose cumulative count reaches pos:
         est = width * (bin + (pos - cum_before) / n_bin)
-    Error ≤ width (the true value lies somewhere in that bin). All
+    Error ≤ width against the EMPIRICAL-CDF (inverted-CDF / type-1)
+    quantile — that value provably lies in the reached bin (pinned by a
+    hypothesis property test). Order-statistic interpolation estimators
+    (numpy's default linear method) are a different definition whose
+    distance from any histogram is bounded by the data gap instead. All
     arithmetic is per-row IEEE double on integer inputs — bitwise equal
     in the DuckDB oracle mirror (queries/warehouse.py).
     """

@@ -70,3 +70,36 @@ def test_quantile_of_single_bin_key(spark):
     est = histogram_quantile(hist, ["k"], WIDTH, 0.5).collect()[0]
     # everything in bin 0: estimate interpolates inside [0, width)
     assert 0.0 <= est.q50 <= WIDTH
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50.0, max_value=50.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=60,
+    ),
+    width=st.sampled_from([0.25, 1.0, 7.5]),
+    prob=st.sampled_from([0.1, 0.5, 0.9]),
+)
+def test_quantile_error_bound_property(spark, vals, width, prob):
+    """For ARBITRARY values (negatives included), any bin width, any
+    probability: the histogram estimate is within one bin width of the
+    empirical-CDF (inverted-CDF / type-1) quantile — the definition the
+    sketch estimates. (Linear interpolation between order statistics is a
+    DIFFERENT estimator whose distance from any histogram is bounded by
+    the data gap, not the bin width — e.g. p10 of [0, 2, 2].)"""
+    import numpy as np
+
+    df = spark.createDataFrame([("k", float(v)) for v in vals], "k STRING, v DOUBLE")
+    hist = histogram_partial(df, ["k"], "v", width)
+    est = histogram_quantile(hist, ["k"], width, prob).collect()[0][1]
+    true = float(
+        np.percentile(np.array(vals), prob * 100, method="inverted_cdf")
+    )
+    assert abs(est - true) <= width + 1e-9, (vals, width, prob, est, true)
