@@ -76,3 +76,27 @@ def test_non_mergeable_aggregate_refused(spark, tmp_path):
             keys=["event_type"],
             measures={"value": ["median"]},
         )
+
+
+def test_state_schema_stable_across_merges(spark, tmp_path):
+    """The decimal sum column must stay decimal(30,15) after every merge
+    (a bare decimal SUM widens precision each round, making version N's
+    files schema-incompatible with version N+1's readers)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    state = str(tmp_path / "rollup-schema")
+    schemas = []
+    for r in range(3):
+        merge_rollup(
+            spark,
+            ev.filter(F.col("event_id") % 3 == r),
+            state,
+            keys=["event_type"],
+            measures=MEASURES,
+        )
+        schemas.append(dict(read_rollup(spark, state).dtypes))
+    assert all(s["sum_value"] == "decimal(30,15)" for s in schemas), schemas
+    assert schemas[0] == schemas[1] == schemas[2]
