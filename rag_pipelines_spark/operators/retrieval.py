@@ -80,7 +80,8 @@ def term_hits(docs: DataFrame, terms: DataFrame, *, id_col: str = "doc_id",
 
 def bm25_scores(docs: DataFrame, queries: DataFrame, *, id_col: str = "doc_id",
                 text_col: str = "text",
-                corpus_stats: tuple[DataFrame, DataFrame] | None = None) -> DataFrame:
+                corpus_stats: tuple[DataFrame, DataFrame] | None = None,
+                qterms: DataFrame | None = None) -> DataFrame:
     """BM25 score of every (query_id, doc_id) pair with ≥1 term match.
 
     `queries` is (query_id, query_text). Returns (query_id, doc_id, score)
@@ -91,10 +92,15 @@ def bm25_scores(docs: DataFrame, queries: DataFrame, *, id_col: str = "doc_id",
     instead of two global aggregates over `docs`, so a serving batch
     against a standing 100 TB corpus reads vocabulary-sized parquet
     (term-pruned by pushdown) rather than re-aggregating the corpus.
+
+    `qterms`, when given, is a precomputed (query_id, term) DataFrame —
+    callers whose query batch is a driver-side literal (every serving
+    batch) should build it locally and skip the explode+distinct jobs.
     """
-    qterms = queries.select(
-        "query_id", F.explode(F.split("query_text", " ")).alias("term")
-    ).distinct()
+    if qterms is None:
+        qterms = queries.select(
+            "query_id", F.explode(F.split("query_text", " ")).alias("term")
+        ).distinct()
     uterms = qterms.select("term").distinct()
 
     hits = term_hits(docs, uterms, id_col=id_col, text_col=text_col)

@@ -53,6 +53,17 @@ def _queries_df(spark):
     return spark.createDataFrame(list(QUERY_SET), _QUERIES_SCHEMA)
 
 
+def _qterms_df(spark):
+    """(query_id, term) built driver-side from the literal batch — skips
+    the explode+distinct jobs (the batch is tiny by definition)."""
+    pairs = [
+        (qid, term)
+        for qid, text in QUERY_SET
+        for term in dict.fromkeys(text.split(" "))
+    ]
+    return spark.createDataFrame(pairs, "query_id INT, term STRING")
+
+
 def _sql_qterms() -> str:
     """VALUES list of (query_id, term) — the oracle's copy of the batch."""
     rows = ", ".join(
@@ -124,7 +135,7 @@ def _sql_bm25_scored() -> str:
 )
 def q_bm25_topk(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    scored = bm25_scores(docs, _queries_df(spark))
+    scored = bm25_scores(docs, _queries_df(spark), qterms=_qterms_df(spark))
     return topk_per_query(scored, 10).select("query_id", "doc_id", "score", "rk")
 
 
@@ -238,7 +249,9 @@ def _sql_cosine_ranked(k: int, nq: int) -> str:
 )
 def q_rrf_fusion(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    lex = topk_per_query(bm25_scores(docs, _queries_df(spark)), 20).select(
+    lex = topk_per_query(
+        bm25_scores(docs, _queries_df(spark), qterms=_qterms_df(spark)), 20
+    ).select(
         "query_id", "doc_id", "rk"
     )
     vec = _cosine_ranked(spark, sf_dir, 20)
@@ -302,7 +315,9 @@ def q_rrf_fusion(spark, sf_dir):
 )
 def q_retrieval_eval(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    lex = topk_per_query(bm25_scores(docs, _queries_df(spark)), 20).select(
+    lex = topk_per_query(
+        bm25_scores(docs, _queries_df(spark), qterms=_qterms_df(spark)), 20
+    ).select(
         "query_id", "doc_id", "rk"
     )
     vec20 = _cosine_ranked(spark, sf_dir, 20)
@@ -355,9 +370,7 @@ def q_retrieval_eval(spark, sf_dir):
 )
 def q_rag_context(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    qterms = _queries_df(spark).select(
-        "query_id", F.explode(F.split("query_text", " ")).alias("term")
-    ).distinct()
+    qterms = _qterms_df(spark)
     uterms = qterms.select("term").distinct()
     hits = term_hits(docs, uterms)  # (doc_id, dl, term, tf>0)
     overlaps = (
