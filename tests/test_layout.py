@@ -102,3 +102,16 @@ def test_zordered_box_predicate_skips_row_groups(spark, tmp_path):
         spark.read.parquet(zpath).filter(pred).count()
         == spark.read.parquet(rpath).filter(pred).count()
     )
+
+
+def test_zorder_key_negative_dimensions(spark):
+    """Negative coordinates rescale to [0, 2^bits) and interleave without
+    sign leakage (col - min is non-negative by construction)."""
+    df = spark.createDataFrame(
+        [(-10, -10), (-10, 10), (10, -10), (10, 10), (0, 0)], "x INT, y INT"
+    )
+    rows = {(r.x, r.y): r.zkey for r in zorder_key(df, ["x", "y"], bits=4).collect()}
+    assert rows[(-10, -10)] == 0  # both mins -> bin 0 -> zkey 0
+    assert all(0 <= v < (1 << 8) for v in rows.values())
+    # corner (max,max) maps to the all-ones key
+    assert rows[(10, 10)] == (1 << 8) - 1

@@ -168,3 +168,29 @@ def test_assemble_context_order_is_partition_invariant(spark):
             for r in assemble_context(ranked.repartition(nparts)).collect()
         }
         assert got == expect
+
+
+def test_bm25_no_match_and_empty_text(spark):
+    """A query whose terms appear nowhere yields no rows for that query;
+    empty-text docs (split -> ['']) never match and never crash."""
+    docs = spark.createDataFrame(
+        [(1, "spark join"), (2, "")], "doc_id INT, text STRING"
+    )
+    qs = spark.createDataFrame(
+        [(0, "zzz qqq"), (1, "spark")], "query_id INT, query_text STRING"
+    )
+    got = bm25_scores(docs, qs).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.doc_id)
+    assert 0 not in by_q  # no hits anywhere for the all-miss query
+    assert by_q[1] == [1]  # empty-text doc 2 never matches
+
+
+def test_rrf_empty_side(spark):
+    """Fusing against an empty ranked list degrades to the other list's
+    contributions (full-outer semantics, no crash)."""
+    a = spark.createDataFrame([(0, 10, 1)], "query_id INT, doc_id INT, rk INT")
+    b = spark.createDataFrame([], "query_id INT, doc_id INT, rk INT")
+    got = rrf_fuse(a, b).collect()
+    assert len(got) == 1 and got[0].rrf == pytest.approx(1 / 61, abs=1e-9)
