@@ -50,9 +50,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # in dict order (observed in CORRECTNESS_r01.json: exactly the first 50
 # registrations). We rotate a curated priority window each round so that,
 # across rounds, every query gets a driver-verified row. Round 4:
-# (a) the 3 queries added after the round-3 window froze (the only ones
-# with no driver row anywhere — closing union coverage to 137/137),
-# (b) everything touched or added this round, then (c) re-verify slots
+# (a) the 3 queries added after the round-3 window froze,
+# (b) everything touched or added this round (incl. the 12 round-4 query
+# adds — with (a), all 15 row-less queries sit in this window, so the r4
+# driver run closes union coverage to 149/149; see COVERAGE.md),
+# then (c) re-verify slots
 # ordered by driver-row AGE — the r1-only queries, plus the round-3
 # bench-regression pair. Rotated out to fit the retrieval family adds
 # (re-verify in r5): q_join_cross, q_join_full, q_checkpoint_semi (r1
