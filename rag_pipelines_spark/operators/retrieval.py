@@ -174,6 +174,40 @@ def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, *, k: int = 60) -> DataFr
     )
 
 
+def build_inverted_index(docs: DataFrame, *, id_col: str = "doc_id",
+                         text_col: str = "text", shards: int = 8) -> DataFrame:
+    """Offline inverted index: (term, shard, postings, df_shard) rows.
+
+    The serving path (bm25_scores) deliberately builds NO index; this is
+    the offline counterpart for workloads that amortize many query
+    batches over a static corpus. Posting lists are SHARDED by
+    pmod(doc_id, shards): a stopword-grade term's postings are
+    data-sized, and an unsharded collect_list would funnel the whole
+    corpus's worst term through one task — sharding bounds every row by
+    |corpus|/shards and keeps the build a single hash aggregate. Lists
+    are emitted sorted and comma-joined, so the output is deterministic
+    under any partitioning.
+    """
+    pairs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("term"),
+    )
+    return (
+        pairs.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(shards)))
+        .groupBy("term", "shard")
+        .agg(
+            F.count("*").alias("df_shard"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental BM25 corpus statistics (continuous-ingest serving path)
 # ---------------------------------------------------------------------------

@@ -383,3 +383,30 @@ def q_rag_context(spark, sf_dir):
         overlaps.join(snippets, "doc_id"), 3, score_col="n_terms"
     )
     return assemble_context(ranked).select("query_id", "n_ctx", "context")
+
+
+@register(
+    "q_inverted_index",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    )
+    SELECT term, doc_id % 8 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS df_shard,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM pairs GROUP BY term, shard
+    """,
+    doc="offline inverted-index build, SHARDED posting lists: "
+    "pmod(doc_id, 8) bounds every row by |corpus|/shards so a "
+    "stopword-grade term cannot funnel the corpus through one task; "
+    "lists sorted + comma-joined for partition-invariant output "
+    "(operators/retrieval.py::build_inverted_index). The serving path "
+    "stays index-free by design",
+)
+def q_inverted_index(spark, sf_dir):
+    from rag_pipelines_spark.operators.retrieval import build_inverted_index
+
+    return build_inverted_index(t(spark, sf_dir, "documents")).select(
+        "term", "shard", "df_shard", "postings"
+    )

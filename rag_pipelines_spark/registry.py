@@ -64,7 +64,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # q_selective_agg (r1 row; same filtered-agg family as q_agg_rates which
 # re-passed r2), q_lang_dist (r1 row; q_lang_id re-verifies the same
 # family), q_hash_sample (r1 row; q_aqp_sum carries the md5-bucket
-# family's fresh row), and the three r2-anchor rows noted below.
+# family's fresh row), q_doc_fingerprint (r1 row; the md5-fingerprint
+# family re-verifies via q_md5_id's r2 row), and the three r2-anchor
+# rows noted below.
 PRIORITY: tuple[str, ...] = (
     # --- (a) no driver row yet (post-r3-freeze adds) ---
     "q_mixture_weights",
@@ -85,6 +87,7 @@ PRIORITY: tuple[str, ...] = (
     "q_rollup_serve",  # new: incremental rollup maintenance (rollup.py)
     "q_histogram_quantiles",  # new: mergeable-histogram p50/p95 (histogram.py)
     "q_aqp_sum",  # new: deterministic-hash-sample SUM estimate + rel_err
+    "q_inverted_index",  # new: sharded posting-list build (retrieval.py)
     # --- (c) re-verify, oldest driver rows first: the r1-only 39 ---
     "q_group_count",
     "q_agg_summary",
@@ -100,7 +103,6 @@ PRIORITY: tuple[str, ...] = (
     "q_lang_id",
     "q_quality_score",
     "q_chunking",
-    "q_doc_fingerprint",
     "q_embed_neardup",
     "q_near_dedup",
     "q_simhash",
