@@ -1418,9 +1418,8 @@ def q_pack_bestfit(spark, sf_dir):
                    AS exact_sum
         FROM b GROUP BY event_type
     )
-    SELECT event_type, round(est_sum, 9) AS est_sum,
-           round(exact_sum, 9) AS exact_sum,
-           round(abs(est_sum - exact_sum) / exact_sum, 9) AS rel_err
+    SELECT event_type, est_sum, exact_sum,
+           abs(est_sum - exact_sum) / exact_sum AS rel_err
     FROM agg
     """,
     doc="approximate query processing: SUM estimated from a DETERMINISTIC "
@@ -1443,9 +1442,13 @@ def q_aqp_sum(spark, sf_dir):
         (dec_to_dbl(F.sum(sampled)) * F.lit(10.0)).alias("est_sum"),
         dec_to_dbl(F.sum(dec("value", 15, 30))).alias("exact_sum"),
     )
+    # NO round(): the decimal-summed inputs are already bitwise identical
+    # cross-engine, and round(x, 9) on a ~1e8-magnitude double needs >15
+    # significant digits — exactly the class where the engines' rounding
+    # diverges by 1 ULP (caught by the sf10 differential on est_sum).
     return agg.select(
         "event_type",
-        F.round("est_sum", 9).alias("est_sum"),
-        F.round("exact_sum", 9).alias("exact_sum"),
-        F.round(F.abs(F.col("est_sum") - F.col("exact_sum")) / F.col("exact_sum"), 9).alias("rel_err"),
+        "est_sum",
+        "exact_sum",
+        (F.abs(F.col("est_sum") - F.col("exact_sum")) / F.col("exact_sum")).alias("rel_err"),
     )
