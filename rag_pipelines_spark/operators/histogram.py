@@ -105,4 +105,8 @@ def histogram_quantile(hist: DataFrame, keys: list[str], width: float,
         + (pos - (F.col("cum") - F.col("n")).cast("double"))
         / F.col("n").cast("double")
     )
+    # round(.,9) is cross-engine-safe only while |est| < ~1e6 (15 sig
+    # digits total — see the q_aqp_sum sf10 lesson in SCALE.md); the
+    # estimate's magnitude is the VALUE domain, so for larger domains
+    # scale the values or widen the bin instead of trusting the round.
     return first.select(*keys, F.round(est, 9).alias(f"q{int(prob * 100)}"))
