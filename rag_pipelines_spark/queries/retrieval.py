@@ -410,3 +410,46 @@ def q_inverted_index(spark, sf_dir):
     return build_inverted_index(t(spark, sf_dir, "documents")).select(
         "term", "shard", "df_shard", "postings"
     )
+
+
+@register(
+    "q_bm25_from_state",
+    oracle=f"""
+    WITH {_sql_bm25_scored()}
+    SELECT query_id, doc_id, score, rk FROM (
+        SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rk
+        FROM scored
+    ) WHERE rk <= 10
+    """,
+    doc="BM25 served from ACCRETED corpus-stats state: three batches "
+    "merged via merge_corpus_stats (manifest scheme), then idf/avgdl "
+    "read from state instead of re-aggregating the corpus — the oracle "
+    "is the DIRECT BM25 computation, so the driver gate itself proves "
+    "state-served == direct bitwise (the incremental serving path of "
+    "operators/retrieval.py)",
+)
+def q_bm25_from_state(spark, sf_dir):
+    import shutil
+
+    from rag_pipelines_spark.operators.retrieval import (
+        corpus_stats,
+        merge_corpus_stats,
+    )
+    from rag_pipelines_spark.queries.sources import _scratch
+
+    docs = t(spark, sf_dir, "documents")
+    state = _scratch("bm25-state", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)  # additive state: fresh per run
+    for r in range(3):
+        merge_corpus_stats(
+            spark, docs.filter(F.col("doc_id") % 3 == r), state
+        )
+    scored = bm25_scores(
+        docs,
+        _queries_df(spark),
+        corpus_stats=corpus_stats(spark, state),
+        qterms=_qterms_df(spark),
+    )
+    return topk_per_query(scored, 10).select("query_id", "doc_id", "score", "rk")

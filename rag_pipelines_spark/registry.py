@@ -65,7 +65,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # re-passed r2), q_lang_dist (r1 row; q_lang_id re-verifies the same
 # family), q_hash_sample (r1 row; q_aqp_sum carries the md5-bucket
 # family's fresh row), q_doc_fingerprint (r1 row; the md5-fingerprint
-# family re-verifies via q_md5_id's r2 row), and the three r2-anchor
+# family re-verifies via q_md5_id's r2 row), q_chunking (r1 row; its
+# UDTF twin q_chunk_udtf stays in this window), and the three r2-anchor
 # rows noted below.
 PRIORITY: tuple[str, ...] = (
     # --- (a) no driver row yet (post-r3-freeze adds) ---
@@ -88,6 +89,7 @@ PRIORITY: tuple[str, ...] = (
     "q_histogram_quantiles",  # new: mergeable-histogram p50/p95 (histogram.py)
     "q_aqp_sum",  # new: deterministic-hash-sample SUM estimate + rel_err
     "q_inverted_index",  # new: sharded posting-list build (retrieval.py)
+    "q_bm25_from_state",  # new: state-served == direct proven at the gate
     # --- (c) re-verify, oldest driver rows first: the r1-only 39 ---
     "q_group_count",
     "q_agg_summary",
@@ -102,7 +104,6 @@ PRIORITY: tuple[str, ...] = (
     "q_token_stats",
     "q_lang_id",
     "q_quality_score",
-    "q_chunking",
     "q_embed_neardup",
     "q_near_dedup",
     "q_simhash",
