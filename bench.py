@@ -60,9 +60,12 @@ EXTRAS = [
     # round 3: scale-safe global index (block-offset formulation)
     "q_batch_assign",
     # round 4: retrieval serve — BM25 lexical alone, then the full hybrid
-    # (BM25 + cosine + rank fusion) as one plan
+    # (BM25 + cosine + rank fusion) as one plan — plus the warehouse
+    # lifecycle (SCD2 window pair) and the mergeable-histogram sketch
     "q_bm25_topk",
     "q_rrf_fusion",
+    "q_scd2_versions",
+    "q_histogram_quantiles",
 ]
 
 HEADLINE = CORE + EXTRAS
