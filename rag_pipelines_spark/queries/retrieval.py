@@ -453,3 +453,68 @@ def q_bm25_from_state(spark, sf_dir):
         qterms=_qterms_df(spark),
     )
     return topk_per_query(scored, 10).select("query_id", "doc_id", "score", "rk")
+
+
+@register(
+    "q_term_pmi",
+    oracle="""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dt),
+    dfreq AS (SELECT term, COUNT(*) AS c FROM dt GROUP BY term),
+    pairs AS (
+        SELECT a.term AS t1, b.term AS t2, COUNT(*) AS c12
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY a.term, b.term
+    )
+    SELECT t1, t2, c12,
+           round(ln((CAST(c12 AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
+                 / (CAST(f1.c AS DOUBLE) * CAST(f2.c AS DOUBLE))), 9) AS pmi
+    FROM pairs
+    JOIN dfreq f1 ON f1.term = t1
+    JOIN dfreq f2 ON f2.term = t2
+    CROSS JOIN n
+    WHERE c12 >= 5
+    """,
+    doc="PMI term co-occurrence (query-expansion statistics): document-"
+    "level pairs from a (doc, distinct-term) self-join on doc_id, "
+    "pmi = ln(P(t1,t2)/(P(t1)P(t2))) over document frequencies. Scale: "
+    "pair build is quadratic in PER-DOC distinct terms — at web vocab "
+    "cap each doc to its top-k terms before pairing (fixture vocab is "
+    "31, uncapped); the aggregated frame is vocab^2-bounded. PMI "
+    "magnitude <= ln(N_docs) so round(,9) is cross-engine safe",
+)
+def q_term_pmi(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    n = dt.agg(F.count_distinct("doc_id").alias("n_docs"))
+    dfreq = dt.groupBy("term").agg(F.count("*").alias("c"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.term") < F.col("b.term")))
+        .groupBy(F.col("a.term").alias("t1"), F.col("b.term").alias("t2"))
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    f1 = dfreq.select(F.col("term").alias("t1"), F.col("c").alias("c1"))
+    f2 = dfreq.select(F.col("term").alias("t2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") * F.col("n_docs").cast("double"))
+            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        ),
+        9,
+    )
+    return (
+        pairs.join(F.broadcast(f1), "t1")
+        .join(F.broadcast(f2), "t2")
+        .crossJoin(F.broadcast(n))
+        .select("t1", "t2", "c12", pmi.alias("pmi"))
+    )

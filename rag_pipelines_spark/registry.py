@@ -66,8 +66,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # family), q_hash_sample (r1 row; q_aqp_sum carries the md5-bucket
 # family's fresh row), q_doc_fingerprint (r1 row; the md5-fingerprint
 # family re-verifies via q_md5_id's r2 row), q_chunking (r1 row; its
-# UDTF twin q_chunk_udtf stays in this window), and the three r2-anchor
-# rows noted below.
+# UDTF twin q_chunk_udtf stays in this window), q_token_stats (r1 row;
+# q_bpe_token_count re-verifies the token family here), and the three
+# r2-anchor rows noted below.
 PRIORITY: tuple[str, ...] = (
     # --- (a) no driver row yet (post-r3-freeze adds) ---
     "q_mixture_weights",
@@ -90,6 +91,7 @@ PRIORITY: tuple[str, ...] = (
     "q_aqp_sum",  # new: deterministic-hash-sample SUM estimate + rel_err
     "q_inverted_index",  # new: sharded posting-list build (retrieval.py)
     "q_bm25_from_state",  # new: state-served == direct proven at the gate
+    "q_term_pmi",  # new: PMI co-occurrence (query-expansion statistics)
     # --- (c) re-verify, oldest driver rows first: the r1-only 39 ---
     "q_group_count",
     "q_agg_summary",
@@ -101,7 +103,6 @@ PRIORITY: tuple[str, ...] = (
     "q_approx_distinct",
     "q_pivot",
     "q_percentiles",
-    "q_token_stats",
     "q_lang_id",
     "q_quality_score",
     "q_embed_neardup",
