@@ -33,9 +33,15 @@ from rag_pipelines_spark.operators.state import (
 
 def histogram_partial(batch: DataFrame, keys: list[str], col: str,
                       width: float) -> DataFrame:
-    """One (keys..., bin, n) row per occupied bin; bin = floor(col/width)."""
+    """One (keys..., bin, n) row per occupied bin; bin = floor(col/width).
+
+    NULL values are excluded (standard quantile semantics) — a null bin
+    would sort first in the cumulative window, pad every real bin's
+    cumulative count, and shift/NULL-poison the quantile estimates.
+    """
     return (
-        batch.select(*keys, F.floor(F.col(col) / F.lit(width)).alias("bin"))
+        batch.filter(F.col(col).isNotNull())
+        .select(*keys, F.floor(F.col(col) / F.lit(width)).alias("bin"))
         .groupBy(*keys, "bin")
         .agg(F.count("*").alias("n"))
     )
@@ -109,4 +115,5 @@ def histogram_quantile(hist: DataFrame, keys: list[str], width: float,
     # digits total — see the q_aqp_sum sf10 lesson in SCALE.md); the
     # estimate's magnitude is the VALUE domain, so for larger domains
     # scale the values or widen the bin instead of trusting the round.
-    return first.select(*keys, F.round(est, 9).alias(f"q{int(prob * 100)}"))
+    # round(), not int(): int(0.29 * 100) == 28 (float truncation)
+    return first.select(*keys, F.round(est, 9).alias(f"q{round(prob * 100)}"))

@@ -32,22 +32,37 @@ from pyspark.sql import functions as F
 def _scale_to_bits(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
     """Affine-rescale col from [cmin, cmax] to an integer in [0, 2^bits).
 
-    Integer-exact: (col - cmin) * (2^bits - 1) div (cmax - cmin), computed
-    in long arithmetic (inputs are cast to long first), so both engines
-    agree bitwise. Degenerate range (cmax == cmin) maps to 0.
+    All arithmetic in double on the RAW values — subtracting BEFORE any
+    truncation, so fractional columns scale correctly (casting col and
+    cmin to long separately let a double column exceed 2^bits-1 and
+    invert order; and a fractional span under 1.0 truncated to 0,
+    collapsing the dimension). The result is clamped to [0, 2^bits-1] as
+    a belt-and-braces bound for floating rounding at the top edge.
+    Deterministic cross-engine: products stay < 2^53 for any sane
+    dimension span (for integer columns the double path computes exactly
+    the same values as integer math). Degenerate range (cmax == cmin)
+    maps to 0.
     """
-    span = (cmax - cmin).cast("long")
-    scaled = (col.cast("long") - cmin.cast("long")) * F.lit((1 << bits) - 1)
-    # scaled is non-negative and < 2^53 for any sane dimension span, so
-    # double division + floor is exact and identical cross-engine
-    return F.when(span > 0, F.floor(scaled / span).cast("long")).otherwise(
-        F.lit(0).cast("long")
+    span = (cmax - cmin).cast("double")
+    top = F.lit(float((1 << bits) - 1))
+    scaled = F.floor(
+        (col.cast("double") - cmin.cast("double")) * top / span
     )
+    clamped = F.least(F.greatest(scaled, F.lit(0.0)), top).cast("long")
+    return F.when(span > 0, clamped).otherwise(F.lit(0).cast("long"))
 
 
 def _interleave(cols: list[Column], bits: int) -> Column:
     """Morton key: bit b of dimension d lands at position b*len(cols)+d."""
     n = len(cols)
+    if bits * n > 63:
+        # JVM shiftleft wraps the shift count mod 64 (silent bit
+        # collisions), and position 63 is the long's sign bit (range
+        # partitioning would split the curve at the wrap) — refuse.
+        raise ValueError(
+            f"bits*dims = {bits * n} exceeds 63 — lower bits= (e.g. "
+            f"{63 // n}) or drop dimensions"
+        )
     terms = [
         F.shiftleft(F.shiftright(c, b).bitwiseAND(F.lit(1)), b * n + d)
         for b in range(bits)

@@ -96,6 +96,10 @@ def bm25_scores(docs: DataFrame, queries: DataFrame, *, id_col: str = "doc_id",
     `qterms`, when given, is a precomputed (query_id, term) DataFrame —
     callers whose query batch is a driver-side literal (every serving
     batch) should build it locally and skip the explode+distinct jobs.
+    CONTRACT: the provided frame must already be DISTINCT — duplicate
+    (query_id, term) rows double-count that term's contribution (the
+    internal path dedupes; the provided path is trusted as-is to keep
+    the literal fast path job-free).
     """
     if qterms is None:
         qterms = queries.select(
@@ -103,7 +107,11 @@ def bm25_scores(docs: DataFrame, queries: DataFrame, *, id_col: str = "doc_id",
         ).distinct()
     uterms = qterms.select("term").distinct()
 
-    hits = term_hits(docs, uterms, id_col=id_col, text_col=text_col)
+    # Null-text docs can never match (term_hits drops them) — exclude
+    # them from the corpus stats too, or n_docs counts rows that sum_dl
+    # skips (size(split(NULL)) is NULL) and avgdl/idf silently skew.
+    docs_nn = docs.filter(F.col(text_col).isNotNull())
+    hits = term_hits(docs_nn, uterms, id_col=id_col, text_col=text_col)
 
     if corpus_stats is not None:
         terms_state, totals = corpus_stats
@@ -112,7 +120,7 @@ def bm25_scores(docs: DataFrame, queries: DataFrame, *, id_col: str = "doc_id",
     else:
         # Corpus-global stats: one all-agg row, broadcast-cross-joined back.
         toks = _tokens(F.col(text_col))
-        stats = docs.agg(
+        stats = docs_nn.agg(
             F.count("*").alias("n_docs"), F.sum(F.size(toks)).alias("sum_dl")
         )
         dfs = hits.groupBy("term").agg(F.count("*").alias("dfreq"))
@@ -152,12 +160,14 @@ def topk_per_query(scored: DataFrame, k: int, *, score_col: str = "score",
     )
 
 
-def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, *, k: int = 60) -> DataFrame:
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, *,
+             k: float = RRF_K) -> DataFrame:
     """Reciprocal-rank fusion of two (query_id, doc_id, rk) ranked lists.
 
     rrf = Σ 1/(k + rank) over the lists the doc appears in (Cormack &
-    Clarke's parameter-free default, k=60). Missing-from-one-list docs
-    contribute only the list they appear in. Returns
+    Clarke's parameter-free default, k=RRF_K=60 — the oracle SQL in
+    queries/retrieval.py interpolates the SAME constant). Missing-from-
+    one-list docs contribute only the list they appear in. Returns
     (query_id, doc_id, rrf) rounded to 9 decimals.
     """
     a = ranked_a.select("query_id", "doc_id", F.col("rk").alias("rk_a"))
@@ -223,14 +233,16 @@ def build_inverted_index(docs: DataFrame, *, id_col: str = "doc_id",
 def batch_corpus_stats(docs: DataFrame, *, text_col: str = "text"):
     """(terms, totals) for one batch: per-term doc frequency + corpus
     totals, using the same whitespace tokenization as term_hits (dfreq
-    counts docs with tf > 0)."""
+    counts docs with tf > 0). Null-text docs are excluded from BOTH
+    frames — the same symmetry rule as bm25_scores' direct stats path."""
+    docs_nn = docs.filter(F.col(text_col).isNotNull())
     toks = _tokens(F.col(text_col))
     terms = (
-        docs.select(F.explode(F.array_distinct(toks)).alias("term"))
+        docs_nn.select(F.explode(F.array_distinct(toks)).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("dfreq"))
     )
-    totals = docs.agg(
+    totals = docs_nn.agg(
         F.count("*").alias("n_docs"), F.sum(F.size(toks)).alias("sum_dl")
     )
     return terms, totals

@@ -39,7 +39,19 @@ def write_manifest(state_path: str, version: str) -> None:
     tmp = os.path.join(state_path, f".{MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         f.write(version + "\n")
+        # fsync BEFORE the rename: with delayed allocation the rename can
+        # become durable before the data blocks, leaving an empty MANIFEST
+        # after power loss — exactly the "state looks empty" failure this
+        # scheme exists to prevent
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(state_path, MANIFEST))
+    # make the rename itself durable
+    dir_fd = os.open(state_path, os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
 
 
 def new_version_name() -> str:
@@ -61,6 +73,15 @@ def live_version_dir(state_path: str, what: str = "state") -> str | None:
     if os.path.isfile(manifest):
         with open(manifest) as f:
             version = f.read().strip()
+        if not version.startswith("v-"):
+            # empty/garbage pointer (e.g. truncated by power loss before
+            # fsync-era manifests): joining '' would resolve to the state
+            # root itself — raise the designed diagnostic instead
+            raise RuntimeError(
+                f"{what} MANIFEST at {manifest} holds {version!r}, not a "
+                "version name — restore it from the latest v-* dir; "
+                "refusing to treat state as empty"
+            )
         live = os.path.join(state_path, version)
         if not os.path.isdir(live):
             raise RuntimeError(
@@ -92,18 +113,31 @@ def live_version_dir(state_path: str, what: str = "state") -> str | None:
 def gc_orphans(state_path: str) -> list[str]:
     """Delete version dirs not named by the MANIFEST; returns removed names.
 
-    Safe at any time under the single-writer assumption: the manifest is
-    read AFTER listing, so a dir is only swept if it is not live now.
+    The LISTING is taken first and the manifest read after: any version
+    created later than the listing is never in the sweep set, so under
+    the single-writer assumption (and even under a late-arriving second
+    writer) the live dir cannot be deleted. Stale manifest temp files
+    (crashed write_manifest) are swept too.
     """
     import shutil
 
+    names = [
+        n
+        for n in (os.listdir(state_path) if os.path.isdir(state_path) else [])
+        if n.startswith("v-") or n.startswith(f".{MANIFEST}.tmp-")
+    ]
     live = live_version_dir(state_path)
     if live is None:
         return []
     live_name = os.path.basename(live)
     removed = []
-    for n in os.listdir(state_path):
-        if n.startswith("v-") and n != live_name:
-            shutil.rmtree(os.path.join(state_path, n))
-            removed.append(n)
+    for n in names:
+        if n == live_name:
+            continue
+        p = os.path.join(state_path, n)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        else:
+            os.unlink(p)
+        removed.append(n)
     return removed

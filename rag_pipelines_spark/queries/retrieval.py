@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from rag_pipelines_spark.operators.retrieval import (
     BM25_B,
+    RRF_K,
     BM25_K1,
     BM25_K1_PLUS_1,
     BM25_ONE_MINUS_B,
@@ -228,8 +229,8 @@ def _sql_cosine_ranked(k: int, nq: int) -> str:
     fused AS (
         SELECT COALESCE(l.query_id, v.query_id) AS query_id,
                COALESCE(l.doc_id, v.doc_id) AS doc_id,
-               round(COALESCE(1.0 / (60.0 + CAST(l.rk AS DOUBLE)), 0.0)
-                     + COALESCE(1.0 / (60.0 + CAST(v.rk AS DOUBLE)), 0.0),
+               round(COALESCE(1.0 / ({RRF_K!r} + CAST(l.rk AS DOUBLE)), 0.0)
+                     + COALESCE(1.0 / ({RRF_K!r} + CAST(v.rk AS DOUBLE)), 0.0),
                      9) AS rrf
         FROM lranked l
         FULL OUTER JOIN vranked v
@@ -277,8 +278,8 @@ def q_rrf_fusion(spark, sf_dir):
     fused AS (
         SELECT COALESCE(l.query_id, v.query_id) AS query_id,
                COALESCE(l.doc_id, v.doc_id) AS doc_id,
-               round(COALESCE(1.0 / (60.0 + CAST(l.rk AS DOUBLE)), 0.0)
-                     + COALESCE(1.0 / (60.0 + CAST(v.rk AS DOUBLE)), 0.0),
+               round(COALESCE(1.0 / ({RRF_K!r} + CAST(l.rk AS DOUBLE)), 0.0)
+                     + COALESCE(1.0 / ({RRF_K!r} + CAST(v.rk AS DOUBLE)), 0.0),
                      9) AS rrf
         FROM lranked l
         FULL OUTER JOIN vranked v

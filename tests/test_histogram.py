@@ -103,3 +103,20 @@ def test_quantile_error_bound_property(spark, vals, width, prob):
         np.percentile(np.array(vals), prob * 100, method="inverted_cdf")
     )
     assert abs(est - true) <= width + 1e-9, (vals, width, prob, est, true)
+
+
+def test_null_values_excluded_from_quantiles(spark):
+    """Review finding: a NULL bin sorted first and padded every cum
+    count. Nulls must be ignored entirely."""
+    with_nulls = spark.createDataFrame(
+        [("a", None), ("a", None), ("a", 1.5), ("a", 2.5)], "k STRING, v DOUBLE"
+    )
+    clean = spark.createDataFrame(
+        [("a", 1.5), ("a", 2.5)], "k STRING, v DOUBLE"
+    )
+    h1 = histogram_partial(with_nulls, ["k"], "v", 1.0)
+    h2 = histogram_partial(clean, ["k"], "v", 1.0)
+    assert sorted(map(tuple, h1.collect())) == sorted(map(tuple, h2.collect()))
+    e1 = histogram_quantile(h1, ["k"], 1.0, 0.5).collect()[0].q50
+    e2 = histogram_quantile(h2, ["k"], 1.0, 0.5).collect()[0].q50
+    assert e1 == e2 and e1 is not None

@@ -115,3 +115,33 @@ def test_zorder_key_negative_dimensions(spark):
     assert all(0 <= v < (1 << 8) for v in rows.values())
     # corner (max,max) maps to the all-ones key
     assert rows[(10, 10)] == (1 << 8) - 1
+
+
+def test_zorder_fractional_column_stays_in_range_and_ordered(spark):
+    """Review finding: separate long-casts of col and min let double
+    columns exceed 2^bits-1 and invert order. Raw-double scaling must
+    keep every dimension in [0, 2^bits) with order preserved."""
+    df = spark.createDataFrame(
+        [(1, 0.9, 0.0), (2, 1.9, 0.0), (3, 2.0, 0.0)], "id INT, p DOUBLE, q DOUBLE"
+    )
+    rows = {r.id: r.zkey for r in zorder_key(df, ["p", "q"], bits=16).collect()}
+    assert all(0 <= v < (1 << 32) for v in rows.values())
+    assert rows[1] < rows[2] < rows[3]  # q constant -> zkey ordered by p
+
+
+def test_zorder_subunit_span_does_not_collapse(spark):
+    """A fractional span under 1.0 must still spread the dimension
+    (the old integer span truncated to 0 -> whole dimension ignored)."""
+    df = spark.createDataFrame(
+        [(1, 0.1, 0), (2, 0.5, 0), (3, 0.9, 0)], "id INT, p DOUBLE, q INT"
+    )
+    rows = {r.id: r.zkey for r in zorder_key(df, ["p", "q"], bits=8).collect()}
+    assert len(set(rows.values())) == 3
+
+
+def test_zorder_refuses_over_63_bits(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2, 3, 4, 5)], "a INT, b INT, c INT, d INT, e INT")
+    with _pytest.raises(ValueError, match="exceeds 63"):
+        zorder_key(df, ["a", "b", "c", "d", "e"], bits=16).collect()

@@ -194,3 +194,35 @@ def test_rrf_empty_side(spark):
     b = spark.createDataFrame([], "query_id INT, doc_id INT, rk INT")
     got = rrf_fuse(a, b).collect()
     assert len(got) == 1 and got[0].rrf == pytest.approx(1 / 61, abs=1e-9)
+
+
+def test_null_text_docs_excluded_from_stats_symmetrically(spark):
+    """Review finding: n_docs counted null-text docs that sum_dl skipped,
+    skewing avgdl/idf. Null-text rows must not affect scores at all."""
+    base = [(1, "spark join"), (2, "join scan")]
+    with_null = base + [(3, None)]
+    qs = spark.createDataFrame([(0, "join")], "query_id INT, query_text STRING")
+    a = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_scores(
+            spark.createDataFrame(base, "doc_id INT, text STRING"), qs
+        ).collect()
+    }
+    b = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_scores(
+            spark.createDataFrame(with_null, "doc_id INT, text STRING"), qs
+        ).collect()
+    }
+    assert a == b
+
+    from rag_pipelines_spark.operators.retrieval import batch_corpus_stats
+
+    t1, tot1 = batch_corpus_stats(
+        spark.createDataFrame(base, "doc_id INT, text STRING")
+    )
+    t2, tot2 = batch_corpus_stats(
+        spark.createDataFrame(with_null, "doc_id INT, text STRING")
+    )
+    assert tot1.collect() == tot2.collect()
+    assert sorted(map(tuple, t1.collect())) == sorted(map(tuple, t2.collect()))
