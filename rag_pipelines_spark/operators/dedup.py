@@ -335,6 +335,7 @@ def incremental_neardup(
     state_path: str,
     id_col: str,
     text_col: str,
+    epoch: int | None = None,
 ) -> DataFrame:
     """Near-dup-filter a new batch against ALL previously accepted content,
     without ever touching the old corpus text.
@@ -354,6 +355,16 @@ def incremental_neardup(
     fda_watcher.py scheduling); a crashed append leaves only uncommitted
     temp files, so retrying the batch is safe and idempotent w.r.t.
     verdicts (replayed content collides with its own accepted keys).
+
+    `epoch` (foreachBatch's epoch_id) upgrades that idempotence from
+    "verdicts preserved" to "OUTPUT preserved": state rows carry the
+    epoch they were appended in, collision checks see only EARLIER
+    epochs, and the append is skipped if this epoch's rows already
+    exist — so a replayed micro-batch returns the SAME `clean` set
+    instead of an empty one, letting downstream epoch-guarded merges
+    (corpus stats, rollup) repair themselves after a mid-batch crash.
+    A state dir must be used consistently with or without epochs (the
+    column is part of the parquet schema).
     """
     import os
     import uuid
@@ -367,8 +378,28 @@ def incremental_neardup(
         n.endswith(".parquet") for n in os.listdir(live)
     )
     dup_vs_state = None
+    already_applied = False
     if state_exists:
         state = spark.read.parquet(live)
+        if epoch is not None:
+            # replay-stable: this epoch's own keys never count as
+            # collisions, and their presence marks the append as done.
+            # A state epoch AHEAD of the incoming one means the stream
+            # checkpoint was reset against existing state (epoch counters
+            # restart per checkpoint) — raise, because filtering those
+            # rows out would silently corrupt verdicts.
+            max_epoch = state.agg(F.max("epoch")).first()[0]
+            if max_epoch is not None and max_epoch > epoch:
+                raise RuntimeError(
+                    f"neardup state at {state_path} holds epoch "
+                    f"{max_epoch} > incoming {epoch} — checkpoint reset "
+                    "against existing state; restore the checkpoint or "
+                    "start a fresh state root"
+                )
+            already_applied = max_epoch == epoch
+            state = state.filter(
+                F.col("epoch").isNull() | (F.col("epoch") < epoch)
+            )
         dup_vs_state = (
             new_bands.join(state, ["band", "bkey"], "left_semi")
             .select(id_col)
@@ -399,9 +430,11 @@ def incremental_neardup(
         os.makedirs(live, exist_ok=True)
         _write_manifest(state_path, version)
     # append only the SURVIVORS' keys (state stays one row set per accepted doc)
-    new_bands.join(clean.select(id_col), id_col, "left_semi").write.mode(
-        "append"
-    ).parquet(live)
+    if not already_applied:
+        keys = new_bands.join(clean.select(id_col), id_col, "left_semi")
+        if epoch is not None:
+            keys = keys.withColumn("epoch", F.lit(epoch))
+        keys.write.mode("append").parquet(live)
     return clean
 
 

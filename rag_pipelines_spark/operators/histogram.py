@@ -24,9 +24,11 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from rag_pipelines_spark.operators.state import (
+    applied_epoch,
     gc_orphans,
     live_version_dir,
     new_version_name,
+    write_epoch,
     write_manifest,
 )
 
@@ -48,10 +50,25 @@ def histogram_partial(batch: DataFrame, keys: list[str], col: str,
 
 
 def merge_histogram(spark, batch: DataFrame, state_path: str, *,
-                    keys: list[str], col: str, width: float) -> None:
+                    keys: list[str], col: str, width: float,
+                    epoch: int | None = None) -> None:
     """Fold one batch into histogram state (manifest scheme,
     operators/state.py). counts add ⇒ N merges == one-shot, pinned by
-    test. Same replay caveat as every additive state."""
+    test. Additive state: pass `epoch` for exactly-once under replay
+    (operators/state.py::applied_epoch)."""
+    if epoch is not None:
+        done = applied_epoch(state_path, what='histogram state')
+        if done is not None:
+            if done == epoch:
+                return  # replayed micro-batch: already folded in
+            if done > epoch:
+                raise RuntimeError(
+                    "histogram state at " + state_path + f" already applied epoch "
+                    f"{done} > incoming {epoch} — the stream checkpoint was "
+                    "reset against existing state (epoch counters restart "
+                    "per checkpoint); restore the checkpoint or start a "
+                    "fresh state root"
+                )
     partial = histogram_partial(batch, keys, col, width)
     live = live_version_dir(state_path, what="histogram state")
     if live is not None:
@@ -63,7 +80,10 @@ def merge_histogram(spark, batch: DataFrame, state_path: str, *,
         )
     os.makedirs(state_path, exist_ok=True)
     version = new_version_name()
-    partial.write.mode("overwrite").parquet(os.path.join(state_path, version))
+    vdir = os.path.join(state_path, version)
+    partial.write.mode("overwrite").parquet(vdir)
+    if epoch is not None:
+        write_epoch(vdir, epoch)
     write_manifest(state_path, version)
     gc_orphans(state_path)
 

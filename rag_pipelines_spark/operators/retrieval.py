@@ -264,7 +264,7 @@ def corpus_stats(spark, state_path: str):
 
 
 def merge_corpus_stats(spark, batch: DataFrame, state_path: str, *,
-                       text_col: str = "text") -> None:
+                       text_col: str = "text", epoch: int | None = None) -> None:
     """Accrete BM25 corpus statistics with a new document batch.
 
     merged dfreq = old + batch per term (full-outer sum); totals add.
@@ -273,19 +273,36 @@ def merge_corpus_stats(spark, batch: DataFrame, state_path: str, *,
     crash-safety contract of operators/state.py, shared with the near-dup
     state. Identity pinned by test: N merges == one batch over the union.
 
-    Single-writer like the reference's singleton watcher cron. Note the
-    stats are additive COUNTS, so replaying a batch double-counts — run
-    the batch through the dedup/anti-join front door first (the watcher
-    pipeline already does), which makes replays empty.
+    Single-writer like the reference's singleton watcher cron. The stats
+    are additive COUNTS, so a replayed batch would double-count — pass
+    `epoch` (foreachBatch's epoch_id) and the merge becomes idempotent:
+    a replay of an already-applied epoch is skipped (exactly-once state
+    under Structured Streaming's at-least-once replays).
     """
     import os
 
     from rag_pipelines_spark.operators.state import (
+        applied_epoch,
         gc_orphans,
         live_version_dir,
         new_version_name,
+        write_epoch,
         write_manifest,
     )
+
+    if epoch is not None:
+        done = applied_epoch(state_path, what='corpus-stats state')
+        if done is not None:
+            if done == epoch:
+                return  # replayed micro-batch: already folded in
+            if done > epoch:
+                raise RuntimeError(
+                    "corpus-stats state at " + state_path + f" already applied epoch "
+                    f"{done} > incoming {epoch} — the stream checkpoint was "
+                    "reset against existing state (epoch counters restart "
+                    "per checkpoint); restore the checkpoint or start a "
+                    "fresh state root"
+                )
 
     b_terms, b_totals = batch_corpus_stats(batch, text_col=text_col)
     live = live_version_dir(state_path, what="corpus-stats state")
@@ -311,6 +328,8 @@ def merge_corpus_stats(spark, batch: DataFrame, state_path: str, *,
     vdir = os.path.join(state_path, version)
     terms.write.mode("overwrite").parquet(os.path.join(vdir, "terms"))
     totals.write.mode("overwrite").parquet(os.path.join(vdir, "totals"))
+    if epoch is not None:
+        write_epoch(vdir, epoch)  # commits WITH the data via the flip
     write_manifest(state_path, version)  # atomic pointer flip
     gc_orphans(state_path)
 

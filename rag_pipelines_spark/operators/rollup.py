@@ -31,9 +31,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rag_pipelines_spark.operators.state import (
+    applied_epoch,
     gc_orphans,
     live_version_dir,
     new_version_name,
+    write_epoch,
     write_manifest,
 )
 
@@ -95,14 +97,29 @@ def rollup_batch(batch: DataFrame, keys: list[str],
 
 
 def merge_rollup(spark, batch: DataFrame, state_path: str, *,
-                 keys: list[str], measures: dict[str, list[str]]) -> None:
+                 keys: list[str], measures: dict[str, list[str]],
+                 epoch: int | None = None) -> None:
     """Fold one batch into the keyed rollup state.
 
     combine(state ∪ partial(batch)) == partial(history ∪ batch) — pinned
-    by test (N merges == one-shot groupBy over the union). Same replay
-    caveat as every additive state: run batches through the dedup/
-    anti-join front door first, replays double-count.
+    by test (N merges == one-shot groupBy over the union). Additive
+    state: pass `epoch` (foreachBatch's epoch_id) to make replays of an
+    already-applied micro-batch a no-op (exactly-once, see
+    operators/state.py::applied_epoch).
     """
+    if epoch is not None:
+        done = applied_epoch(state_path, what='rollup state')
+        if done is not None:
+            if done == epoch:
+                return  # replayed micro-batch: already folded in
+            if done > epoch:
+                raise RuntimeError(
+                    "rollup state at " + state_path + f" already applied epoch "
+                    f"{done} > incoming {epoch} — the stream checkpoint was "
+                    "reset against existing state (epoch counters restart "
+                    "per checkpoint); restore the checkpoint or start a "
+                    "fresh state root"
+                )
     partial = rollup_batch(batch, keys, measures)
     live = live_version_dir(state_path, what="rollup state")
     if live is not None:
@@ -116,9 +133,10 @@ def merge_rollup(spark, batch: DataFrame, state_path: str, *,
         merged = partial
     os.makedirs(state_path, exist_ok=True)
     version = new_version_name()
-    merged.write.mode("overwrite").parquet(
-        os.path.join(state_path, version)
-    )
+    vdir = os.path.join(state_path, version)
+    merged.write.mode("overwrite").parquet(vdir)
+    if epoch is not None:
+        write_epoch(vdir, epoch)
     write_manifest(state_path, version)
     gc_orphans(state_path)
 

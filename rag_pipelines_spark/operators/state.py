@@ -110,6 +110,38 @@ def live_version_dir(state_path: str, what: str = "state") -> str | None:
     return None  # fresh (empty root, or only data-less init leftovers)
 
 
+EPOCH_FILE = "_epoch"
+
+
+def write_epoch(version_dir: str, epoch: int) -> None:
+    """Record the micro-batch epoch INSIDE a version dir (before the
+    manifest flip, so the epoch commits atomically with the data —
+    a crash between them leaves an unreferenced dir, not a lie)."""
+    p = os.path.join(version_dir, EPOCH_FILE)
+    with open(p, "w") as f:
+        f.write(str(epoch) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def applied_epoch(state_path: str, what: str = "state") -> int | None:
+    """Epoch recorded in the LIVE version, or None (no state / no epoch).
+
+    The idempotent-foreachBatch contract: a merge passed `epoch=` skips
+    itself when applied_epoch >= epoch — Structured Streaming replays a
+    failed micro-batch with the SAME epoch_id and data, so per-state
+    epoch guards turn at-least-once replays into exactly-once state.
+    """
+    live = live_version_dir(state_path, what=what)
+    if live is None:
+        return None
+    p = os.path.join(live, EPOCH_FILE)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
 def gc_orphans(state_path: str) -> list[str]:
     """Delete version dirs not named by the MANIFEST; returns removed names.
 

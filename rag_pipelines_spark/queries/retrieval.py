@@ -81,9 +81,10 @@ def _sql_qterms() -> str:
 def _sql_bm25_scored() -> str:
     return f"""
     docs AS (
+        -- null-text docs excluded, mirroring bm25_scores' docs_nn filter
         SELECT doc_id, string_split(text, ' ') AS toks,
                len(string_split(text, ' ')) AS dl
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM docs),
     qterms AS ({_sql_qterms()}),
@@ -213,10 +214,13 @@ def _sql_cosine_ranked(k: int, nq: int) -> str:
     )"""
 
 
-@register(
-    "q_rrf_fusion",
-    oracle=f"""
-    WITH {_sql_bm25_scored()},
+
+
+def _sql_fusion_block() -> str:
+    """Shared lranked/vranked/fused CTE chain (top-20 lists, RRF k=RRF_K)
+    — used verbatim by BOTH q_rrf_fusion and q_retrieval_eval so the two
+    oracles cannot drift."""
+    return f"""
     lranked AS (
         SELECT query_id, doc_id, rk FROM (
             SELECT query_id, doc_id,
@@ -235,7 +239,14 @@ def _sql_cosine_ranked(k: int, nq: int) -> str:
         FROM lranked l
         FULL OUTER JOIN vranked v
           ON l.query_id = v.query_id AND l.doc_id = v.doc_id
-    )
+    )"""
+
+
+@register(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH {_sql_bm25_scored()},
+    {_sql_fusion_block()}
     SELECT query_id, doc_id, rrf, rk FROM (
         SELECT query_id, doc_id, rrf,
                ROW_NUMBER() OVER (PARTITION BY query_id
@@ -266,25 +277,7 @@ def q_rrf_fusion(spark, sf_dir):
     "q_retrieval_eval",
     oracle=f"""
     WITH {_sql_bm25_scored()},
-    lranked AS (
-        SELECT query_id, doc_id, rk FROM (
-            SELECT query_id, doc_id,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY score DESC, doc_id) AS rk
-            FROM scored
-        ) WHERE rk <= 20
-    ),
-    {_sql_cosine_ranked(20, len(QUERY_SET))},
-    fused AS (
-        SELECT COALESCE(l.query_id, v.query_id) AS query_id,
-               COALESCE(l.doc_id, v.doc_id) AS doc_id,
-               round(COALESCE(1.0 / ({RRF_K!r} + CAST(l.rk AS DOUBLE)), 0.0)
-                     + COALESCE(1.0 / ({RRF_K!r} + CAST(v.rk AS DOUBLE)), 0.0),
-                     9) AS rrf
-        FROM lranked l
-        FULL OUTER JOIN vranked v
-          ON l.query_id = v.query_id AND l.doc_id = v.doc_id
-    ),
+    {_sql_fusion_block()},
     hranked AS (
         SELECT query_id, doc_id, rk FROM (
             SELECT query_id, doc_id,

@@ -297,9 +297,10 @@ def _sql_hist_quantile(prob: float, width: float, alias: str) -> str:
     "q_histogram_quantiles",
     oracle=f"""
     WITH hbins AS (
+        -- null values excluded, mirroring histogram_partial
         SELECT event_type, CAST(FLOOR(value / 1.0) AS BIGINT) AS bin,
                COUNT(*) AS n
-        FROM events GROUP BY event_type, bin
+        FROM events WHERE value IS NOT NULL GROUP BY event_type, bin
     ),
     hcum AS (
         SELECT event_type, bin, n,

@@ -56,6 +56,21 @@ def incremental_merge(
     return delta
 
 
+def _file_stream(spark: SparkSession, source_dir: str, schema,
+                 glob: str = "*.parquet"):
+    """Shared file-source reader: schema'd parquet stream with name-glob
+    scoping and T3 pacing (maxFilesPerTrigger, ref: fda_watcher.py:54-55).
+    One definition so pacing/glob semantics can't drift between the
+    streaming entry points (the round-4 glob bug had to be fixed once
+    per copy)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+
+
 def streaming_dedup_query(
     spark: SparkSession,
     source_dir: str,
@@ -65,13 +80,16 @@ def streaming_dedup_query(
     queryName: str = "incremental_dedup",
     glob: str = "*.parquet",
 ) -> StreamingQuery:
-    """File-source stream with stateful dropDuplicates (T2 streaming form)."""
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", glob)
-        .option("maxFilesPerTrigger", 4)  # T3 pacing, ref: fda_watcher.py:54-55
-        .parquet(source_dir)
-    )
+    """File-source stream with stateful dropDuplicates (T2 streaming form).
+
+    State caveat: plain dropDuplicates keeps one state entry per distinct
+    key FOREVER — fine for availableNow batch-style runs (this harness),
+    but a resident query over an unbounded keyspace must bound state with
+    dropDuplicatesWithinWatermark (keys expire past the watermark) or use
+    the anti-join-vs-parquet-state form (incremental_stream_pipeline),
+    whose state lives on disk instead of in the state store.
+    """
+    stream = _file_stream(spark, source_dir, schema, glob)
     return (
         stream.dropDuplicates(key_cols)
         .writeStream.format("memory")
@@ -112,7 +130,12 @@ def windowed_counts_query(
     ).trigger(availableNow=True)
     if sink_path is None:
         return writer.format("memory").queryName(queryName).start()
-    return writer.format("parquet").option("path", sink_path).start()
+    return (
+        writer.format("parquet")
+        .queryName(queryName)
+        .option("path", sink_path)
+        .start()
+    )
 
 
 def incremental_stream_pipeline(
@@ -133,12 +156,7 @@ def incremental_stream_pipeline(
     ref: fda_watcher.py:373-416 — this IS the watcher loop, with the Excel
     replaced by parquet state and the scheduler replaced by the trigger.
     """
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", glob)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(source_dir)
-    )
+    stream = _file_stream(spark, source_dir, schema, glob)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         incremental_merge(batch_df.sparkSession, batch_df, state_path, key=key)
@@ -167,48 +185,56 @@ def continuous_ingest_pipeline(
     """The reference's watcher as ONE streaming job maintaining EVERY
     state family per micro-batch (the round-4 composition):
 
-        exact-delta front door (anti-join vs ``<root>/seen``)
+        exact-delta front door (anti-join vs ``<root>/seen`` KEYS)
           -> near-dup filter   (manifest state, ``<root>/neardup``)
           -> corpus-stats merge (BM25 df/avgdl,  ``<root>/stats``)
           -> rollup merge       (keyed partials,  ``<root>/rollup``)
-          -> accepted corpus append (``<root>/corpus``)
+          -> accepted corpus    (``<root>/corpus/epoch=N``, overwrite)
+          -> seen-keys append   (COMMIT POINT, last)
 
-    Consistency contract (single-writer, like the watcher cron): each
-    state family is individually crash-safe (manifest pointer flip or
-    idempotent anti-join). ACROSS families there is no transaction: the
-    front-door append commits FIRST, so a crash mid-batch can only make
-    downstream families MISS that batch's rows (replay finds an empty
-    delta), never double-count them — additive states (stats, rollup)
-    prefer undercount-and-detectable over silent double-count. Detection:
-    ``<root>/seen`` keys minus ``<root>/corpus`` ids = rows owed to the
-    downstream families; re-merge exactly that difference to repair.
-    (The reference has the same cross-sink property: its Excel master and
-    JSON outputs commit at different times, fda_watcher.py:544-555.)
+    Exactly-once across families (single-writer): Structured Streaming
+    replays a failed micro-batch with the same epoch_id and data, and
+    every step is epoch-idempotent —
+
+    * the near-dup state tags its rows with the epoch and excludes the
+      current epoch from collision checks, so a replay reproduces the
+      SAME ``clean`` set instead of an empty one;
+    * corpus-stats / rollup merges skip epochs already recorded in their
+      live version (operators/state.py::applied_epoch);
+    * the corpus write is a per-epoch partition overwrite;
+    * the seen-keys append commits LAST, so a crash anywhere above it
+      replays with an identical delta; a crash after it makes the replay
+      delta empty, which is correct because every other family already
+      committed. ``seen`` stores ONLY the key column — at corpus scale
+      it stays keys-sized, not text-sized.
     """
     from rag_pipelines_spark.operators.dedup import incremental_neardup
     from rag_pipelines_spark.operators.retrieval import merge_corpus_stats
     from rag_pipelines_spark.operators.rollup import merge_rollup
 
     measures = rollup_measures or {"n_chars": ["count", "sum", "min", "max"]}
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", glob)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(source_dir)
-    )
+    stream = _file_stream(spark, source_dir, schema, glob)
+    seen_path = os.path.join(root, "seen")
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         s = batch_df.sparkSession
-        delta = incremental_merge(
-            s, batch_df, os.path.join(root, "seen"), key=id_col
+        seen_exists = os.path.isdir(seen_path) and any(
+            n.endswith(".parquet") for n in os.listdir(seen_path)
         )
-        if not delta.take(1):  # replayed/empty batch: all states settled
+        delta = batch_df.dropDuplicates([id_col])
+        if seen_exists:
+            seen_keys = s.read.parquet(seen_path)
+            delta = delta.join(seen_keys, id_col, "left_anti")
+        delta = delta.localCheckpoint(eager=True)
+        if not delta.take(1):  # fully-replayed batch: all states settled
             return
         clean = incremental_neardup(
-            s, delta, os.path.join(root, "neardup"), id_col, text_col
+            s, delta, os.path.join(root, "neardup"), id_col, text_col,
+            epoch=epoch_id,
         )
         merge_corpus_stats(
-            s, clean, os.path.join(root, "stats"), text_col=text_col
+            s, clean, os.path.join(root, "stats"), text_col=text_col,
+            epoch=epoch_id,
         )
         merge_rollup(
             s,
@@ -216,8 +242,14 @@ def continuous_ingest_pipeline(
             os.path.join(root, "rollup"),
             keys=list(rollup_keys),
             measures=measures,
+            epoch=epoch_id,
         )
-        clean.write.mode("append").parquet(os.path.join(root, "corpus"))
+        # per-epoch partition overwrite: replaying rewrites the same files
+        clean.write.mode("overwrite").parquet(
+            os.path.join(root, "corpus", f"epoch={epoch_id}")
+        )
+        # COMMIT POINT: keys only, appended last
+        delta.select(id_col).write.mode("append").parquet(seen_path)
 
     return (
         stream.writeStream.foreachBatch(process)

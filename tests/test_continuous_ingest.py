@@ -1,8 +1,9 @@
 """End-to-end test of the composed continuous-ingest pipeline
 (streaming/incremental.py::continuous_ingest_pipeline): one streaming job
 maintains the seen-keys front door, near-dup state, BM25 corpus stats,
-and the keyed rollup — and a full replay (same checkpoint) changes
-nothing in any state family."""
+and the keyed rollup — a full replay (fresh checkpoint) changes nothing
+in any state family, and the epoch guards make each additive merge
+individually idempotent (the exactly-once contract)."""
 
 from __future__ import annotations
 
@@ -90,6 +91,8 @@ def test_continuous_ingest_all_families(spark, tmp_path):
 
     # front door saw every distinct key; exact dup (doc 1 again) blocked
     assert seen == {1, 2, 3, 4, 5}
+    # seen stores ONLY the key column (keys-sized at corpus scale)
+    assert spark.read.parquet(f"{root}/seen").columns == ["doc_id"]
     # near-dup filter dropped doc 4 (mutated twin of doc 3)
     assert corpus == {1, 2, 3, 5}
     # corpus stats describe exactly the accepted corpus
@@ -120,3 +123,48 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     before = (corpus, stats, rollup, seen)
     _run(spark, src, root, str(tmp_path / "ckpt2"))
     assert _state_snapshot(spark, root) == before
+
+
+def test_epoch_guards_make_merges_idempotent(spark, tmp_path):
+    """Replaying the SAME epoch must be a no-op for every additive state,
+    the near-dup filter must return the SAME clean set (not empty), and
+    an epoch older than the state's must raise (checkpoint reset)."""
+    import pytest as _pytest
+
+    from rag_pipelines_spark.operators.dedup import incremental_neardup
+    from rag_pipelines_spark.operators.retrieval import (
+        corpus_stats,
+        merge_corpus_stats,
+    )
+    from rag_pipelines_spark.operators.rollup import merge_rollup, read_rollup
+
+    b1, _ = _rows()
+    batch = spark.createDataFrame(b1, SCHEMA)
+    nd = str(tmp_path / "nd")
+    st = str(tmp_path / "st")
+    ru = str(tmp_path / "ru")
+
+    clean1 = {r.doc_id for r in incremental_neardup(spark, batch, nd, "doc_id", "text", epoch=0).collect()}
+    merge_corpus_stats(spark, batch, st, epoch=0)
+    merge_rollup(spark, batch, ru, keys=["lang"],
+                 measures={"n_chars": ["count", "sum"]}, epoch=0)
+    stats1 = (sorted(map(tuple, corpus_stats(spark, st)[0].collect())),
+              corpus_stats(spark, st)[1].collect())
+    roll1 = sorted(map(tuple, read_rollup(spark, ru).collect()))
+
+    # replay epoch 0: identical clean set, no state change anywhere
+    clean2 = {r.doc_id for r in incremental_neardup(spark, batch, nd, "doc_id", "text", epoch=0).collect()}
+    merge_corpus_stats(spark, batch, st, epoch=0)
+    merge_rollup(spark, batch, ru, keys=["lang"],
+                 measures={"n_chars": ["count", "sum"]}, epoch=0)
+    assert clean2 == clean1
+    assert (sorted(map(tuple, corpus_stats(spark, st)[0].collect())),
+            corpus_stats(spark, st)[1].collect()) == stats1
+    assert sorted(map(tuple, read_rollup(spark, ru).collect())) == roll1
+
+    # a LOWER epoch means the checkpoint was reset — loud failure
+    merge_corpus_stats(spark, batch, st, epoch=1)
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        merge_corpus_stats(spark, batch, st, epoch=0)
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        incremental_neardup(spark, batch, nd, "doc_id", "text", epoch=-1)
