@@ -112,6 +112,7 @@ def scd2_merge(
     attr: str = "event_type",
     ts: str = "ts",
     tiebreak: str = "event_id",
+    validate: bool = True,
 ) -> DataFrame:
     """Merge a new event batch into an existing SCD2 dimension.
 
@@ -124,18 +125,43 @@ def scd2_merge(
     The touched-key set rides a broadcast anti/semi join (small side by
     construction).
 
-    Assumes batches arrive in event-time order: every batch event for a
-    key must be later than that key's open valid_from (the seed tiebreak
-    of -1 also wins exact ties). A late event older than an already-
-    closed interval needs a raw-history rebuild of that key — same
-    contract as any warehouse SCD2 loader.
+    Requires batches in event-time order: every batch event for a key
+    must be at-or-after that key's open valid_from (the seed tiebreak of
+    -1 wins exact ties). `validate=True` (default) ENFORCES this — one
+    batch-sized aggregation joined against the touched keys' open rows;
+    any event older than its key's open interval start raises ValueError
+    naming offending keys, because merging it would silently produce
+    wrong intervals (the event belongs inside an already-closed row,
+    which only a raw-history rebuild of that key can repair — the same
+    contract as any warehouse SCD2 loader). The check costs one extra
+    small job over |batch| + |touched open rows|; pass validate=False
+    only when the feed is provably ordered upstream.
 
-    Equivalence `scd2_merge(scd2(e<=T), e>T) == scd2(e)` and the
-    empty-batch no-op are pinned in tests/test_warehouse.py.
+    Equivalence `scd2_merge(scd2(e<=T), e>T) == scd2(e)`, the
+    empty-batch no-op, and the late-batch raise are pinned in
+    tests/test_warehouse.py.
     """
     touched = batch.select(key).distinct()
     closed = dim.filter(F.col("is_current") == 0)
     open_rows = dim.filter(F.col("is_current") == 1)
+    if validate:
+        viol = (
+            batch.groupBy(key)
+            .agg(F.min(ts).alias("_batch_min_ts"))
+            .join(
+                F.broadcast(open_rows.select(key, "valid_from")), key
+            )
+            .filter(F.col("_batch_min_ts") < F.col("valid_from"))
+        )
+        bad = viol.select(key, "_batch_min_ts", "valid_from").take(3)
+        if bad:
+            raise ValueError(
+                "scd2_merge: late events older than their key's open "
+                f"interval — e.g. {[r.asDict() for r in bad]}; merging "
+                "them would write silently wrong intervals. Rebuild the "
+                "affected keys from raw history (scd2_from_events) "
+                "instead."
+            )
     untouched_open = open_rows.join(F.broadcast(touched), key, "left_anti")
     tb_type = dict(batch.dtypes)[tiebreak]
     seeds = open_rows.join(F.broadcast(touched), key, "left_semi").select(

@@ -359,15 +359,30 @@ def incremental_neardup(
     `epoch` (foreachBatch's epoch_id) upgrades that idempotence from
     "verdicts preserved" to "OUTPUT preserved": state rows carry the
     epoch they were appended in, collision checks see only EARLIER
-    epochs, and the append is skipped if this epoch's rows already
-    exist — so a replayed micro-batch returns the SAME `clean` set
-    instead of an empty one, letting downstream epoch-guarded merges
-    (corpus stats, rollup) repair themselves after a mid-batch crash.
-    A state dir must be used consistently with or without epochs (the
-    column is part of the parquet schema).
+    epochs, and the append is recorded done by an fsync'd COMMIT MARKER
+    (state.py::mark_epoch_committed) written only after the append's job
+    commit returned — row presence is NOT the done signal, because a
+    crash mid job-commit leaves a partial file set visible and skipping
+    the append on that evidence would lose the remaining survivors' band
+    keys forever (future near-dups re-admitted). With the marker, a
+    replayed micro-batch either redoes the append (marker absent; the
+    crash-window duplicates this can leave are invisible to the
+    left_semi collision probes and swept by compaction's dropDuplicates)
+    or skips it (marker present) — and either way returns the SAME
+    `clean` set, letting downstream epoch-guarded merges (corpus stats,
+    rollup) repair themselves after a mid-batch crash. A state dir must
+    be used consistently with or without epochs (the column is part of
+    the parquet schema).
     """
     import os
     import uuid
+
+    from rag_pipelines_spark.operators.state import (
+        epoch_is_committed,
+        mark_epoch_committed,
+        max_committed_epoch,
+        writer_lease,
+    )
 
     new_bands = minhash_band_keys(batch, id_col, text_col).localCheckpoint(
         eager=True
@@ -383,20 +398,20 @@ def incremental_neardup(
         state = spark.read.parquet(live)
         if epoch is not None:
             # replay-stable: this epoch's own keys never count as
-            # collisions, and their presence marks the append as done.
-            # A state epoch AHEAD of the incoming one means the stream
-            # checkpoint was reset against existing state (epoch counters
-            # restart per checkpoint) — raise, because filtering those
-            # rows out would silently corrupt verdicts.
-            max_epoch = state.agg(F.max("epoch")).first()[0]
-            if max_epoch is not None and max_epoch > epoch:
+            # collisions. A committed state epoch AHEAD of the incoming
+            # one means the stream checkpoint was reset against existing
+            # state (epoch counters restart per checkpoint) — raise,
+            # because filtering those rows out would silently corrupt
+            # verdicts.
+            done_max = max_committed_epoch(live)
+            if done_max is not None and done_max > epoch:
                 raise RuntimeError(
-                    f"neardup state at {state_path} holds epoch "
-                    f"{max_epoch} > incoming {epoch} — checkpoint reset "
+                    f"neardup state at {state_path} holds committed epoch "
+                    f"{done_max} > incoming {epoch} — checkpoint reset "
                     "against existing state; restore the checkpoint or "
                     "start a fresh state root"
                 )
-            already_applied = max_epoch == epoch
+            already_applied = epoch_is_committed(live, epoch)
             state = state.filter(
                 F.col("epoch").isNull() | (F.col("epoch") < epoch)
             )
@@ -421,20 +436,25 @@ def incremental_neardup(
         else dup_in_batch
     )
     clean = batch.join(dups, id_col, "left_anti").localCheckpoint(eager=True)
-    if live is None:
-        # first init: version dir BEFORE manifest — a crash between the two
-        # leaves a data-less v-dir, which neardup_state_dir proves harmless
-        # and still reports as fresh
-        version = f"v-{uuid.uuid4().hex[:8]}"
-        live = os.path.join(state_path, version)
-        os.makedirs(live, exist_ok=True)
-        _write_manifest(state_path, version)
-    # append only the SURVIVORS' keys (state stays one row set per accepted doc)
-    if not already_applied:
-        keys = new_bands.join(clean.select(id_col), id_col, "left_semi")
-        if epoch is not None:
-            keys = keys.withColumn("epoch", F.lit(epoch))
-        keys.write.mode("append").parquet(live)
+    with writer_lease(state_path, what="neardup state"):
+        if live is None:
+            # first init: version dir BEFORE manifest — a crash between the
+            # two leaves a data-less v-dir, which neardup_state_dir proves
+            # harmless and still reports as fresh
+            version = f"v-{uuid.uuid4().hex[:8]}"
+            live = os.path.join(state_path, version)
+            os.makedirs(live, exist_ok=True)
+            _write_manifest(state_path, version)
+        # append only the SURVIVORS' keys (one row set per accepted doc)
+        if not already_applied:
+            keys = new_bands.join(clean.select(id_col), id_col, "left_semi")
+            if epoch is not None:
+                keys = keys.withColumn("epoch", F.lit(epoch))
+            keys.write.mode("append").parquet(live)
+            if epoch is not None:
+                # COMMIT RECORD, after the job commit returned: proves the
+                # full file set is visible (see docstring)
+                mark_epoch_committed(live, epoch)
     return clean
 
 
@@ -452,10 +472,13 @@ def compact_neardup_state(
     shuffle-prune to the matching partitions, and the file count is fixed
     at num_partitions regardless of how many batches accreted.
 
-    Row set is preserved exactly (pure repartition, no dedup pass needed:
-    state holds one (id, band, bkey) row per accepted doc-band, and
-    replayed content never reaches the append path). Cadence guidance in
-    SCALE.md: compact when the file count exceeds ~10x cluster parallelism.
+    The rewrite runs dropDuplicates: the steady state holds one
+    (id, band, bkey) row per accepted doc-band, but a crash between an
+    epoch append's job commit and its commit marker makes the replay
+    redo the append (incremental_neardup's marker contract), which can
+    leave one epoch's keys doubled — semantically invisible to the
+    left_semi probes, reclaimed here. Cadence guidance in SCALE.md:
+    compact when the file count exceeds ~10x cluster parallelism.
 
     Crash safety — manifest/versioned-prefix scheme (object-store safe):
     the compacted copy is written to a NEW version directory while the
@@ -477,21 +500,33 @@ def compact_neardup_state(
     orphan).
     """
     import os
-    import shutil
     import uuid
 
-    live = neardup_state_dir(state_path)
-    if live is None:
-        raise FileNotFoundError(f"no neardup state at {state_path}")
-    state = spark.read.parquet(live)
-    n_rows = state.count()
-    n = num_partitions or spark.sparkContext.defaultParallelism
-    new_version = f"v-{uuid.uuid4().hex[:8]}"
-    state.repartition(n, "bkey").write.mode("overwrite").parquet(
-        os.path.join(state_path, new_version)
+    from rag_pipelines_spark.operators.state import (
+        gc_orphans,
+        mark_epoch_committed,
+        max_committed_epoch,
+        write_prev,
+        writer_lease,
     )
-    _write_manifest(state_path, new_version)  # atomic pointer flip
-    for name in os.listdir(state_path):  # GC every unreferenced version
-        if name.startswith("v-") and name != new_version:
-            shutil.rmtree(os.path.join(state_path, name), ignore_errors=True)
+
+    with writer_lease(state_path, what="neardup state"):
+        live = neardup_state_dir(state_path)
+        if live is None:
+            raise FileNotFoundError(f"no neardup state at {state_path}")
+        state = spark.read.parquet(live).dropDuplicates()
+        n_rows = state.count()
+        n = num_partitions or spark.sparkContext.defaultParallelism
+        new_version = f"v-{uuid.uuid4().hex[:8]}"
+        new_dir = os.path.join(state_path, new_version)
+        state.repartition(n, "bkey").write.mode("overwrite").parquet(new_dir)
+        # carry the newest epoch's commit marker: only the LATEST epoch can
+        # ever be replayed (the stream advances past N only after N's
+        # checkpoint commit), so older markers are dead weight and dropped
+        done_max = max_committed_epoch(live)
+        if done_max is not None:
+            mark_epoch_committed(new_dir, done_max)
+        write_prev(new_dir, os.path.basename(live))  # reader-grace record
+        _write_manifest(state_path, new_version)  # atomic pointer flip
+        gc_orphans(state_path)  # sweeps all but live + its predecessor
     return n_rows

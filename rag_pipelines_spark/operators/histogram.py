@@ -30,6 +30,8 @@ from rag_pipelines_spark.operators.state import (
     new_version_name,
     write_epoch,
     write_manifest,
+    write_prev,
+    writer_lease,
 )
 
 
@@ -70,22 +72,24 @@ def merge_histogram(spark, batch: DataFrame, state_path: str, *,
                     "fresh state root"
                 )
     partial = histogram_partial(batch, keys, col, width)
-    live = live_version_dir(state_path, what="histogram state")
-    if live is not None:
-        partial = (
-            spark.read.parquet(live)
-            .unionByName(partial)
-            .groupBy(*keys, "bin")
-            .agg(F.sum("n").alias("n"))
-        )
-    os.makedirs(state_path, exist_ok=True)
-    version = new_version_name()
-    vdir = os.path.join(state_path, version)
-    partial.write.mode("overwrite").parquet(vdir)
-    if epoch is not None:
-        write_epoch(vdir, epoch)
-    write_manifest(state_path, version)
-    gc_orphans(state_path)
+    with writer_lease(state_path, what="histogram state"):
+        live = live_version_dir(state_path, what="histogram state")
+        if live is not None:
+            partial = (
+                spark.read.parquet(live)
+                .unionByName(partial)
+                .groupBy(*keys, "bin")
+                .agg(F.sum("n").alias("n"))
+            )
+        os.makedirs(state_path, exist_ok=True)
+        version = new_version_name()
+        vdir = os.path.join(state_path, version)
+        partial.write.mode("overwrite").parquet(vdir)
+        if epoch is not None:
+            write_epoch(vdir, epoch)
+        write_prev(vdir, os.path.basename(live) if live else None)
+        write_manifest(state_path, version)
+        gc_orphans(state_path)  # retains the predecessor for in-flight readers
 
 
 def read_histogram(spark, state_path: str) -> DataFrame:

@@ -288,6 +288,8 @@ def merge_corpus_stats(spark, batch: DataFrame, state_path: str, *,
         new_version_name,
         write_epoch,
         write_manifest,
+        write_prev,
+        writer_lease,
     )
 
     if epoch is not None:
@@ -305,33 +307,36 @@ def merge_corpus_stats(spark, batch: DataFrame, state_path: str, *,
                 )
 
     b_terms, b_totals = batch_corpus_stats(batch, text_col=text_col)
-    live = live_version_dir(state_path, what="corpus-stats state")
-    if live is not None:
-        o_terms = spark.read.parquet(os.path.join(live, "terms"))
-        o_totals = spark.read.parquet(os.path.join(live, "totals"))
-        terms = (
-            o_terms.unionByName(b_terms)
-            .groupBy("term")
-            .agg(F.sum("dfreq").alias("dfreq"))
-        )
-        totals = (
-            o_totals.unionByName(b_totals)
-            .agg(
-                F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+    with writer_lease(state_path, what="corpus-stats state"):
+        live = live_version_dir(state_path, what="corpus-stats state")
+        if live is not None:
+            o_terms = spark.read.parquet(os.path.join(live, "terms"))
+            o_totals = spark.read.parquet(os.path.join(live, "totals"))
+            terms = (
+                o_terms.unionByName(b_terms)
+                .groupBy("term")
+                .agg(F.sum("dfreq").alias("dfreq"))
             )
-        )
-    else:
-        terms, totals = b_terms, b_totals
+            totals = (
+                o_totals.unionByName(b_totals)
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("sum_dl").alias("sum_dl"),
+                )
+            )
+        else:
+            terms, totals = b_terms, b_totals
 
-    os.makedirs(state_path, exist_ok=True)
-    version = new_version_name()
-    vdir = os.path.join(state_path, version)
-    terms.write.mode("overwrite").parquet(os.path.join(vdir, "terms"))
-    totals.write.mode("overwrite").parquet(os.path.join(vdir, "totals"))
-    if epoch is not None:
-        write_epoch(vdir, epoch)  # commits WITH the data via the flip
-    write_manifest(state_path, version)  # atomic pointer flip
-    gc_orphans(state_path)
+        os.makedirs(state_path, exist_ok=True)
+        version = new_version_name()
+        vdir = os.path.join(state_path, version)
+        terms.write.mode("overwrite").parquet(os.path.join(vdir, "terms"))
+        totals.write.mode("overwrite").parquet(os.path.join(vdir, "totals"))
+        if epoch is not None:
+            write_epoch(vdir, epoch)  # commits WITH the data via the flip
+        write_prev(vdir, os.path.basename(live) if live else None)
+        write_manifest(state_path, version)  # atomic pointer flip
+        gc_orphans(state_path)  # retains the predecessor for in-flight readers
 
 
 def assemble_context(ranked: DataFrame, *, snippet_col: str = "snippet",
@@ -352,4 +357,78 @@ def assemble_context(ranked: DataFrame, *, snippet_col: str = "snippet",
             ),
             sep,
         ).alias("context"),
+    )
+
+
+def term_pmi(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair_count: int = 5,
+    max_terms_per_doc: int | None = None,
+    round_digits: int | None = 9,
+) -> DataFrame:
+    """PMI term co-occurrence over document-level presence
+    (query-expansion statistics): (t1, t2, c12, pmi) with
+    pmi = ln(P(t1,t2) / (P(t1)·P(t2))) over document frequencies,
+    t1 < t2 lexicographically, pairs below `min_pair_count` dropped.
+
+    Scale contract — the pair build is QUADRATIC in per-doc distinct
+    terms: one 10k-distinct-term document emits 5·10⁷ pairs from a
+    single row. `max_terms_per_doc` caps it: each document's distinct
+    term set is reduced to a deterministic hash-ranked top-k slice
+    (xxhash64 order) BEFORE the self-join, bounding any document's pair
+    emission at k·(k-1)/2. Hash rank rather than frequency rank on
+    purpose: it needs no per-(doc,term) aggregation (stays a per-row
+    array op — no extra shuffle) and samples the vocabulary unbiased,
+    where frequency ranking would concentrate on stopwords. The fixture
+    query calls this uncapped (web-scale callers must not); the capped
+    pair bound is pinned in tests/test_retrieval.py.
+
+    `round_digits` rounds pmi for cross-engine hash parity (PMI
+    magnitude <= ln(N_docs), so 9 digits is 1-ULP-safe); pass None for
+    full doubles.
+    """
+    terms_arr = F.array_distinct(F.split(F.col(text_col), " "))
+    if max_terms_per_doc is not None:
+        # deterministic hash order, then slice: per-row, shuffle-free
+        terms_arr = F.slice(
+            F.array_sort(
+                terms_arr,
+                lambda l, r: F.when(F.xxhash64(l) < F.xxhash64(r), -1)
+                .when(F.xxhash64(l) > F.xxhash64(r), 1)
+                .otherwise(0),
+            ),
+            1,
+            max_terms_per_doc,
+        )
+    dt = docs.select(F.col(id_col).alias("doc_id"),
+                     F.explode(terms_arr).alias("term"))
+    n = dt.agg(F.count_distinct("doc_id").alias("n_docs"))
+    dfreq = dt.groupBy("term").agg(F.count("*").alias("c"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    # equi-join on doc_id only (lint contract: candidates from equi-joins,
+    # never all-pairs); the t1 < t2 predicate prunes inside the match
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.term") < F.col("b.term")))
+        .groupBy(F.col("a.term").alias("t1"), F.col("b.term").alias("t2"))
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= min_pair_count)
+    )
+    f1 = dfreq.select(F.col("term").alias("t1"), F.col("c").alias("c1"))
+    f2 = dfreq.select(F.col("term").alias("t2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c12").cast("double") * F.col("n_docs").cast("double"))
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    )
+    if round_digits is not None:
+        pmi = F.round(pmi, round_digits)
+    return (
+        pairs.join(F.broadcast(f1), "t1")
+        .join(F.broadcast(f2), "t2")
+        .crossJoin(F.broadcast(n))
+        .select("t1", "t2", "c12", pmi.alias("pmi"))
     )

@@ -37,6 +37,8 @@ from rag_pipelines_spark.operators.state import (
     new_version_name,
     write_epoch,
     write_manifest,
+    write_prev,
+    writer_lease,
 )
 
 # measure -> (batch partial, state combine). Each entry emits columns
@@ -121,24 +123,26 @@ def merge_rollup(spark, batch: DataFrame, state_path: str, *,
                     "fresh state root"
                 )
     partial = rollup_batch(batch, keys, measures)
-    live = live_version_dir(state_path, what="rollup state")
-    if live is not None:
-        merged = (
-            spark.read.parquet(live)
-            .unionByName(partial)
-            .groupBy(*keys)
-            .agg(*_combine_aggs(measures))
-        )
-    else:
-        merged = partial
-    os.makedirs(state_path, exist_ok=True)
-    version = new_version_name()
-    vdir = os.path.join(state_path, version)
-    merged.write.mode("overwrite").parquet(vdir)
-    if epoch is not None:
-        write_epoch(vdir, epoch)
-    write_manifest(state_path, version)
-    gc_orphans(state_path)
+    with writer_lease(state_path, what="rollup state"):
+        live = live_version_dir(state_path, what="rollup state")
+        if live is not None:
+            merged = (
+                spark.read.parquet(live)
+                .unionByName(partial)
+                .groupBy(*keys)
+                .agg(*_combine_aggs(measures))
+            )
+        else:
+            merged = partial
+        os.makedirs(state_path, exist_ok=True)
+        version = new_version_name()
+        vdir = os.path.join(state_path, version)
+        merged.write.mode("overwrite").parquet(vdir)
+        if epoch is not None:
+            write_epoch(vdir, epoch)
+        write_prev(vdir, os.path.basename(live) if live else None)
+        write_manifest(state_path, version)
+        gc_orphans(state_path)  # retains the predecessor for in-flight readers
 
 
 def read_rollup(spark, state_path: str) -> DataFrame:

@@ -19,15 +19,40 @@ incremental operator must never have. Crash drills are pinned in
 tests/test_incremental_neardup.py.
 
 Single-writer by design: the reference's watcher is a singleton cron
-(fda_watcher.py scheduling), so batches and compactions are serialized.
+(fda_watcher.py scheduling), so batches and compactions are serialized —
+and since round 5 the assumption is ENFORCED, not assumed: every mutating
+operator acquires `writer_lease` (pid+timestamp lease file, stale-lease
+takeover) and a concurrent second writer raises instead of interleaving
+manifest flips.
 """
 
 from __future__ import annotations
 
 import os
+import time
 import uuid
+from contextlib import contextmanager
 
 MANIFEST = "MANIFEST"
+PREV_FILE = "_prev"
+LEASE = "LEASE"
+
+
+def _require_local(path: str) -> None:
+    """This module's atomicity/durability arguments are implemented with
+    local-FS ``os.*`` calls (``os.replace``, ``os.fsync``, ``O_EXCL``).
+    Given an object-store/HDFS URI those calls would quietly report the
+    state absent ("provably fresh") — the silent look-empty outcome the
+    module exists to prevent — so non-local schemes are rejected loudly.
+    The object-store port routes these few calls through conditional PUT /
+    the Hadoop FileSystem API; the contract stays the same."""
+    if "://" in path:
+        raise ValueError(
+            f"manifest state requires a local filesystem path, got {path!r} "
+            "— the os.replace/fsync/O_EXCL atomicity this module relies on "
+            "does not hold through a URI scheme; port these calls to the "
+            "store's conditional-PUT API before pointing state there"
+        )
 
 
 def write_manifest(state_path: str, version: str) -> None:
@@ -36,6 +61,7 @@ def write_manifest(state_path: str, version: str) -> None:
     Written to a temp sibling then ``os.replace``d — atomic on POSIX;
     the object-store equivalent is one small-key PUT.
     """
+    _require_local(state_path)
     tmp = os.path.join(state_path, f".{MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         f.write(version + "\n")
@@ -58,6 +84,86 @@ def new_version_name() -> str:
     return f"v-{uuid.uuid4().hex[:12]}"
 
 
+def write_prev(version_dir: str, prev_version: str | None) -> None:
+    """Record the superseded version's name INSIDE the new version dir
+    (before the manifest flip, so it commits with the data).
+
+    Why: `gc_orphans` retains live's predecessor, because a lazily
+    evaluated reader (a DataFrame resolved against the old live before a
+    merge ran) may still reference the old files mid-action — the
+    single-writer lease serializes WRITERS, not readers. One generation
+    of grace is the whole contract: a reader must not span two merges.
+    """
+    if prev_version is None:
+        return
+    p = os.path.join(version_dir, PREV_FILE)
+    with open(p, "w") as f:
+        f.write(prev_version + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def prev_version_name(version_dir: str) -> str | None:
+    p = os.path.join(version_dir, PREV_FILE)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return f.read().strip() or None
+
+
+@contextmanager
+def writer_lease(state_path: str, what: str = "state", ttl_s: float = 600.0):
+    """Enforce the single-writer contract with a lease file.
+
+    ``O_CREAT|O_EXCL`` makes acquisition atomic on a local FS; the file
+    holds ``<pid> <unix-ts>`` for diagnostics. A live lease (mtime age
+    <= ttl_s) makes the second writer RAISE — interleaved manifest flips
+    would race GC against the other writer's un-flipped version dir. A
+    stale lease (holder crashed without releasing) is taken over by
+    unlink + one re-acquire attempt; if a third writer wins that race the
+    loser still raises rather than proceeding unlocked. Object-store
+    port: a conditional PUT (if-none-match) replaces O_EXCL.
+    """
+    _require_local(state_path)
+    os.makedirs(state_path, exist_ok=True)
+    path = os.path.join(state_path, LEASE)
+
+    def _acquire() -> None:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            f.write(f"{os.getpid()} {time.time()}\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    try:
+        _acquire()
+    except FileExistsError:
+        try:
+            age = time.time() - os.stat(path).st_mtime
+        except FileNotFoundError:
+            age = float("inf")  # holder released between probe and stat
+        if age <= ttl_s:
+            raise RuntimeError(
+                f"{what} at {state_path} is locked by another writer "
+                f"(LEASE age {age:.0f}s <= ttl {ttl_s:.0f}s) — the "
+                "single-writer contract forbids concurrent merges/"
+                "compactions; wait for the holder or, if it is known "
+                "dead, remove the LEASE file"
+            )
+        try:
+            os.unlink(path)  # stale: holder crashed; take over
+        except FileNotFoundError:
+            pass
+        _acquire()  # a concurrent takeover winning here raises to caller
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+
 def live_version_dir(state_path: str, what: str = "state") -> str | None:
     """Resolve the LIVE version directory of a manifest-addressed state.
 
@@ -66,6 +172,7 @@ def live_version_dir(state_path: str, what: str = "state") -> str | None:
     from a crashed first init). Unresolvable-but-committed data raises
     (see module docstring). ``what`` names the operator in error text.
     """
+    _require_local(state_path)
     if not os.path.isdir(state_path):
         return None
     names = os.listdir(state_path)
@@ -150,6 +257,14 @@ def gc_orphans(state_path: str) -> list[str]:
     the single-writer assumption (and even under a late-arriving second
     writer) the live dir cannot be deleted. Stale manifest temp files
     (crashed write_manifest) are swept too.
+
+    Reader grace: the live version's recorded predecessor (its `_prev`
+    file, written by the merge that superseded it) is RETAINED for one
+    generation — a serving query whose DataFrame was resolved against
+    the old live just before the flip can still finish; it is swept by
+    the NEXT merge's GC. Readers therefore must not span two merges
+    (collect within one merge interval) — that residual contract is
+    documented here instead of a FileNotFound mid-action.
     """
     import shutil
 
@@ -162,9 +277,10 @@ def gc_orphans(state_path: str) -> list[str]:
     if live is None:
         return []
     live_name = os.path.basename(live)
+    keep = {live_name, prev_version_name(live)}
     removed = []
     for n in names:
-        if n == live_name:
+        if n in keep:
             continue
         p = os.path.join(state_path, n)
         if os.path.isdir(p):
@@ -173,3 +289,57 @@ def gc_orphans(state_path: str) -> list[str]:
             os.unlink(p)
         removed.append(n)
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Epoch commit markers — atomic "this epoch's APPEND finished" records for
+# states that accrete per-epoch files instead of rewriting a version.
+#
+# Why row presence is not a commit record: a multi-file parquet append's
+# job commit (FileOutputCommitter) renames task outputs one by one — a
+# crash mid-commit leaves a PARTIAL file set visible. If "any row with
+# epoch N exists" is read as "epoch N done", the replayed micro-batch
+# skips the append and the missing rows are lost forever (the round-4
+# bug in both the near-dup key append and the ingest seen-keys append).
+# The marker is one fsync'd hidden file (`_epoch-N.committed`, ignored
+# by Spark's readers) written only AFTER the append's job commit
+# returned, so its existence proves the full file set is visible; its
+# absence makes the replay redo the (idempotent) write.
+# ---------------------------------------------------------------------------
+
+
+def _marker_path(dir_: str, epoch: int) -> str:
+    return os.path.join(dir_, f"_epoch-{epoch}.committed")
+
+
+def mark_epoch_committed(dir_: str, epoch: int) -> None:
+    """Record that epoch's append fully committed (fsync'd, crash-durable)."""
+    p = _marker_path(dir_, epoch)
+    with open(p, "w") as f:
+        f.write("1\n")
+        f.flush()
+        os.fsync(f.fileno())
+    dir_fd = os.open(dir_, os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
+
+
+def epoch_is_committed(dir_: str, epoch: int) -> bool:
+    return os.path.isfile(_marker_path(dir_, epoch))
+
+
+def max_committed_epoch(dir_: str) -> int | None:
+    """Highest epoch with a commit marker, or None. Epochs are assigned
+    contiguously by Structured Streaming and commit in order, so 'all
+    committed epochs' == 'epoch <= max marker' — one range predicate a
+    partitioned read can prune with."""
+    if not os.path.isdir(dir_):
+        return None
+    epochs = [
+        int(n[len("_epoch-"):-len(".committed")])
+        for n in os.listdir(dir_)
+        if n.startswith("_epoch-") and n.endswith(".committed")
+    ]
+    return max(epochs) if epochs else None

@@ -1419,7 +1419,7 @@ def q_pack_bestfit(spark, sf_dir):
         FROM b GROUP BY event_type
     )
     SELECT event_type, est_sum, exact_sum,
-           abs(est_sum - exact_sum) / exact_sum AS rel_err
+           abs(est_sum - exact_sum) / nullif(abs(exact_sum), 0) AS rel_err
     FROM agg
     """,
     doc="approximate query processing: SUM estimated from a DETERMINISTIC "
@@ -1446,9 +1446,16 @@ def q_aqp_sum(spark, sf_dir):
     # cross-engine, and round(x, 9) on a ~1e8-magnitude double needs >15
     # significant digits — exactly the class where the engines' rounding
     # diverges by 1 ULP (caught by the sf10 differential on est_sum).
+    # denominator is abs() (a negative exact sum must not flip rel_err's
+    # sign — the error-bound assertion would pass vacuously) and nullif-
+    # guarded (a zero-sum group yields NULL, not a division blow-up);
+    # mirrored exactly in the oracle SQL for hash parity
     return agg.select(
         "event_type",
         "est_sum",
         "exact_sum",
-        (F.abs(F.col("est_sum") - F.col("exact_sum")) / F.col("exact_sum")).alias("rel_err"),
+        (
+            F.abs(F.col("est_sum") - F.col("exact_sum"))
+            / F.nullif(F.abs(F.col("exact_sum")), F.lit(0.0))
+        ).alias("rel_err"),
     )

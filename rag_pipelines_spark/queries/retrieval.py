@@ -472,43 +472,21 @@ def q_bm25_from_state(spark, sf_dir):
     CROSS JOIN n
     WHERE c12 >= 5
     """,
-    doc="PMI term co-occurrence (query-expansion statistics): document-"
-    "level pairs from a (doc, distinct-term) self-join on doc_id, "
-    "pmi = ln(P(t1,t2)/(P(t1)P(t2))) over document frequencies. Scale: "
-    "pair build is quadratic in PER-DOC distinct terms — at web vocab "
-    "cap each doc to its top-k terms before pairing (fixture vocab is "
-    "31, uncapped); the aggregated frame is vocab^2-bounded. PMI "
-    "magnitude <= ln(N_docs) so round(,9) is cross-engine safe",
+    doc="PMI term co-occurrence (query-expansion statistics) via "
+    "operators/retrieval.py::term_pmi: document-level pairs from a "
+    "(doc, distinct-term) self-join on doc_id, pmi = "
+    "ln(P(t1,t2)/(P(t1)P(t2))) over document frequencies. Scale: the "
+    "pair build is quadratic in PER-DOC distinct terms — the operator's "
+    "max_terms_per_doc caps each doc to a deterministic hash-ranked "
+    "top-k slice before pairing (bound pinned in test_retrieval.py); "
+    "the fixture calls it UNCAPPED (vocab 31) so the oracle is exact. "
+    "PMI magnitude <= ln(N_docs) so round(,9) is cross-engine safe",
 )
 def q_term_pmi(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
-    dt = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
-    )
-    n = dt.agg(F.count_distinct("doc_id").alias("n_docs"))
-    dfreq = dt.groupBy("term").agg(F.count("*").alias("c"))
-    a = dt.alias("a")
-    b = dt.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
-               & (F.col("a.term") < F.col("b.term")))
-        .groupBy(F.col("a.term").alias("t1"), F.col("b.term").alias("t2"))
-        .agg(F.count("*").alias("c12"))
-        .filter(F.col("c12") >= 5)
-    )
-    f1 = dfreq.select(F.col("term").alias("t1"), F.col("c").alias("c1"))
-    f2 = dfreq.select(F.col("term").alias("t2"), F.col("c").alias("c2"))
-    pmi = F.round(
-        F.log(
-            (F.col("c12").cast("double") * F.col("n_docs").cast("double"))
-            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
-        ),
-        9,
-    )
-    return (
-        pairs.join(F.broadcast(f1), "t1")
-        .join(F.broadcast(f2), "t2")
-        .crossJoin(F.broadcast(n))
-        .select("t1", "t2", "c12", pmi.alias("pmi"))
+    from rag_pipelines_spark.operators.retrieval import term_pmi
+
+    return term_pmi(
+        t(spark, sf_dir, "documents"),
+        min_pair_count=5,
+        max_terms_per_doc=None,  # fixture-exact; web-scale callers MUST cap
     )

@@ -77,24 +77,73 @@ def streaming_dedup_query(
     schema,
     key_cols: list[str],
     checkpoint: str,
+    sink_path: str,
     queryName: str = "incremental_dedup",
     glob: str = "*.parquet",
 ) -> StreamingQuery:
     """File-source stream with stateful dropDuplicates (T2 streaming form).
 
+    Sinks to parquet at `sink_path` (read it back after awaitTermination)
+    — a memory sink is driver-side and cannot resume a checkpoint, so it
+    has no place outside single-run inspection.
+
     State caveat: plain dropDuplicates keeps one state entry per distinct
-    key FOREVER — fine for availableNow batch-style runs (this harness),
-    but a resident query over an unbounded keyspace must bound state with
-    dropDuplicatesWithinWatermark (keys expire past the watermark) or use
-    the anti-join-vs-parquet-state form (incremental_stream_pipeline),
-    whose state lives on disk instead of in the state store.
+    key FOREVER — fine for availableNow batch-style runs under a bounded
+    keyspace, but a resident query over an unbounded keyspace must bound
+    state with `streaming_dedup_bounded_query` (keys expire past the
+    watermark) or use the anti-join-vs-parquet-state form
+    (incremental_stream_pipeline), whose state lives on disk instead of
+    in the state store.
     """
     stream = _file_stream(spark, source_dir, schema, glob)
     return (
         stream.dropDuplicates(key_cols)
-        .writeStream.format("memory")
+        .writeStream.format("parquet")
         .queryName(queryName)
         .outputMode("append")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_dedup_bounded_query(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    key_cols: list[str],
+    event_time_col: str,
+    watermark: str,
+    checkpoint: str,
+    sink_path: str,
+    queryName: str = "incremental_dedup_bounded",
+    glob: str = "*.parquet",
+) -> StreamingQuery:
+    """BOUNDED-state streaming dedup: dropDuplicatesWithinWatermark.
+
+    The resident-query form the plain variant's docstring prescribes: the
+    state store keeps a key only while it can still collide — i.e. until
+    the event-time watermark passes its timestamp — so state size is
+    O(keys per watermark window), not O(all keys ever), which is what
+    makes a 100 TB/day continuous dedup feasible in the state store at
+    all. Semantics differ from exact dedup by design: a duplicate
+    arriving AFTER its twin expired past the watermark is re-admitted
+    (the same contract as watermarked aggregation's late-data drop); use
+    the disk-state anti-join pipeline when re-admission is unacceptable.
+
+    `event_time_col` must be a TimestampType column; `key_cols` should
+    not include it (keys match on identity, the timestamp only drives
+    expiry).
+    """
+    stream = _file_stream(spark, source_dir, schema, glob)
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+        .writeStream.format("parquet")
+        .queryName(queryName)
+        .outputMode("append")
+        .option("path", sink_path)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -181,32 +230,57 @@ def continuous_ingest_pipeline(
     rollup_keys: tuple[str, ...] = ("lang",),
     rollup_measures: dict | None = None,
     glob: str = "*.parquet",
+    _crash_after: str | None = None,
 ):
     """The reference's watcher as ONE streaming job maintaining EVERY
     state family per micro-batch (the round-4 composition):
 
-        exact-delta front door (anti-join vs ``<root>/seen`` KEYS)
+        exact-delta front door (anti-join vs COMMITTED ``<root>/seen`` epochs)
           -> near-dup filter   (manifest state, ``<root>/neardup``)
           -> corpus-stats merge (BM25 df/avgdl,  ``<root>/stats``)
           -> rollup merge       (keyed partials,  ``<root>/rollup``)
           -> accepted corpus    (``<root>/corpus/epoch=N``, overwrite)
-          -> seen-keys append   (COMMIT POINT, last)
+          -> seen-keys epoch dir (``<root>/seen/epoch=N``, overwrite)
+          -> seen commit marker  (COMMIT POINT, one fsync'd file, last)
 
     Exactly-once across families (single-writer): Structured Streaming
     replays a failed micro-batch with the same epoch_id and data, and
     every step is epoch-idempotent —
 
-    * the near-dup state tags its rows with the epoch and excludes the
-      current epoch from collision checks, so a replay reproduces the
-      SAME ``clean`` set instead of an empty one;
+    * the near-dup state tags its rows with the epoch, excludes the
+      current epoch from collision checks, and marker-commits its key
+      append, so a replay reproduces the SAME ``clean`` set;
     * corpus-stats / rollup merges skip epochs already recorded in their
       live version (operators/state.py::applied_epoch);
     * the corpus write is a per-epoch partition overwrite;
-    * the seen-keys append commits LAST, so a crash anywhere above it
-      replays with an identical delta; a crash after it makes the replay
-      delta empty, which is correct because every other family already
-      committed. ``seen`` stores ONLY the key column — at corpus scale
-      it stays keys-sized, not text-sized.
+    * the seen keys land in a PER-EPOCH partition dir and the anti-join
+      reads only epochs with a commit marker
+      (operators/state.py::mark_epoch_committed). A raw append with
+      row-presence semantics would be wrong here: parquet job commits
+      rename task files one by one, so a crash mid-commit leaves a
+      PARTIAL key set visible, the replayed batch would compute a
+      strictly smaller delta, and the corpus/epoch=N overwrite would
+      rewrite the partition with only the residual docs — silently
+      dropping accepted documents whose stats/rollup contributions stay
+      counted. With epoch dirs + markers, an uncommitted epoch is
+      invisible to the anti-join (the replay recomputes the identical
+      full delta and idempotently overwrites), and the marker — a
+      single fsync'd file, atomically visible — is the true commit
+      point. A crash after it makes the replay delta empty, correct
+      because every family already committed. ``seen`` stores ONLY the
+      key column (the epoch is a partition dir name, not data) — at
+      corpus scale it stays keys-sized, not text-sized.
+
+    A checkpoint RESET against existing state (epoch counters restart,
+    so the front door no longer masks replays) is detected by the
+    near-dup state's committed-epoch guard, which raises before any
+    state family is touched — loud failure, not double-count.
+
+    `_crash_after` is FAULT INJECTION for the crash-matrix drill
+    (tests/test_continuous_ingest.py): naming a step makes process()
+    raise immediately after that step's commit, failing the query so a
+    restart replays the epoch through the real checkpoint machinery.
+    Production callers leave it None.
     """
     from rag_pipelines_spark.operators.dedup import incremental_neardup
     from rag_pipelines_spark.operators.retrieval import merge_corpus_stats
@@ -217,25 +291,41 @@ def continuous_ingest_pipeline(
     seen_path = os.path.join(root, "seen")
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        s = batch_df.sparkSession
-        seen_exists = os.path.isdir(seen_path) and any(
-            n.endswith(".parquet") for n in os.listdir(seen_path)
+        from rag_pipelines_spark.operators.state import (
+            mark_epoch_committed,
+            max_committed_epoch,
         )
+
+        s = batch_df.sparkSession
         delta = batch_df.dropDuplicates([id_col])
-        if seen_exists:
-            seen_keys = s.read.parquet(seen_path)
+        # the anti-join sees only marker-committed epochs: epochs commit in
+        # order, so one partition-prunable range predicate covers them all;
+        # a crashed epoch's partial files are planned away, never read
+        done_max = max_committed_epoch(seen_path)
+        if done_max is not None:
+            seen_keys = s.read.parquet(seen_path).filter(
+                F.col("epoch") <= done_max
+            ).select(id_col)
             delta = delta.join(seen_keys, id_col, "left_anti")
         delta = delta.localCheckpoint(eager=True)
-        if not delta.take(1):  # fully-replayed batch: all states settled
+        if not delta.take(1):  # fully-replayed or all-seen batch: no-op
             return
+
+        def crash(step: str) -> None:
+            if _crash_after == step:
+                raise RuntimeError(f"injected crash after step {step!r}")
+
+        crash("delta")
         clean = incremental_neardup(
             s, delta, os.path.join(root, "neardup"), id_col, text_col,
             epoch=epoch_id,
         )
+        crash("neardup")
         merge_corpus_stats(
             s, clean, os.path.join(root, "stats"), text_col=text_col,
             epoch=epoch_id,
         )
+        crash("stats")
         merge_rollup(
             s,
             clean,
@@ -244,12 +334,21 @@ def continuous_ingest_pipeline(
             measures=measures,
             epoch=epoch_id,
         )
+        crash("rollup")
         # per-epoch partition overwrite: replaying rewrites the same files
         clean.write.mode("overwrite").parquet(
             os.path.join(root, "corpus", f"epoch={epoch_id}")
         )
-        # COMMIT POINT: keys only, appended last
-        delta.select(id_col).write.mode("append").parquet(seen_path)
+        crash("corpus")
+        # seen keys: per-epoch dir (idempotent overwrite), then the COMMIT
+        # POINT — one fsync'd marker file, atomically visible, written only
+        # after the key write's job commit returned (see docstring)
+        delta.select(id_col).write.mode("overwrite").parquet(
+            os.path.join(seen_path, f"epoch={epoch_id}")
+        )
+        crash("seen_keys")
+        mark_epoch_committed(seen_path, epoch_id)
+        crash("seen_marker")
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -91,8 +91,17 @@ def test_continuous_ingest_all_families(spark, tmp_path):
 
     # front door saw every distinct key; exact dup (doc 1 again) blocked
     assert seen == {1, 2, 3, 4, 5}
-    # seen stores ONLY the key column (keys-sized at corpus scale)
-    assert spark.read.parquet(f"{root}/seen").columns == ["doc_id"]
+    # seen stores ONLY the key column; `epoch` is the partition dir name
+    # (commit unit), not data — keys-sized at corpus scale
+    assert spark.read.parquet(f"{root}/seen").columns == ["doc_id", "epoch"]
+    # every seen epoch dir is covered by a commit marker (the anti-join
+    # reads nothing uncommitted)
+    from rag_pipelines_spark.operators.state import max_committed_epoch
+
+    epochs = {
+        r.epoch for r in spark.read.parquet(f"{root}/seen").select("epoch").collect()
+    }
+    assert max(epochs) <= max_committed_epoch(f"{root}/seen")
     # near-dup filter dropped doc 4 (mutated twin of doc 3)
     assert corpus == {1, 2, 3, 5}
     # corpus stats describe exactly the accepted corpus
@@ -168,3 +177,54 @@ def test_epoch_guards_make_merges_idempotent(spark, tmp_path):
         merge_corpus_stats(spark, batch, st, epoch=0)
     with _pytest.raises(RuntimeError, match="checkpoint"):
         incremental_neardup(spark, batch, nd, "doc_id", "text", epoch=-1)
+
+
+CRASH_POINTS = [
+    "delta", "neardup", "stats", "rollup", "corpus", "seen_keys",
+    "seen_marker",
+]
+
+
+@pytest.fixture(scope="module")
+def nocrash_snapshot(spark, tmp_path_factory):
+    """Reference end state of the two-batch run with no crash anywhere."""
+    base = tmp_path_factory.mktemp("ingest_baseline")
+    src, root, ckpt = str(base / "src"), str(base / "root"), str(base / "ckpt")
+    b1, b2 = _rows()
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, root, ckpt)
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, root, ckpt)
+    return _state_snapshot(spark, root)
+
+
+@pytest.mark.parametrize("crash_after", CRASH_POINTS)
+def test_crash_matrix_every_step_replays_to_identical_state(
+    spark, tmp_path, crash_after, nocrash_snapshot
+):
+    """The exactly-once drill the epoch design argues on paper, run
+    mechanically: kill the foreachBatch after EACH commit step in turn
+    (fault injection through the real checkpoint/replay machinery),
+    restart, and require every state family to equal the no-crash run
+    bit-for-data — additive merges not double-applied, near-dup keys
+    not lost, seen keys not partially visible."""
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "root")
+    ckpt = str(tmp_path / "ckpt")
+    b1, b2 = _rows()
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, root, ckpt)  # day 1 lands cleanly
+
+    # day 2 arrives; the job dies right after `crash_after`'s commit
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    q = continuous_ingest_pipeline(
+        spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
+        _crash_after=crash_after,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+        raise AssertionError("query should have crashed")  # pragma: no cover
+
+    # restart (same checkpoint): the replayed epoch must repair/settle
+    _run(spark, src, root, ckpt)
+    assert _state_snapshot(spark, root) == nocrash_snapshot

@@ -109,11 +109,23 @@ def test_compaction_preserves_dedup_state(spark, tmp_path):
     assert after == before
     files_after = len(glob.glob(f"{live_after}/part-*.parquet"))
     assert files_after <= 2 < files_before
-    # superseded version GC'd: exactly one v-* dir remains
+    # GC retains exactly live + its predecessor (reader grace: a lazily
+    # resolved DataFrame against the old live may still be collecting —
+    # the lease serializes writers, not readers); a second compaction
+    # sweeps the grand-predecessor
     import os
 
-    versions = [n for n in os.listdir(state) if n.startswith("v-")]
-    assert versions == [os.path.basename(live_after)]
+    versions = sorted(n for n in os.listdir(state) if n.startswith("v-"))
+    assert versions == sorted(
+        [os.path.basename(live_after), os.path.basename(live_before)]
+    )
+    compact_neardup_state(spark, state, num_partitions=2)
+    live_3 = neardup_state_dir(state)
+    versions = sorted(n for n in os.listdir(state) if n.startswith("v-"))
+    assert versions == sorted(
+        [os.path.basename(live_3), os.path.basename(live_after)]
+    )
+    assert os.path.basename(live_before) not in versions
 
     # verdicts survive compaction: replay of accepted content is caught,
     # novel content passes
@@ -166,10 +178,13 @@ def test_compaction_crash_before_pointer_flip(spark, tmp_path):
     )
     assert incremental_neardup(spark, fresh, state, "doc_id", "text").count() == 1
 
-    # next compaction sweeps the orphan and keeps exactly the live version
+    # next compaction sweeps the orphan; remaining dirs are live + its
+    # recorded predecessor (reader grace), never the crashed orphan
     compact_neardup_state(spark, state, num_partitions=2)
     versions = [n for n in os.listdir(state) if n.startswith("v-")]
-    assert "v-crashed0" not in versions and len(versions) == 1
+    assert "v-crashed0" not in versions and len(versions) == 2
+    assert os.path.basename(neardup_state_dir(state)) in versions
+    assert os.path.basename(live) in versions
     # and the post-crash-recovery state still carries every verdict
     assert incremental_neardup(spark, replay, state, "doc_id", "text").count() == 0
 
@@ -222,3 +237,176 @@ def test_unresolvable_state_fails_loudly(spark, tmp_path):
     state2 = str(tmp_path / "sig_state2")
     os.makedirs(os.path.join(state2, "v-empty00"))
     assert neardup_state_dir(state2) is None
+
+
+def test_two_writer_lease_drill(spark, tmp_path):
+    """The single-writer contract is ENFORCED, not assumed: while one
+    writer holds the state lease, a second merge/compaction RAISES
+    instead of interleaving manifest flips; a stale lease (holder died)
+    is taken over."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from rag_pipelines_spark.operators.dedup import (
+        compact_neardup_state,
+        incremental_neardup,
+    )
+    from rag_pipelines_spark.operators.state import LEASE, writer_lease
+
+    state = str(tmp_path / "sig_state")
+    schema = "doc_id long, text string"
+    batch = spark.createDataFrame(
+        [(1, " ".join(f"tok{k}" for k in range(20)))], schema
+    )
+    incremental_neardup(spark, batch, state, "doc_id", "text")
+
+    # writer A holds the lease -> writer B (append AND compaction) loses
+    with writer_lease(state, what="neardup state"):
+        with _pytest.raises(RuntimeError, match="locked by another writer"):
+            incremental_neardup(
+                spark,
+                spark.createDataFrame([(2, "x y z")], schema),
+                state,
+                "doc_id",
+                "text",
+            )
+        with _pytest.raises(RuntimeError, match="locked by another writer"):
+            compact_neardup_state(spark, state, num_partitions=1)
+    # lease released on exit -> next writer proceeds
+    assert (
+        incremental_neardup(
+            spark,
+            spark.createDataFrame(
+                [(3, "entirely different content about watermarks")], schema
+            ),
+            state,
+            "doc_id",
+            "text",
+        ).count()
+        == 1
+    )
+
+    # stale lease (crashed holder): mtime older than ttl -> takeover
+    lease_path = os.path.join(state, LEASE)
+    with open(lease_path, "w") as f:
+        f.write("99999 0\n")
+    old = time.time() - 10_000
+    os.utime(lease_path, (old, old))
+    assert (
+        incremental_neardup(
+            spark,
+            spark.createDataFrame(
+                [(4, "yet more novel text regarding range join planning")],
+                schema,
+            ),
+            state,
+            "doc_id",
+            "text",
+        ).count()
+        == 1
+    )
+    assert not os.path.isfile(lease_path)  # released after the merge
+
+
+def test_state_rejects_non_local_schemes(tmp_path):
+    """The manifest scheme's atomicity is built on os.replace/fsync/O_EXCL
+    — on a URI path those silently report state 'fresh' (the look-empty
+    failure the module exists to prevent), so they must raise."""
+    import pytest as _pytest
+
+    from rag_pipelines_spark.operators.state import (
+        live_version_dir,
+        write_manifest,
+        writer_lease,
+    )
+
+    for path in ("s3://bucket/state", "hdfs://nn/state"):
+        with _pytest.raises(ValueError, match="local filesystem"):
+            live_version_dir(path)
+        with _pytest.raises(ValueError, match="local filesystem"):
+            write_manifest(path, "v-abc")
+        with _pytest.raises(ValueError, match="local filesystem"):
+            with writer_lease(path):
+                pass
+
+
+def test_partial_epoch_append_is_repaired_on_replay(spark, tmp_path):
+    """ADVICE r4 (medium): a crash mid job-commit of an epoch's key append
+    leaves a PARTIAL file set visible. Row presence must NOT mark the
+    append done — only the fsync'd commit marker does — so the replay
+    redoes the (idempotent-for-verdicts) append and no survivor's band
+    keys are lost."""
+    import glob
+    import os
+
+    from rag_pipelines_spark.operators.dedup import (
+        incremental_neardup,
+        neardup_state_dir,
+    )
+    from pyspark.sql import functions as F
+
+    from rag_pipelines_spark.operators.state import (
+        epoch_is_committed,
+        _marker_path,
+    )
+
+    state = str(tmp_path / "sig_state")
+    schema = "doc_id long, text string"
+
+    def text(i):
+        return " ".join(f"tok{i}word{k}" for k in range(20))
+
+    # epoch 0 commits normally
+    b0 = spark.createDataFrame([(1, text(1)), (2, text(2))], schema)
+    incremental_neardup(spark, b0, state, "doc_id", "text", epoch=0)
+    live = neardup_state_dir(state)
+    assert epoch_is_committed(live, 0)
+
+    # epoch 1: simulate the crash — run it fully, then surgically delete
+    # SOME of epoch 1's key files AND its marker (partial job commit)
+    b1 = spark.createDataFrame([(3, text(3)), (4, text(4))], schema)
+    clean1 = {
+        r.doc_id
+        for r in incremental_neardup(
+            spark, b1, state, "doc_id", "text", epoch=1
+        ).collect()
+    }
+    assert clean1 == {3, 4}
+    os.unlink(_marker_path(live, 1))
+    files = sorted(glob.glob(os.path.join(live, "part-*.parquet")))
+    # remove the lexicographically-last file (some of epoch 1's keys)
+    os.unlink(files[-1])
+    state_df = spark.read.parquet(live)
+    n_partial = state_df.filter(F.col("epoch") == 1).count()
+
+    # replay of epoch 1: marker absent -> append REDONE; same clean set
+    clean_replay = {
+        r.doc_id
+        for r in incremental_neardup(
+            spark, b1, state, "doc_id", "text", epoch=1
+        ).collect()
+    }
+    assert clean_replay == clean1
+    assert epoch_is_committed(live, 1)
+    state_after = spark.read.parquet(live)
+    # every survivor's band keys are present again (the failure mode was
+    # doc 3/4's keys permanently missing -> future near-dups re-admitted)
+    keys_by_doc = {
+        r.doc_id: r.n
+        for r in state_after.filter(F.col("epoch") == 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(keys_by_doc) == {3, 4}
+    # and the proof of the contract: a near-dup of doc 3 is now caught
+    dup = spark.createDataFrame([(30, text(3))], schema)
+    assert (
+        incremental_neardup(
+            spark, dup, state, "doc_id", "text", epoch=2
+        ).count()
+        == 0
+    )
+    del n_partial

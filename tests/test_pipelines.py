@@ -237,18 +237,20 @@ class TestStreamingPacing:
             spark.createDataFrame([(f"id{i}", "s")], schema).coalesce(1).write.mode(
                 "append"
             ).parquet(src)
+        sink = str(tmp_path / "sink")
         q = streaming_dedup_query(
             spark,
             src,
             schema,
             key_cols=["rag_id"],
             checkpoint=str(tmp_path / "ckpt"),
+            sink_path=sink,
             queryName="paced_dedup",
         )
         q.awaitTermination()
         progress = q.recentProgress
         assert len(progress) >= 2, "expected multiple micro-batches"
-        rows = spark.table("paced_dedup").collect()
+        rows = spark.read.parquet(sink).collect()
         assert sorted(r["rag_id"] for r in rows) == sorted(f"id{i}" for i in range(8))
 
 
@@ -391,3 +393,56 @@ class TestLateData:
             and r["event_type"] == "click"
         ]
         assert len(click_rows) == 1 and click_rows[0]["n"] == 2, click_rows
+
+
+class TestBoundedStateDedup:
+    def test_drop_duplicates_within_watermark_expires_state(self, spark, tmp_path):
+        """Bounded-state resident dedup (r4 verdict item #3): a duplicate
+        key inside the watermark window is rejected; once the event-time
+        watermark passes the first occurrence's expiry the key's state is
+        EVICTED and a much-later duplicate is re-admitted — state is
+        O(keys per window), never O(all keys ever)."""
+        from rag_pipelines_spark.streaming.incremental import (
+            streaming_dedup_bounded_query,
+        )
+
+        src = str(tmp_path / "src")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        schema = "rag_id string, ts timestamp"
+
+        def run(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = streaming_dedup_bounded_query(
+                spark,
+                src,
+                schema,
+                key_cols=["rag_id"],
+                event_time_col="ts",
+                watermark="10 minutes",
+                checkpoint=ckpt,
+                sink_path=sink,
+            )
+            q.awaitTermination(120)
+
+        import datetime as dt
+
+        t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+        run([("A", t(10, 0))])
+        # duplicate within the window: watermark (9:50) hasn't passed
+        # A@10:00's expiry -> rejected; B is new
+        run([("A", t(12, 0)), ("B", t(12, 0))])
+        # watermark now 11:50 > A@10:00 + 10min -> A's state evicted;
+        # the late twin is re-admitted BY DESIGN (the documented contract)
+        run([("A", t(13, 0))])
+
+        rows = sorted(
+            (r.rag_id, r.ts) for r in spark.read.parquet(sink).collect()
+        )
+        assert rows == [
+            ("A", t(10, 0)),
+            ("A", t(13, 0)),
+            ("B", t(12, 0)),
+        ]

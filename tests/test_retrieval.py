@@ -142,11 +142,12 @@ def test_incremental_corpus_stats_merge_equals_union(spark, tmp_path):
     }
     assert direct == served  # bitwise: same floats either path
 
-    # only one version dir remains after GC; a second merge keeps it so
+    # GC bounds versions at live + predecessor (reader grace — the lease
+    # serializes writers, not in-flight readers of the old live)
     import os
 
     vdirs = [n for n in os.listdir(state) if n.startswith("v-")]
-    assert len(vdirs) == 1
+    assert len(vdirs) == 2
 
 
 def test_corpus_stats_missing_state_raises(spark, tmp_path):
@@ -226,3 +227,36 @@ def test_null_text_docs_excluded_from_stats_symmetrically(spark):
     )
     assert tot1.collect() == tot2.collect()
     assert sorted(map(tuple, t1.collect())) == sorted(map(tuple, t2.collect()))
+
+
+def test_term_pmi_cap_bounds_pair_emission(spark):
+    """max_terms_per_doc bounds any one document's pair emission at
+    k·(k-1)/2 — the guard for the pair build's quadratic blowup on a
+    long document — while staying deterministic (hash-ranked slice)."""
+    from rag_pipelines_spark.operators.retrieval import term_pmi
+
+    # one pathological doc with 60 distinct terms + small normal docs
+    long_doc = " ".join(f"term{i:03d}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, "alpha beta"), (3, "beta gamma")],
+        "doc_id INT, text STRING",
+    )
+    uncapped = term_pmi(docs, min_pair_count=1, max_terms_per_doc=None)
+    capped = term_pmi(docs, min_pair_count=1, max_terms_per_doc=10)
+    n_uncapped = uncapped.count()
+    n_capped = capped.count()
+    # uncapped: C(60,2) + 1 + 1 pairs; capped: ≤ C(10,2) per doc
+    assert n_uncapped >= 60 * 59 // 2
+    assert n_capped <= 10 * 9 // 2 + 2
+    # deterministic: same slice every run
+    assert (
+        sorted(map(tuple, capped.collect()))
+        == sorted(map(tuple, term_pmi(docs, min_pair_count=1,
+                                      max_terms_per_doc=10).collect()))
+    )
+    # capped pairs are a subset of uncapped pairs with identical counts
+    # (capping selects documents' term subsets; it never invents pairs),
+    # but c12/pmi may shrink — compare on pair identity only
+    pairs_capped = {(r.t1, r.t2) for r in capped.collect()}
+    pairs_uncapped = {(r.t1, r.t2) for r in uncapped.collect()}
+    assert pairs_capped <= pairs_uncapped

@@ -151,5 +151,13 @@ def test_aqp_sample_error_bounded(spark):
     q = load_all()["q_aqp_sum"]
     from tests.conftest import SF_DIR
 
-    for r in q.fn(spark, SF_DIR).collect():
-        assert r.rel_err <= 0.10, (r.event_type, r.rel_err)
+    rows = q.fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # rel_err is |est-exact|/|exact| (abs denominator: a negative-sum
+        # group must not make this assertion pass vacuously); NULL only
+        # for an exactly-zero-sum group, which the fixture doesn't have
+        assert r.rel_err is not None and 0.0 <= r.rel_err <= 0.10, (
+            r.event_type,
+            r.rel_err,
+        )

@@ -140,6 +140,47 @@ def test_scd2_merge_empty_batch_is_noop(spark):
     assert _rows(merged) == _rows(dim)
 
 
+def test_scd2_merge_late_batch_raises(spark):
+    """An event older than its key's open interval belongs inside an
+    already-closed row — merging it would produce silently wrong
+    intervals, so scd2_merge must raise (r4 verdict item #2), naming
+    the offending keys. An at-the-boundary event (ts == open
+    valid_from) remains legal: the seed's -1 tiebreak wins the tie."""
+    import pytest as _pytest
+
+    from rag_pipelines_spark.operators.cdc import scd2_from_events, scd2_merge
+
+    events = spark.createDataFrame(
+        [
+            (1, "a", 10, 100),
+            (1, "b", 20, 101),  # closes [10,20), opens b@20
+            (2, "x", 15, 102),
+        ],
+        "user_id INT, event_type STRING, ts INT, event_id INT",
+    )
+    dim = scd2_from_events(events)
+
+    late = spark.createDataFrame(
+        [(1, "c", 12, 200)],  # ts 12 < user 1's open valid_from 20
+        "user_id INT, event_type STRING, ts INT, event_id INT",
+    )
+    with _pytest.raises(ValueError, match="late events"):
+        scd2_merge(dim, late)
+    # validate=False is the documented escape hatch (provably-ordered feed)
+    scd2_merge(dim, late, validate=False).count()  # no raise
+
+    boundary = spark.createDataFrame(
+        [(1, "c", 20, 200)],  # exactly at the open valid_from: legal
+        "user_id INT, event_type STRING, ts INT, event_id INT",
+    )
+    merged = scd2_merge(dim, boundary)
+    cur = {
+        r.user_id: r.attr
+        for r in merged.filter(F.col("is_current") == 1).collect()
+    }
+    assert cur[1] == "c" and cur[2] == "x"
+
+
 def test_schema_evolution_nulls_only_in_v1_rows(spark):
     res = q_schema_evolution(spark, SF_DIR).cache()
     assert res.filter(
