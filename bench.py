@@ -42,8 +42,19 @@ CORE = [
     "q_embed_generate",
 ]
 
-# EXTRAS: shapes added after round 1; reported separately so the growing
-# set never skews the round-over-round core comparison.
+# CORE_R4: the round-4 retrieval/warehouse additions, FROZEN at round 5
+# (never grows) — a second like-for-like aggregate now that each member
+# has an isolated baseline in SCALE.md.
+CORE_R4 = [
+    "q_bm25_topk",
+    "q_rrf_fusion",
+    "q_scd2_versions",
+    "q_histogram_quantiles",
+]
+
+# EXTRAS: shapes added after round 1 and not yet frozen into a core set;
+# reported separately so the growing set never skews the round-over-round
+# core comparisons.
 EXTRAS = [
     "q_minhash_neardup",
     "q_dup_clusters",
@@ -59,16 +70,9 @@ EXTRAS = [
     "q_pretraining_prep",
     # round 3: scale-safe global index (block-offset formulation)
     "q_batch_assign",
-    # round 4: retrieval serve — BM25 lexical alone, then the full hybrid
-    # (BM25 + cosine + rank fusion) as one plan — plus the warehouse
-    # lifecycle (SCD2 window pair) and the mergeable-histogram sketch
-    "q_bm25_topk",
-    "q_rrf_fusion",
-    "q_scd2_versions",
-    "q_histogram_quantiles",
 ]
 
-HEADLINE = CORE + EXTRAS
+HEADLINE = CORE + EXTRAS + CORE_R4
 
 
 def main() -> None:
@@ -171,7 +175,10 @@ def main() -> None:
     core_total = round(
         sum(v for k, v in timings.items() if k in core_names), 4
     )
-    extras_total = round(total - core_total, 4)
+    core_r4_total = round(
+        sum(v for k, v in timings.items() if k in set(CORE_R4)), 4
+    )
+    extras_total = round(total - core_total - core_r4_total, 4)
     sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf: float | str = float(sf_tag)
@@ -185,6 +192,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "core_total": core_total,
+                "core_r4_total": core_r4_total,
                 "extras_total": extras_total,
                 "sf": sf,
                 "wall_total": round(time.time() - t0, 4),

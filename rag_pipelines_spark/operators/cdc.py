@@ -177,21 +177,25 @@ def scd2_merge(
     return closed.unionByName(untouched_open).unionByName(rebuilt)
 
 
-def compact(df: DataFrame, path: str, target_rows_per_file: int) -> int:
+def compact(df: DataFrame, path: str, target_rows_per_file: int,
+            uniform: bool = False) -> int:
     """Rewrite `df` at `path` with size-targeted files; returns file count.
 
-    Uses a count to derive the partition count (one extra cheap job —
-    column-pruned to nothing by parquet metadata at read time), then a
-    round-robin repartition so files come out uniform. At cluster scale
-    the same knob is `spark.sql.files.maxRecordsPerFile`, which avoids
-    the pre-count; we do both: repartition for uniformity, maxRecordsPerFile
-    as the hard cap.
+    Default path is pre-count-FREE: `maxRecordsPerFile` caps every task's
+    output file size during the one write pass — the right default,
+    because the sizing count is metadata-cheap only on columnar sources;
+    on a non-columnar input (JSON/CSV/join output) it is a full extra
+    scan of the data being compacted. `uniform=True` adds the count +
+    round-robin repartition so files come out equal-sized AND the file
+    COUNT is exact (without it, file count is bounded per task, not
+    globally — fine for the small-file problem compaction exists to
+    solve, where any bounded layout beats ten thousand shard files).
     """
-    n = df.count()
-    n_files = max(1, -(-n // target_rows_per_file))
+    if uniform:
+        n = df.count()
+        df = df.repartition(max(1, -(-n // target_rows_per_file)))
     (
-        df.repartition(n_files)
-        .write.mode("overwrite")
+        df.write.mode("overwrite")
         .option("maxRecordsPerFile", target_rows_per_file)
         .parquet(path)
     )

@@ -15,10 +15,23 @@ sort-based write), and the *reader needs no cooperation*: skipping comes
 from ordinary parquet row-group/file min-max stats on the plain columns.
 
 Bounded normalization: bit interleaving needs each dimension in
-[0, 2^bits). Columns are affinely rescaled from their observed [min, max]
-(one tiny all-agg row, broadcast) — rank-based normalization would resist
-outliers better but costs a global sort; min/max is the right first rung
-and keeps the key a pure expression.
+[0, 2^bits). Two modes:
+
+* ``normalize="minmax"`` (default): affine rescale from the observed
+  [min, max] — one tiny all-agg row, broadcast, key stays a pure
+  expression. OUTLIER-FRAGILE by construction: one extreme value
+  stretches the range so every normal value lands in bucket ~0 and that
+  dimension's effective bits collapse (skipping degrades to a 1-D sort
+  on the surviving dimensions).
+* ``normalize="quantile"``: bucket by approx-quantile boundaries (one
+  approxQuantile pass per column — O(data) with no shuffle, boundaries
+  collected driver-side and embedded as literals), so buckets are
+  equal-POPULATION regardless of value skew; a planted outlier occupies
+  one top bucket and the rest keep full resolution (measured in
+  tests/test_layout.py). Per-row cost is O(2^bits) codegen'd
+  comparisons per dimension (count-of-boundaries-below via an array
+  filter), so quantile mode wants modest bits — 8 (256 buckets) covers
+  thousands of output files; it is capped at 12.
 """
 
 from __future__ import annotations
@@ -71,12 +84,53 @@ def _interleave(cols: list[Column], bits: int) -> Column:
     return reduce(lambda a, t: a.bitwiseOR(t), terms[1:], terms[0]).alias("zkey")
 
 
-def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
+def _quantile_bucket(col: Column, bounds: list[float], bits: int) -> Column:
+    """Bucket index in [0, 2^bits) = number of quantile boundaries <= col.
+
+    The boundaries are driver-collected literals; the count is a codegen'd
+    array filter (no UDF, no shuffle). NULLs bucket to 0 (comparisons with
+    NULL drop out of the filter), matching minmax's degenerate handling.
+    """
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    idx = F.size(F.filter(arr, lambda b: b <= col.cast("double")))
+    top = F.lit((1 << bits) - 1)
+    return F.least(F.greatest(idx, F.lit(0)), top).cast("long")
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 16,
+    normalize: str = "minmax",
+) -> DataFrame:
     """Append a ``zkey`` column interleaving the given numeric columns.
 
-    One tiny min/max aggregate (broadcast back via cross join) + pure
-    codegen bit math per row — no data shuffle until the caller lays out.
+    ``normalize="minmax"``: one tiny min/max aggregate (broadcast back
+    via cross join) + pure codegen bit math per row — no data shuffle
+    until the caller lays out. ``normalize="quantile"``: equal-population
+    buckets from an approxQuantile pass per column (outlier-robust; see
+    module docstring for the cost model — bits capped at 12).
     """
+    if normalize == "quantile":
+        if bits > 12:
+            raise ValueError(
+                f"quantile normalization computes 2^bits boundaries per "
+                f"dimension and O(2^bits) comparisons per row — bits={bits} "
+                "is past the practical ceiling of 12; file skipping needs "
+                "only ~log2(n_files)+safety bits anyway"
+            )
+        n_buckets = 1 << bits
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        scaled = []
+        for c in cols:
+            # relativeError 1/(4*buckets): boundary placement error stays
+            # well under one bucket width of population
+            bounds = df.approxQuantile(c, probs, 1.0 / (4 * n_buckets))
+            scaled.append(_quantile_bucket(F.col(c), bounds, bits))
+        return df.withColumn("zkey", _interleave(scaled, bits))
+    if normalize != "minmax":
+        raise ValueError(f"unknown normalize mode {normalize!r}")
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
@@ -93,7 +147,8 @@ def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16) -> DataFrame:
 
 
 def write_zordered(df: DataFrame, path: str, cols: list[str], *,
-                   n_files: int = 32, bits: int = 16) -> None:
+                   n_files: int = 32, bits: int = 16,
+                   normalize: str = "minmax") -> None:
     """Write df clustered along the Morton curve of ``cols``.
 
     repartitionByRange on zkey = one range shuffle; each output file then
@@ -102,7 +157,7 @@ def write_zordered(df: DataFrame, path: str, cols: list[str], *,
     most files at planning time (asserted by metric, not by plan string,
     in tests/test_layout.py).
     """
-    keyed = zorder_key(df, cols, bits=bits)
+    keyed = zorder_key(df, cols, bits=bits, normalize=normalize)
     keyed.repartitionByRange(n_files, "zkey").drop("zkey").write.mode(
         "overwrite"
     ).parquet(path)

@@ -49,84 +49,77 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # The driver's correctness harness checks the FIRST 50 entries of queries()
 # in dict order (observed in CORRECTNESS_r01.json: exactly the first 50
 # registrations). We rotate a curated priority window each round so that,
-# across rounds, every query gets a driver-verified row. Round 4:
-# (a) the 3 queries added after the round-3 window froze,
-# (b) everything touched or added this round (incl. the 12 round-4 query
-# adds — with (a), all 15 row-less queries sit in this window, so the r4
-# driver run closes union coverage to 149/149; see COVERAGE.md),
-# then (c) re-verify slots
-# ordered by driver-row AGE — the r1-only queries, plus the round-3
-# bench-regression pair. Rotated out to fit the retrieval family adds
-# (re-verify in r5): q_join_cross, q_join_full, q_checkpoint_semi (r1
-# rows; the last shares its implementation with q_delta_anti_join, which
-# re-passed r3), q_rolling_hash (r1 row, trivial per-row column math),
-# q_cube (r1 row; its grouping-sets sibling re-verified in r2),
-# q_selective_agg (r1 row; same filtered-agg family as q_agg_rates which
-# re-passed r2), q_lang_dist (r1 row; q_lang_id re-verifies the same
-# family), q_hash_sample (r1 row; q_aqp_sum carries the md5-bucket
-# family's fresh row), q_doc_fingerprint (r1 row; the md5-fingerprint
-# family re-verifies via q_md5_id's r2 row), q_chunking (r1 row; its
-# UDTF twin q_chunk_udtf stays in this window), q_token_stats (r1 row;
-# q_bpe_token_count re-verifies the token family here), and the three
-# r2-anchor rows noted below.
+# across rounds, every query gets a driver-verified row. Round 5 — with
+# union coverage already 152/152 (COVERAGE.md), the window becomes a pure
+# STALENESS rotation per the r4 verdict:
+# (a) the 5 queries whose implementation round 5 touched (changed
+#     semantics must re-verify: q_aqp_sum's rel_err now divides by
+#     nullif(abs(exact),0) on both engines; q_term_pmi is rewired through
+#     operators/retrieval.py::term_pmi; q_zorder_key sits on the
+#     normalization-refactored layout module; q_scd2_versions sits on the
+#     late-event-guarded cdc module; q_stream_dedup on the parquet-default
+#     streaming helper),
+# (b) every query whose ONLY driver row is r1 (11 of them),
+# (c) r2-row queries oldest-first — the three anchors the r4 rotation
+#     promised for r5 (q_heavy_hitters, q_join_asof, q_snapshot_diff)
+#     first, then alphabetical until the 50-slot window is full.
+# Rolled to r6 (r2 rows, alphabetical tail): q_union_all, q_union_order,
+# q_unpivot, q_url_join, q_window_frame, q_window_lead, q_window_rank,
+# q_window_running, q_ws_collapse, q_xml_extract, q_year_extract.
 PRIORITY: tuple[str, ...] = (
-    # --- (a) no driver row yet (post-r3-freeze adds) ---
-    "q_mixture_weights",
-    "q_quality_bins",
-    "q_pack_bestfit",
-    # --- (b) round-4 new / touched ---
-    "q_gap_fill_checksum",  # new: bounded sf10 form of q_gap_fill
-    "q_stream_dedup",  # rewritten: parquet sink + read-back (rows-only)
-    "q_batch_assign",  # identifier quoting in block-offset indexing
-    "q_scd2_versions",  # new: type-2 dimension versioning (warehouse.py)
-    "q_cohort_retention",  # new: cohort retention matrix (warehouse.py)
-    "q_schema_evolution",  # new: mergeSchema drifted-batch read (warehouse.py)
-    "q_bm25_topk",  # new: lexical retrieval family (queries/retrieval.py)
-    "q_rrf_fusion",  # new: hybrid lexical+vector rank fusion
-    "q_rag_context",  # new: ordered context assembly (RAG serve step)
-    "q_retrieval_eval",  # new: recall@10/MRR of hybrid vs cosine reference
-    "q_zorder_key",  # new: Morton layout key (operators/layout.py)
-    "q_rollup_serve",  # new: incremental rollup maintenance (rollup.py)
-    "q_histogram_quantiles",  # new: mergeable-histogram p50/p95 (histogram.py)
-    "q_aqp_sum",  # new: deterministic-hash-sample SUM estimate + rel_err
-    "q_inverted_index",  # new: sharded posting-list build (retrieval.py)
-    "q_bm25_from_state",  # new: state-served == direct proven at the gate
-    "q_term_pmi",  # new: PMI co-occurrence (query-expansion statistics)
-    # --- (c) re-verify, oldest driver rows first: the r1-only 39 ---
-    "q_group_count",
-    "q_agg_summary",
-    "q_rollup_source",
-    "q_max_by",
-    "q_distinct",
-    "q_agg_stats",
-    "q_count_distinct",
-    "q_approx_distinct",
-    "q_pivot",
-    "q_percentiles",
-    "q_lang_id",
-    "q_quality_score",
-    "q_embed_neardup",
-    "q_near_dedup",
-    "q_simhash",
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_embed_generate",
-    "q_pii_redact",
-    "q_dq_expectations",
-    "q_stratified_sample",
-    "q_chunk_udtf",
-    "q_bpe_token_count",
-    "q_enrich_left_join",
-    "q_fuzzy_join",
-    "q_fallback_join",
-    "q_deadletter_split",
-    "q_join_inner",
-    # --- (c) cont.: r3 bench-regression pair (hash stability alongside the
-    # isolated re-measure). The three r2-anchor slots (q_heavy_hitters,
-    # q_join_asof, q_snapshot_diff) rotated out to make room for the
-    # round-4 warehouse adds — they hold r2 driver rows; re-verify in r5.
-    "q_dup_clusters",
-    "q_line_dedup",
+    # --- (a) round-5 touched ---
+    "q_aqp_sum",
+    "q_term_pmi",
+    "q_zorder_key",
+    "q_scd2_versions",
+    "q_stream_dedup",
+    # --- (b) r1-only driver rows ---
+    "q_checkpoint_semi",
+    "q_chunking",
+    "q_cube",
+    "q_doc_fingerprint",
+    "q_hash_sample",
+    "q_join_cross",
+    "q_join_full",
+    "q_lang_dist",
+    "q_rolling_hash",
+    "q_selective_agg",
+    "q_token_stats",
+    # --- (c) r2 rows: promised anchors, then alphabetical ---
+    "q_heavy_hitters",
+    "q_join_asof",
+    "q_snapshot_diff",
+    "q_agg_rates",
+    "q_author_format",
+    "q_citation_concat",
+    "q_clean_boilerplate",
+    "q_coalesce_defaults",
+    "q_cutoff_trunc",
+    "q_doi_extract",
+    "q_doi_norm",
+    "q_except",
+    "q_filter_length",
+    "q_filter_nullkey",
+    "q_grouping_sets",
+    "q_intersect",
+    "q_join_range",
+    "q_join_right",
+    "q_json_get",
+    "q_jsonl_roundtrip",
+    "q_levenshtein_sim",
+    "q_md5_id",
+    "q_md_image_strip",
+    "q_partition_prune",
+    "q_prefix_strip",
+    "q_scan_project",
+    "q_sliding_agg",
+    "q_sort",
+    "q_text_norm",
+    "q_topk",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tumbling_agg",
+    "q_unicode_norm",
 )
 
 

@@ -145,3 +145,56 @@ def test_zorder_refuses_over_63_bits(spark):
     df = spark.createDataFrame([(1, 2, 3, 4, 5)], "a INT, b INT, c INT, d INT, e INT")
     with _pytest.raises(ValueError, match="exceeds 63"):
         zorder_key(df, ["a", "b", "c", "d", "e"], bits=16).collect()
+
+
+def test_quantile_zorder_survives_planted_outlier(spark, tmp_path):
+    """r4 verdict item #8: min/max rescaling is outlier-fragile — one
+    extreme value collapses a dimension's effective bits (every normal
+    value lands in bucket ~0, skipping on that dimension dies).
+    Equal-population quantile buckets keep full resolution: the measured
+    decode fraction for a box predicate must stay under 20% while the
+    minmax layout degrades toward a full read on the skewed dimension."""
+    import random
+
+    rng = random.Random(7)
+    n = 40_000
+    rows = [(i, rng.randrange(0, 1000), rng.randrange(0, 1000))
+            for i in range(n)]
+    rows.append((n, 10**9, 500))  # the planted outlier in x
+    df = spark.createDataFrame(rows, "id LONG, x LONG, y LONG").repartition(8)
+    total = n + 1
+
+    # ~10% x ~10% box inside the [0.25,0.5) quadrant of the REAL data
+    pred = (
+        (F.col("x") >= 300) & (F.col("x") <= 400)
+        & (F.col("y") >= 300) & (F.col("y") <= 400)
+    )
+
+    base = str(tmp_path / f"skew-{uuid.uuid4().hex[:6]}")
+    mpath, qpath = f"{base}/minmax", f"{base}/quantile"
+    write_zordered(df, mpath, ["x", "y"], n_files=16, bits=8)
+    write_zordered(df, qpath, ["x", "y"], n_files=16, bits=8,
+                   normalize="quantile")
+
+    m_rows = _scan_rows_decoded(spark, mpath, pred)
+    q_rows = _scan_rows_decoded(spark, qpath, pred)
+
+    # same answer from both layouts
+    assert (
+        spark.read.parquet(mpath).filter(pred).count()
+        == spark.read.parquet(qpath).filter(pred).count()
+    )
+    # minmax collapsed x: every real value is in x-bucket 0, so the
+    # layout degenerates to ~1-D on y and the box decodes far more
+    assert q_rows < total * 0.20, (q_rows, total)
+    assert q_rows < m_rows, (q_rows, m_rows)
+
+
+def test_quantile_zorder_caps_bits(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2)], "x INT, y INT")
+    with _pytest.raises(ValueError, match="ceiling of 12"):
+        zorder_key(df, ["x", "y"], bits=16, normalize="quantile")
+    with _pytest.raises(ValueError, match="unknown normalize"):
+        zorder_key(df, ["x", "y"], bits=8, normalize="rankish")
