@@ -70,6 +70,10 @@ EXTRAS = [
     "q_pretraining_prep",
     # round 3: scale-safe global index (block-offset formulation)
     "q_batch_assign",
+    # round 5: mergeable-sketch serving (build 3-batch state + serve) —
+    # the incremental-view-maintenance cost profile, incl. state I/O
+    "q_freq_topk_serve",
+    "q_distinct_sketch_serve",
 ]
 
 HEADLINE = CORE + EXTRAS + CORE_R4

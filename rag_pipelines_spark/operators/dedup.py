@@ -437,6 +437,13 @@ def incremental_neardup(
     )
     clean = batch.join(dups, id_col, "left_anti").localCheckpoint(eager=True)
     with writer_lease(state_path, what="neardup state"):
+        # re-resolve under the lease: a compaction between the collision
+        # probe and here may have swapped versions — appending into the
+        # superseded dir would lose this batch's keys at the next GC.
+        # (Verdicts computed above stay valid: compaction is a pure
+        # row-preserving repartition, and it carries the max epoch's
+        # commit marker forward.)
+        live = neardup_state_dir(state_path)
         if live is None:
             # first init: version dir BEFORE manifest — a crash between the
             # two leaves a data-less v-dir, which neardup_state_dir proves

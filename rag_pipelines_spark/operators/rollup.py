@@ -17,10 +17,14 @@ rollup stays |keys|-sized and the merge cost tracks the BATCH, not the
 history. State versioning/crash-safety = operators/state.py (same
 manifest pointer scheme as the near-dup and corpus-stats state).
 
-Holistic aggregates (exact distinct counts, medians) are NOT mergeable
-from partials — callers needing them keep an auxiliary key-level state
-(e.g. the near-dup pattern) or accept sketches; this module refuses
-rather than silently approximating.
+Holistic aggregates (exact distinct counts, medians, frequency top-k)
+are NOT mergeable from partials — this module refuses rather than
+silently approximating. The sketch tiers that ARE exactly mergeable live
+beside it: operators/histogram.py (quantiles, <= bin-width error),
+operators/hllsketch.py (distinct counts, HLL registers), and
+operators/freqsketch.py (frequent items, Misra-Gries with a realized
+error bound); callers needing exactness keep an auxiliary key-level
+state (the near-dup pattern).
 """
 
 from __future__ import annotations

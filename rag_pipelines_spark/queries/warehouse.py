@@ -332,3 +332,100 @@ def q_histogram_quantiles(spark, sf_dir):
     p95 = histogram_quantile(hist, ["event_type"], 1.0, 0.95)
     return p50.join(p95, "event_type").select("event_type", "q50", "q95") \
         .withColumnRenamed("q50", "p50").withColumnRenamed("q95", "p95")
+
+
+@register(
+    "q_freq_topk_serve",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS item
+        FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (SELECT lang, item, COUNT(*) AS est FROM tok GROUP BY lang, item),
+    rk AS (
+        SELECT lang, item, est,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY est DESC, item) AS rk
+        FROM cnt
+    )
+    SELECT lang, item, CAST(est AS BIGINT) AS est,
+           CAST(0 AS BIGINT) AS err_bound, rk
+    FROM rk WHERE rk <= 10
+    """,
+    doc="mergeable frequent-items (Misra-Gries) sketch served end-to-end: "
+    "three time-sliced batches folded into manifest state "
+    "(operators/freqsketch.py — <= m counters + realized pruning offset "
+    "per group), top-10 terms per lang read back from state. With m=64 "
+    ">= the fixture vocab the realized err_bound is EXACTLY 0 and the "
+    "served counts equal the oracle's exact GROUP BY — the driver gate "
+    "itself proves the merge path exact in the no-prune regime; the "
+    "m < distinct regime's error envelope is pinned in "
+    "tests/test_freqsketch.py. The sketch answer to rollup.py refusing "
+    "top-k-by-frequency; state is O(groups*m) at any corpus size",
+)
+def q_freq_topk_serve(spark, sf_dir):
+    import shutil
+
+    from rag_pipelines_spark.operators.freqsketch import freq_topk, merge_freq
+    from rag_pipelines_spark.queries.sources import _scratch
+
+    state = _scratch("freq-serve", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)  # additive state: fresh per run
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+        )
+    )
+    for r in range(3):
+        merge_freq(
+            spark,
+            toks.filter(F.col("doc_id") % 3 == r),
+            state,
+            keys=["lang"],
+            item_col="term",
+            m=64,
+        )
+    return freq_topk(spark, state, keys=["lang"], k=10)
+
+
+@register(
+    "q_distinct_sketch_serve",
+    oracle=None,  # HLL estimate: DuckDB's approx sketch differs by design —
+    # the error envelope vs the exact count is pinned in
+    # tests/test_hllsketch.py instead (rows-only here)
+    doc="mergeable distinct-count (HLL) sketch served end-to-end: three "
+    "time-sliced batches folded into register state "
+    "(operators/hllsketch.py, Spark-native hll_sketch_agg/hll_union_agg "
+    "— one binary register array per group), per-event-type distinct "
+    "users estimated from state without rescanning history. Register "
+    "union is per-slot MAX (associative/idempotent), so N-batch "
+    "accretion == one-shot sketch EXACTLY (pinned by test); the estimate "
+    "vs truth is ~2.5% at lgK=12 (pinned by test). Rows-only by design: "
+    "DuckDB's approx_count_distinct is a different sketch and can never "
+    "hash-match. The sketch answer to rollup.py refusing count_distinct; "
+    "state is O(groups) x 2^lgK bytes at any corpus size",
+)
+def q_distinct_sketch_serve(spark, sf_dir):
+    import shutil
+
+    from rag_pipelines_spark.operators.hllsketch import (
+        hll_estimate,
+        merge_hll,
+        read_hll,
+    )
+    from rag_pipelines_spark.queries.sources import _scratch
+
+    state = _scratch("hll-serve", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)  # additive state: fresh per run
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    for r in range(3):
+        merge_hll(
+            spark,
+            ev.filter(F.col("event_id") % 3 == r),
+            state,
+            keys=["event_type"],
+            item_col="user_id",
+        )
+    return hll_estimate(read_hll(spark, state), ["event_type"])

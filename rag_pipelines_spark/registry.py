@@ -63,11 +63,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (c) r2-row queries oldest-first — the three anchors the r4 rotation
 #     promised for r5 (q_heavy_hitters, q_join_asof, q_snapshot_diff)
 #     first, then alphabetical until the 50-slot window is full.
-# Rolled to r6 (r2 rows, alphabetical tail): q_union_all, q_union_order,
-# q_unpivot, q_url_join, q_window_frame, q_window_lead, q_window_rank,
-# q_window_running, q_ws_collapse, q_xml_extract, q_year_extract.
+# Rolled to r6 (r2 rows, alphabetical tail): q_tumbling_agg,
+# q_unicode_norm, q_union_all, q_union_order, q_unpivot, q_url_join,
+# q_window_frame, q_window_lead, q_window_rank, q_window_running,
+# q_ws_collapse, q_xml_extract, q_year_extract.
 PRIORITY: tuple[str, ...] = (
-    # --- (a) round-5 touched ---
+    # --- (a) round-5 NEW (no driver row yet) + touched ---
+    "q_freq_topk_serve",
+    "q_distinct_sketch_serve",
     "q_aqp_sum",
     "q_term_pmi",
     "q_zorder_key",
@@ -118,8 +121,6 @@ PRIORITY: tuple[str, ...] = (
     "q_topk",
     "q_tpch_q3",
     "q_tpch_q5",
-    "q_tumbling_agg",
-    "q_unicode_norm",
 )
 
 

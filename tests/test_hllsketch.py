@@ -1,0 +1,93 @@
+"""Mergeable HLL distinct-count sketch (operators/hllsketch.py):
+merge-tree invariance (N-batch accretion == one-shot EXACTLY, because
+register union is per-slot max), the error envelope vs the exact count,
+and epoch idempotence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_pipelines_spark.operators.hllsketch import (
+    hll_estimate,
+    hll_partial,
+    merge_hll,
+    read_hll,
+)
+from tests.conftest import SF_DIR
+
+
+def _events(spark):
+    from rag_pipelines_spark.io import table
+
+    return table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+
+
+def test_accretion_equals_oneshot_exactly(spark, tmp_path):
+    """Three time-sliced merges must serve the IDENTICAL estimate as one
+    sketch over the union — register union is max-per-slot, so the merge
+    tree cannot change the state, only the order of maxes."""
+    ev = _events(spark)
+    state = str(tmp_path / "hll_state")
+    for r in range(3):
+        merge_hll(
+            spark,
+            ev.filter(F.col("event_id") % 3 == r),
+            state,
+            keys=["event_type"],
+            item_col="user_id",
+        )
+    served = {
+        r.event_type: r.n_distinct_est
+        for r in hll_estimate(read_hll(spark, state), ["event_type"]).collect()
+    }
+    oneshot = {
+        r.event_type: r.n_distinct_est
+        for r in hll_partial(ev, ["event_type"], "user_id")
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("sketch").alias("n_distinct_est"),
+        )
+        .collect()
+    }
+    assert served == oneshot
+
+
+def test_estimate_error_envelope(spark, tmp_path):
+    """lgK=12 => ~2.5% standard error; assert a 3-sigma-ish 8% envelope
+    against the exact distinct count per group (deterministic: the
+    sketch is a pure function of the input set)."""
+    ev = _events(spark)
+    state = str(tmp_path / "hll_state")
+    merge_hll(spark, ev, state, keys=["event_type"], item_col="user_id")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in hll_estimate(read_hll(spark, state), ["event_type"]).collect():
+        rel = abs(r.n_distinct_est - exact[r.event_type]) / exact[r.event_type]
+        assert rel <= 0.08, (r.event_type, r.n_distinct_est, exact[r.event_type])
+
+
+def test_epoch_replay_is_noop_and_reset_raises(spark, tmp_path):
+    ev = _events(spark)
+    state = str(tmp_path / "hll_epoch")
+    b0 = ev.filter(F.col("event_id") % 3 == 0)
+    merge_hll(spark, b0, state, keys=["event_type"], item_col="user_id",
+              epoch=0)
+    before = sorted(
+        map(tuple, hll_estimate(read_hll(spark, state), ["event_type"]).collect())
+    )
+    merge_hll(spark, b0, state, keys=["event_type"], item_col="user_id",
+              epoch=0)  # replay
+    after = sorted(
+        map(tuple, hll_estimate(read_hll(spark, state), ["event_type"]).collect())
+    )
+    assert after == before
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        merge_hll(spark, b0, state, keys=["event_type"], item_col="user_id",
+                  epoch=-1)
