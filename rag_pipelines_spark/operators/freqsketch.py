@@ -96,18 +96,23 @@ def freq_partial(batch: DataFrame, keys: list[str], item_col: str,
     """(items, totals) summary of ONE batch: exact per-item counts pruned
     to m per group (exact counts are a valid MG summary with zero error;
     pruning subtracts d from survivors and adds d to the group's realized
-    err), plus exact group totals. One hash-agg shuffle over the batch —
-    map-side combined."""
+    err), plus exact group totals. ONE hash-agg shuffle over the batch —
+    map-side combined; the counted frame is materialized
+    (vocabulary-sized, not batch-sized) so items and totals both derive
+    from it without re-scanning the batch (n_total == Σ est over the
+    un-pruned counts, by construction)."""
     counted = (
         batch.filter(F.col(item_col).isNotNull())
         .groupBy(*keys, F.col(item_col).alias("item"))
         .agg(F.count("*").cast(_CNT).alias("est"))
+        .coalesce(1)  # vocabulary-sized: one task for the downstream
+        # window/joins beats 32 near-empty ones
+        .localCheckpoint(eager=True)
     )
     items, d = _prune(counted, keys, m)
     totals = (
-        batch.filter(F.col(item_col).isNotNull())
-        .groupBy(*keys)
-        .agg(F.count("*").cast(_CNT).alias("n_total"))
+        counted.groupBy(*keys)
+        .agg(F.sum("est").cast(_CNT).alias("n_total"))
         .join(d, keys, "left")
         .select(
             *keys,
@@ -120,13 +125,20 @@ def freq_partial(batch: DataFrame, keys: list[str], item_col: str,
 
 def merge_freq(spark, batch: DataFrame, state_path: str, *,
                keys: list[str], item_col: str, m: int,
-               epoch: int | None = None) -> None:
+               epoch: int | None = None,
+               state_partitions: int = 1) -> None:
     """Fold one batch into the frequent-items state.
 
     Merge rule (mergeable-summaries MG): per-item ests ADD across the two
     summaries (outer-union + sum), then the merged list re-prunes to m.
     totals add exactly. Additive state: pass `epoch` (foreachBatch's
     epoch_id) for exactly-once under replay (state.py::applied_epoch).
+
+    `state_partitions` sizes the state files: the default 1 is right for
+    the common case (state is O(|groups|·m) rows — KBs), avoiding a
+    shuffle-partition-count spray of tiny files re-read every merge;
+    raise it when |groups| is genuinely large (the same knob class as
+    compact_neardup_state's num_partitions).
     """
     if epoch is not None:
         done = applied_epoch(state_path, what="freq-sketch state")
@@ -147,13 +159,17 @@ def merge_freq(spark, batch: DataFrame, state_path: str, *,
         if live is not None:
             o_items = spark.read.parquet(os.path.join(live, "items"))
             o_totals = spark.read.parquet(os.path.join(live, "totals"))
-            items, d = _prune(
+            # materialize the summed union once (state-sized, tiny): the
+            # prune consumes it three times (ranked, d, totals-join) and
+            # would otherwise re-run the read+union+shuffle per consumer
+            summed = (
                 o_items.unionByName(b_items)
                 .groupBy(*keys, "item")
-                .agg(F.sum("est").cast(_CNT).alias("est")),
-                keys,
-                m,
+                .agg(F.sum("est").cast(_CNT).alias("est"))
+                .coalesce(state_partitions)
+                .localCheckpoint(eager=True)
             )
+            items, d = _prune(summed, keys, m)
             totals = (
                 o_totals.unionByName(b_totals)
                 .groupBy(*keys)
@@ -175,8 +191,12 @@ def merge_freq(spark, batch: DataFrame, state_path: str, *,
         os.makedirs(state_path, exist_ok=True)
         version = new_version_name()
         vdir = os.path.join(state_path, version)
-        items.write.mode("overwrite").parquet(os.path.join(vdir, "items"))
-        totals.write.mode("overwrite").parquet(os.path.join(vdir, "totals"))
+        items.coalesce(state_partitions).write.mode("overwrite").parquet(
+            os.path.join(vdir, "items")
+        )
+        totals.coalesce(state_partitions).write.mode("overwrite").parquet(
+            os.path.join(vdir, "totals")
+        )
         if epoch is not None:
             write_epoch(vdir, epoch)
         write_prev(vdir, os.path.basename(live) if live else None)

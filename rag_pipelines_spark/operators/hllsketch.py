@@ -59,7 +59,8 @@ def hll_partial(batch: DataFrame, keys: list[str], item_col: str,
 
 def merge_hll(spark, batch: DataFrame, state_path: str, *,
               keys: list[str], item_col: str, lgk: int = DEFAULT_LGK,
-              epoch: int | None = None) -> None:
+              epoch: int | None = None,
+              state_partitions: int = 1) -> None:
     """Fold one batch into the per-group HLL state.
 
     union(state ∪ partial(batch)) at the register level; additive state,
@@ -96,7 +97,9 @@ def merge_hll(spark, batch: DataFrame, state_path: str, *,
         os.makedirs(state_path, exist_ok=True)
         version = new_version_name()
         vdir = os.path.join(state_path, version)
-        merged.write.mode("overwrite").parquet(vdir)
+        # |groups|-row state: one file per merge by default (avoid a
+        # shuffle-partition-count spray of tiny files re-read every merge)
+        merged.coalesce(state_partitions).write.mode("overwrite").parquet(vdir)
         if epoch is not None:
             write_epoch(vdir, epoch)
         write_prev(vdir, os.path.basename(live) if live else None)

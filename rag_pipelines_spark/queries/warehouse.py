@@ -371,12 +371,17 @@ def q_freq_topk_serve(spark, sf_dir):
 
     state = _scratch("freq-serve", sf_dir)
     shutil.rmtree(state, ignore_errors=True)  # additive state: fresh per run
+    # tokenize ONCE and materialize: the three "daily batches" below are
+    # slices of the same fixture corpus, so without this each merge would
+    # re-run the scan+explode (signatures-once discipline, SCALE.md; in
+    # production the batches arrive as distinct inputs and this is moot)
     toks = (
         t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
         .select(
             "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
         )
+        .localCheckpoint(eager=True)
     )
     for r in range(3):
         merge_freq(

@@ -230,6 +230,8 @@ def continuous_ingest_pipeline(
     rollup_keys: tuple[str, ...] = ("lang",),
     rollup_measures: dict | None = None,
     glob: str = "*.parquet",
+    freq_m: int | None = None,
+    hll_item_col: str | None = None,
     _crash_after: str | None = None,
 ):
     """The reference's watcher as ONE streaming job maintaining EVERY
@@ -275,6 +277,16 @@ def continuous_ingest_pipeline(
     so the front door no longer masks replays) is detected by the
     near-dup state's committed-epoch guard, which raises before any
     state family is touched — loud failure, not double-count.
+
+    Optional sketch families, same epoch-guarded exactly-once contract:
+    `freq_m` maintains a per-`rollup_keys` Misra-Gries frequent-terms
+    sketch over the accepted docs' whitespace tokens
+    (``<root>/freq``, operators/freqsketch.py), and `hll_item_col`
+    maintains a per-`rollup_keys` HLL distinct-count sketch over that
+    column (``<root>/hll``, operators/hllsketch.py). Both merges skip
+    already-applied epochs, so they slot between the rollup merge and
+    the corpus write without changing the crash-recovery argument —
+    the crash matrix drills them too.
 
     `_crash_after` is FAULT INJECTION for the crash-matrix drill
     (tests/test_continuous_ingest.py): naming a step makes process()
@@ -335,6 +347,28 @@ def continuous_ingest_pipeline(
             epoch=epoch_id,
         )
         crash("rollup")
+        if freq_m is not None:
+            from rag_pipelines_spark.operators.freqsketch import merge_freq
+
+            toks = clean.select(
+                *rollup_keys,
+                F.explode(F.split(F.col(text_col), " ")).alias("term"),
+            )
+            merge_freq(
+                s, toks, os.path.join(root, "freq"),
+                keys=list(rollup_keys), item_col="term", m=freq_m,
+                epoch=epoch_id,
+            )
+            crash("freq")
+        if hll_item_col is not None:
+            from rag_pipelines_spark.operators.hllsketch import merge_hll
+
+            merge_hll(
+                s, clean, os.path.join(root, "hll"),
+                keys=list(rollup_keys), item_col=hll_item_col,
+                epoch=epoch_id,
+            )
+            crash("hll")
         # per-epoch partition overwrite: replaying rewrites the same files
         clean.write.mode("overwrite").parquet(
             os.path.join(root, "corpus", f"epoch={epoch_id}")

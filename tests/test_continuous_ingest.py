@@ -51,12 +51,15 @@ def _rows():
 
 def _run(spark, src, root, ckpt):
     q = continuous_ingest_pipeline(
-        spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text"
+        spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
+        freq_m=100, hll_item_col="doc_id",
     )
     q.awaitTermination(120)
 
 
 def _state_snapshot(spark, root):
+    from rag_pipelines_spark.operators.freqsketch import read_freq
+    from rag_pipelines_spark.operators.hllsketch import hll_estimate, read_hll
     from rag_pipelines_spark.operators.retrieval import corpus_stats
     from rag_pipelines_spark.operators.rollup import read_rollup
 
@@ -74,7 +77,15 @@ def _state_snapshot(spark, root):
     seen = {
         r.doc_id for r in spark.read.parquet(f"{root}/seen").collect()
     }
-    return corpus, stats, rollup, seen
+    f_items, f_totals = read_freq(spark, f"{root}/freq")
+    freq = (
+        sorted(map(tuple, f_items.collect())),
+        sorted(map(tuple, f_totals.collect())),
+    )
+    hll = sorted(
+        map(tuple, hll_estimate(read_hll(spark, f"{root}/hll"), ["lang"]).collect())
+    )
+    return corpus, stats, rollup, seen, freq, hll
 
 
 def test_continuous_ingest_all_families(spark, tmp_path):
@@ -87,7 +98,7 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
     _run(spark, src, root, ckpt)
 
-    corpus, stats, rollup, seen = _state_snapshot(spark, root)
+    corpus, stats, rollup, seen, freq, hll = _state_snapshot(spark, root)
 
     # front door saw every distinct key; exact dup (doc 1 again) blocked
     assert seen == {1, 2, 3, 4, 5}
@@ -126,10 +137,35 @@ def test_continuous_ingest_all_families(spark, tmp_path):
         .collect()
     }
     assert rollup == direct
+    # freq sketch: m=100 >= distinct tokens -> realized err 0 and exact
+    # per-(lang, term) counts over the ACCEPTED corpus only
+    direct_freq = sorted(
+        (r.lang, r.term, int(r.n))
+        for r in accepted.select(
+            "lang", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert sorted((l, t, int(e)) for l, t, e in freq[0]) == direct_freq
+    assert all(int(err) == 0 for _, _, err in freq[1])
+    # hll sketch: estimates equal a one-shot sketch over the accepted set
+    from rag_pipelines_spark.operators.hllsketch import hll_partial
+
+    direct_hll = sorted(
+        map(
+            tuple,
+            hll_partial(accepted, ["lang"], "doc_id")
+            .select("lang", F.hll_sketch_estimate("sketch").alias("n_distinct_est"))
+            .collect(),
+        )
+    )
+    assert hll == direct_hll
 
     # full replay: fresh checkpoint over the same source files — the
     # front door anti-join makes every batch a no-op for every family
-    before = (corpus, stats, rollup, seen)
+    before = (corpus, stats, rollup, seen, freq, hll)
     _run(spark, src, root, str(tmp_path / "ckpt2"))
     assert _state_snapshot(spark, root) == before
 
@@ -180,8 +216,8 @@ def test_epoch_guards_make_merges_idempotent(spark, tmp_path):
 
 
 CRASH_POINTS = [
-    "delta", "neardup", "stats", "rollup", "corpus", "seen_keys",
-    "seen_marker",
+    "delta", "neardup", "stats", "rollup", "freq", "hll", "corpus",
+    "seen_keys", "seen_marker",
 ]
 
 
@@ -219,6 +255,7 @@ def test_crash_matrix_every_step_replays_to_identical_state(
     spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
     q = continuous_ingest_pipeline(
         spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
+        freq_m=100, hll_item_col="doc_id",
         _crash_after=crash_after,
     )
     with pytest.raises(Exception, match="injected crash"):

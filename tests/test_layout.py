@@ -169,6 +169,11 @@ def test_quantile_zorder_survives_planted_outlier(spark, tmp_path):
         (F.col("x") >= 300) & (F.col("x") <= 400)
         & (F.col("y") >= 300) & (F.col("y") <= 400)
     )
+    # the skewed dimension ALONE: this is where min/max provably dies —
+    # every real x lands in bucket ~0, so every file's x min/max stats
+    # span the predicate range and nothing can prune (the box predicate
+    # above still prunes on the healthy y dimension either way)
+    pred_x = (F.col("x") >= 300) & (F.col("x") <= 400)
 
     base = str(tmp_path / f"skew-{uuid.uuid4().hex[:6]}")
     mpath, qpath = f"{base}/minmax", f"{base}/quantile"
@@ -176,18 +181,22 @@ def test_quantile_zorder_survives_planted_outlier(spark, tmp_path):
     write_zordered(df, qpath, ["x", "y"], n_files=16, bits=8,
                    normalize="quantile")
 
-    m_rows = _scan_rows_decoded(spark, mpath, pred)
+    # same answers from both layouts, both predicates
+    for p in (pred, pred_x):
+        assert (
+            spark.read.parquet(mpath).filter(p).count()
+            == spark.read.parquet(qpath).filter(p).count()
+        )
+    # quantile holds the <20% decode bound on the box despite the outlier
     q_rows = _scan_rows_decoded(spark, qpath, pred)
-
-    # same answer from both layouts
-    assert (
-        spark.read.parquet(mpath).filter(pred).count()
-        == spark.read.parquet(qpath).filter(pred).count()
-    )
-    # minmax collapsed x: every real value is in x-bucket 0, so the
-    # layout degenerates to ~1-D on y and the box decodes far more
     assert q_rows < total * 0.20, (q_rows, total)
-    assert q_rows < m_rows, (q_rows, m_rows)
+    # x-only: minmax decodes essentially everything (collapsed buckets =>
+    # useless per-file x stats); quantile's equal-population buckets keep
+    # x pruning alive
+    m_rows_x = _scan_rows_decoded(spark, mpath, pred_x)
+    q_rows_x = _scan_rows_decoded(spark, qpath, pred_x)
+    assert m_rows_x > total * 0.9, (m_rows_x, total)
+    assert q_rows_x < total * 0.5, (q_rows_x, total)
 
 
 def test_quantile_zorder_caps_bits(spark):
