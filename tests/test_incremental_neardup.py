@@ -410,3 +410,44 @@ def test_partial_epoch_append_is_repaired_on_replay(spark, tmp_path):
         == 0
     )
     del n_partial
+
+
+def test_lease_guards_every_merge_family(spark, tmp_path):
+    """Every state family's merge acquires the writer lease: with the
+    lease held by another writer, each one raises instead of
+    interleaving manifest flips (the enforcement is shared via
+    operators/state.py::writer_lease — this drill pins that no family
+    bypasses it)."""
+    import pytest as _pytest
+
+    from rag_pipelines_spark.operators.freqsketch import merge_freq
+    from rag_pipelines_spark.operators.histogram import merge_histogram
+    from rag_pipelines_spark.operators.hllsketch import merge_hll
+    from rag_pipelines_spark.operators.retrieval import merge_corpus_stats
+    from rag_pipelines_spark.operators.rollup import merge_rollup
+    from rag_pipelines_spark.operators.state import writer_lease
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", 5.0)], "doc_id LONG, text STRING, lang STRING, v DOUBLE"
+    )
+    cases = {
+        "rollup": lambda p: merge_rollup(
+            spark, docs, p, keys=["lang"], measures={"v": ["count", "sum"]}
+        ),
+        "histogram": lambda p: merge_histogram(
+            spark, docs, p, keys=["lang"], col="v", width=1.0
+        ),
+        "corpus_stats": lambda p: merge_corpus_stats(spark, docs, p),
+        "freq": lambda p: merge_freq(
+            spark, docs, p, keys=["lang"], item_col="text", m=4
+        ),
+        "hll": lambda p: merge_hll(
+            spark, docs, p, keys=["lang"], item_col="doc_id"
+        ),
+    }
+    for name, fn in cases.items():
+        path = str(tmp_path / name)
+        with writer_lease(path, what=name):
+            with _pytest.raises(RuntimeError, match="locked by another writer"):
+                fn(path)
+        fn(path)  # released -> proceeds
