@@ -145,13 +145,18 @@ def scd2_merge(
     closed = dim.filter(F.col("is_current") == 0)
     open_rows = dim.filter(F.col("is_current") == 1)
     if validate:
-        viol = (
-            batch.groupBy(key)
-            .agg(F.min(ts).alias("_batch_min_ts"))
-            .join(
-                F.broadcast(open_rows.select(key, "valid_from")), key
-            )
-            .filter(F.col("_batch_min_ts") < F.col("valid_from"))
+        # broadcast the BATCH-sized side (per-key min ts — |touched| rows
+        # by construction), never the dimension: open_rows is one row per
+        # key of the whole dimension, and broadcasting it would collect a
+        # dimension-sized set on the driver at every merge. The semi-join
+        # first restricts the open set to touched keys (same shape as the
+        # seeds join below), then the tiny b_min broadcast probes it.
+        b_min = batch.groupBy(key).agg(F.min(ts).alias("_batch_min_ts"))
+        open_touched = open_rows.join(
+            F.broadcast(touched), key, "left_semi"
+        ).select(key, "valid_from")
+        viol = open_touched.join(F.broadcast(b_min), key).filter(
+            F.col("_batch_min_ts") < F.col("valid_from")
         )
         bad = viol.select(key, "_batch_min_ts", "valid_from").take(3)
         if bad:

@@ -50,13 +50,9 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from rag_pipelines_spark.operators.state import (
-    applied_epoch,
-    gc_orphans,
+    commit_version,
+    epoch_already_applied,
     live_version_dir,
-    new_version_name,
-    write_epoch,
-    write_manifest,
-    write_prev,
     writer_lease,
 )
 
@@ -101,9 +97,18 @@ def freq_partial(batch: DataFrame, keys: list[str], item_col: str,
     (vocabulary-sized, not batch-sized) so items and totals both derive
     from it without re-scanning the batch (n_total == Σ est over the
     un-pruned counts, by construction)."""
+    # NULL group keys are EXCLUDED, symmetric with the null-item filter:
+    # every keys-join in this module (the prune's d-frame, the totals err
+    # join, freq_topk's items⋈totals) is an equi-join that cannot match
+    # NULL keys, so a null group would silently lose its pruning offset
+    # (breaking est <= true <= est + err) and vanish from the served
+    # top-k. Excluding it loudly-by-contract keeps the invariant exact;
+    # callers wanting a null bucket coalesce the key to a sentinel first.
+    nn = batch.filter(F.col(item_col).isNotNull())
+    for kcol in keys:
+        nn = nn.filter(F.col(kcol).isNotNull())
     counted = (
-        batch.filter(F.col(item_col).isNotNull())
-        .groupBy(*keys, F.col(item_col).alias("item"))
+        nn.groupBy(*keys, F.col(item_col).alias("item"))
         .agg(F.count("*").cast(_CNT).alias("est"))
         .coalesce(1)  # vocabulary-sized: one task for the downstream
         # window/joins beats 32 near-empty ones
@@ -140,19 +145,8 @@ def merge_freq(spark, batch: DataFrame, state_path: str, *,
     raise it when |groups| is genuinely large (the same knob class as
     compact_neardup_state's num_partitions).
     """
-    if epoch is not None:
-        done = applied_epoch(state_path, what="freq-sketch state")
-        if done is not None:
-            if done == epoch:
-                return  # replayed micro-batch: already folded in
-            if done > epoch:
-                raise RuntimeError(
-                    "freq-sketch state at " + state_path + f" already applied "
-                    f"epoch {done} > incoming {epoch} — the stream checkpoint "
-                    "was reset against existing state (epoch counters restart "
-                    "per checkpoint); restore the checkpoint or start a "
-                    "fresh state root"
-                )
+    if epoch_already_applied(state_path, "freq-sketch state", epoch):
+        return  # replayed micro-batch: already folded in
     b_items, b_totals = freq_partial(batch, keys, item_col, m)
     with writer_lease(state_path, what="freq-sketch state"):
         live = live_version_dir(state_path, what="freq-sketch state")
@@ -188,20 +182,20 @@ def merge_freq(spark, batch: DataFrame, state_path: str, *,
             )
         else:
             items, totals = b_items, b_totals
-        os.makedirs(state_path, exist_ok=True)
-        version = new_version_name()
-        vdir = os.path.join(state_path, version)
-        items.coalesce(state_partitions).write.mode("overwrite").parquet(
-            os.path.join(vdir, "items")
+        def _write(vdir: str) -> None:
+            items.coalesce(state_partitions).write.mode("overwrite").parquet(
+                os.path.join(vdir, "items")
+            )
+            totals.coalesce(state_partitions).write.mode("overwrite").parquet(
+                os.path.join(vdir, "totals")
+            )
+
+        commit_version(
+            state_path,
+            _write,
+            epoch=epoch,
+            prev=os.path.basename(live) if live else None,
         )
-        totals.coalesce(state_partitions).write.mode("overwrite").parquet(
-            os.path.join(vdir, "totals")
-        )
-        if epoch is not None:
-            write_epoch(vdir, epoch)
-        write_prev(vdir, os.path.basename(live) if live else None)
-        write_manifest(state_path, version)
-        gc_orphans(state_path)  # retains the predecessor for in-flight readers
 
 
 def read_freq(spark, state_path: str):

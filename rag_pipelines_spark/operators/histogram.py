@@ -24,13 +24,9 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from rag_pipelines_spark.operators.state import (
-    applied_epoch,
-    gc_orphans,
+    commit_version,
+    epoch_already_applied,
     live_version_dir,
-    new_version_name,
-    write_epoch,
-    write_manifest,
-    write_prev,
     writer_lease,
 )
 
@@ -58,19 +54,8 @@ def merge_histogram(spark, batch: DataFrame, state_path: str, *,
     operators/state.py). counts add ⇒ N merges == one-shot, pinned by
     test. Additive state: pass `epoch` for exactly-once under replay
     (operators/state.py::applied_epoch)."""
-    if epoch is not None:
-        done = applied_epoch(state_path, what='histogram state')
-        if done is not None:
-            if done == epoch:
-                return  # replayed micro-batch: already folded in
-            if done > epoch:
-                raise RuntimeError(
-                    "histogram state at " + state_path + f" already applied epoch "
-                    f"{done} > incoming {epoch} — the stream checkpoint was "
-                    "reset against existing state (epoch counters restart "
-                    "per checkpoint); restore the checkpoint or start a "
-                    "fresh state root"
-                )
+    if epoch_already_applied(state_path, "histogram state", epoch):
+        return  # replayed micro-batch: already folded in
     partial = histogram_partial(batch, keys, col, width)
     with writer_lease(state_path, what="histogram state"):
         live = live_version_dir(state_path, what="histogram state")
@@ -81,15 +66,13 @@ def merge_histogram(spark, batch: DataFrame, state_path: str, *,
                 .groupBy(*keys, "bin")
                 .agg(F.sum("n").alias("n"))
             )
-        os.makedirs(state_path, exist_ok=True)
-        version = new_version_name()
-        vdir = os.path.join(state_path, version)
-        partial.write.mode("overwrite").parquet(vdir)
-        if epoch is not None:
-            write_epoch(vdir, epoch)
-        write_prev(vdir, os.path.basename(live) if live else None)
-        write_manifest(state_path, version)
-        gc_orphans(state_path)  # retains the predecessor for in-flight readers
+        merged = partial
+        commit_version(
+            state_path,
+            lambda vdir: merged.write.mode("overwrite").parquet(vdir),
+            epoch=epoch,
+            prev=os.path.basename(live) if live else None,
+        )
 
 
 def read_histogram(spark, state_path: str) -> DataFrame:

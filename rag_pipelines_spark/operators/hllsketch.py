@@ -34,13 +34,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rag_pipelines_spark.operators.state import (
-    applied_epoch,
-    gc_orphans,
+    commit_version,
+    epoch_already_applied,
     live_version_dir,
-    new_version_name,
-    write_epoch,
-    write_manifest,
-    write_prev,
     writer_lease,
 )
 
@@ -69,19 +65,8 @@ def merge_hll(spark, batch: DataFrame, state_path: str, *,
     dir share one lgk (hll_union_agg would raise on a mismatch — the
     loud failure we want, not a silent precision downgrade).
     """
-    if epoch is not None:
-        done = applied_epoch(state_path, what="hll-sketch state")
-        if done is not None:
-            if done == epoch:
-                return  # replayed micro-batch: already folded in
-            if done > epoch:
-                raise RuntimeError(
-                    "hll-sketch state at " + state_path + f" already applied "
-                    f"epoch {done} > incoming {epoch} — the stream checkpoint "
-                    "was reset against existing state (epoch counters restart "
-                    "per checkpoint); restore the checkpoint or start a "
-                    "fresh state root"
-                )
+    if epoch_already_applied(state_path, "hll-sketch state", epoch):
+        return  # replayed micro-batch: already folded in
     partial = hll_partial(batch, keys, item_col, lgk)
     with writer_lease(state_path, what="hll-sketch state"):
         live = live_version_dir(state_path, what="hll-sketch state")
@@ -94,17 +79,16 @@ def merge_hll(spark, batch: DataFrame, state_path: str, *,
             )
         else:
             merged = partial
-        os.makedirs(state_path, exist_ok=True)
-        version = new_version_name()
-        vdir = os.path.join(state_path, version)
         # |groups|-row state: one file per merge by default (avoid a
         # shuffle-partition-count spray of tiny files re-read every merge)
-        merged.coalesce(state_partitions).write.mode("overwrite").parquet(vdir)
-        if epoch is not None:
-            write_epoch(vdir, epoch)
-        write_prev(vdir, os.path.basename(live) if live else None)
-        write_manifest(state_path, version)
-        gc_orphans(state_path)  # retains the predecessor for in-flight readers
+        commit_version(
+            state_path,
+            lambda vdir: merged.coalesce(state_partitions)
+            .write.mode("overwrite")
+            .parquet(vdir),
+            epoch=epoch,
+            prev=os.path.basename(live) if live else None,
+        )
 
 
 def read_hll(spark, state_path: str) -> DataFrame:

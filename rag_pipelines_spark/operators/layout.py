@@ -122,12 +122,18 @@ def zorder_key(
             )
         n_buckets = 1 << bits
         probs = [i / n_buckets for i in range(1, n_buckets)]
-        scaled = []
-        for c in cols:
-            # relativeError 1/(4*buckets): boundary placement error stays
-            # well under one bucket width of population
-            bounds = df.approxQuantile(c, probs, 1.0 / (4 * n_buckets))
-            scaled.append(_quantile_bucket(F.col(c), bounds, bits))
+        # ONE pass for every dimension (approxQuantile takes a column
+        # list) — a per-column loop would rescan the full input per
+        # dimension, multiplying the dominant cost by len(cols).
+        # relativeError 1/(4*buckets): boundary placement error stays
+        # well under one bucket width of population.
+        all_bounds = df.approxQuantile(
+            list(cols), probs, 1.0 / (4 * n_buckets)
+        )
+        scaled = [
+            _quantile_bucket(F.col(c), bounds, bits)
+            for c, bounds in zip(cols, all_bounds)
+        ]
         return df.withColumn("zkey", _interleave(scaled, bits))
     if normalize != "minmax":
         raise ValueError(f"unknown normalize mode {normalize!r}")

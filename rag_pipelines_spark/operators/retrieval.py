@@ -282,29 +282,14 @@ def merge_corpus_stats(spark, batch: DataFrame, state_path: str, *,
     import os
 
     from rag_pipelines_spark.operators.state import (
-        applied_epoch,
-        gc_orphans,
+        commit_version,
+        epoch_already_applied,
         live_version_dir,
-        new_version_name,
-        write_epoch,
-        write_manifest,
-        write_prev,
         writer_lease,
     )
 
-    if epoch is not None:
-        done = applied_epoch(state_path, what='corpus-stats state')
-        if done is not None:
-            if done == epoch:
-                return  # replayed micro-batch: already folded in
-            if done > epoch:
-                raise RuntimeError(
-                    "corpus-stats state at " + state_path + f" already applied epoch "
-                    f"{done} > incoming {epoch} — the stream checkpoint was "
-                    "reset against existing state (epoch counters restart "
-                    "per checkpoint); restore the checkpoint or start a "
-                    "fresh state root"
-                )
+    if epoch_already_applied(state_path, "corpus-stats state", epoch):
+        return  # replayed micro-batch: already folded in
 
     b_terms, b_totals = batch_corpus_stats(batch, text_col=text_col)
     with writer_lease(state_path, what="corpus-stats state"):
@@ -327,16 +312,16 @@ def merge_corpus_stats(spark, batch: DataFrame, state_path: str, *,
         else:
             terms, totals = b_terms, b_totals
 
-        os.makedirs(state_path, exist_ok=True)
-        version = new_version_name()
-        vdir = os.path.join(state_path, version)
-        terms.write.mode("overwrite").parquet(os.path.join(vdir, "terms"))
-        totals.write.mode("overwrite").parquet(os.path.join(vdir, "totals"))
-        if epoch is not None:
-            write_epoch(vdir, epoch)  # commits WITH the data via the flip
-        write_prev(vdir, os.path.basename(live) if live else None)
-        write_manifest(state_path, version)  # atomic pointer flip
-        gc_orphans(state_path)  # retains the predecessor for in-flight readers
+        def _write(vdir: str) -> None:
+            terms.write.mode("overwrite").parquet(os.path.join(vdir, "terms"))
+            totals.write.mode("overwrite").parquet(os.path.join(vdir, "totals"))
+
+        commit_version(
+            state_path,
+            _write,
+            epoch=epoch,
+            prev=os.path.basename(live) if live else None,
+        )
 
 
 def assemble_context(ranked: DataFrame, *, snippet_col: str = "snippet",

@@ -35,13 +35,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rag_pipelines_spark.operators.state import (
-    applied_epoch,
-    gc_orphans,
+    commit_version,
+    epoch_already_applied,
     live_version_dir,
-    new_version_name,
-    write_epoch,
-    write_manifest,
-    write_prev,
     writer_lease,
 )
 
@@ -113,19 +109,8 @@ def merge_rollup(spark, batch: DataFrame, state_path: str, *,
     already-applied micro-batch a no-op (exactly-once, see
     operators/state.py::applied_epoch).
     """
-    if epoch is not None:
-        done = applied_epoch(state_path, what='rollup state')
-        if done is not None:
-            if done == epoch:
-                return  # replayed micro-batch: already folded in
-            if done > epoch:
-                raise RuntimeError(
-                    "rollup state at " + state_path + f" already applied epoch "
-                    f"{done} > incoming {epoch} — the stream checkpoint was "
-                    "reset against existing state (epoch counters restart "
-                    "per checkpoint); restore the checkpoint or start a "
-                    "fresh state root"
-                )
+    if epoch_already_applied(state_path, "rollup state", epoch):
+        return  # replayed micro-batch: already folded in
     partial = rollup_batch(batch, keys, measures)
     with writer_lease(state_path, what="rollup state"):
         live = live_version_dir(state_path, what="rollup state")
@@ -138,15 +123,12 @@ def merge_rollup(spark, batch: DataFrame, state_path: str, *,
             )
         else:
             merged = partial
-        os.makedirs(state_path, exist_ok=True)
-        version = new_version_name()
-        vdir = os.path.join(state_path, version)
-        merged.write.mode("overwrite").parquet(vdir)
-        if epoch is not None:
-            write_epoch(vdir, epoch)
-        write_prev(vdir, os.path.basename(live) if live else None)
-        write_manifest(state_path, version)
-        gc_orphans(state_path)  # retains the predecessor for in-flight readers
+        commit_version(
+            state_path,
+            lambda vdir: merged.write.mode("overwrite").parquet(vdir),
+            epoch=epoch,
+            prev=os.path.basename(live) if live else None,
+        )
 
 
 def read_rollup(spark, state_path: str) -> DataFrame:

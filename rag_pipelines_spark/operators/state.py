@@ -112,28 +112,49 @@ def prev_version_name(version_dir: str) -> str | None:
 
 
 @contextmanager
-def writer_lease(state_path: str, what: str = "state", ttl_s: float = 600.0):
+def writer_lease(state_path: str, what: str = "state", ttl_s: float = 3600.0):
     """Enforce the single-writer contract with a lease file.
 
     ``O_CREAT|O_EXCL`` makes acquisition atomic on a local FS; the file
-    holds ``<pid> <unix-ts>`` for diagnostics. A live lease (mtime age
-    <= ttl_s) makes the second writer RAISE — interleaved manifest flips
-    would race GC against the other writer's un-flipped version dir. A
-    stale lease (holder crashed without releasing) is taken over by
-    unlink + one re-acquire attempt; if a third writer wins that race the
-    loser still raises rather than proceeding unlocked. Object-store
-    port: a conditional PUT (if-none-match) replaces O_EXCL.
+    holds ``<token> <pid> <unix-ts>`` — the random token is the OWNERSHIP
+    record. A live lease (mtime age <= ttl_s) makes the second writer
+    RAISE — interleaved manifest flips would race GC against the other
+    writer's un-flipped version dir. A stale lease (holder crashed
+    without releasing) is taken over by unlink + one re-acquire attempt;
+    if a third writer wins that race the loser still raises rather than
+    proceeding unlocked.
+
+    Release is ownership-checked: the holder re-reads the lease and
+    unlinks ONLY if the token is still its own, so a writer that was
+    (wrongly or rightly) usurped after exceeding ttl_s cannot delete the
+    usurper's lease and let a third writer in. ttl_s is therefore a hard
+    bound the caller must respect: a merge/compaction expected to run
+    longer than the default hour MUST pass a larger ttl_s — takeover of
+    a lease whose holder is alive-but-slow leads to exactly the
+    interleaved-flip corruption this lock exists to prevent (a
+    heartbeat-refreshing lease is the object-store-era upgrade; the
+    reference's singleton cron makes the static TTL sufficient here).
+    Object-store port: conditional PUT (if-none-match) replaces O_EXCL,
+    token-compare-and-delete replaces the checked unlink.
     """
     _require_local(state_path)
     os.makedirs(state_path, exist_ok=True)
     path = os.path.join(state_path, LEASE)
+    token = uuid.uuid4().hex
 
     def _acquire() -> None:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         with os.fdopen(fd, "w") as f:
-            f.write(f"{os.getpid()} {time.time()}\n")
+            f.write(f"{token} {os.getpid()} {time.time()}\n")
             f.flush()
             os.fsync(f.fileno())
+
+    def _owns() -> bool:
+        try:
+            with open(path) as f:
+                return f.read().split(" ", 1)[0] == token
+        except FileNotFoundError:
+            return False
 
     try:
         _acquire()
@@ -158,10 +179,11 @@ def writer_lease(state_path: str, what: str = "state", ttl_s: float = 600.0):
     try:
         yield
     finally:
-        try:
-            os.unlink(path)
-        except FileNotFoundError:
-            pass
+        if _owns():
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
 
 
 def live_version_dir(state_path: str, what: str = "state") -> str | None:
@@ -247,6 +269,52 @@ def applied_epoch(state_path: str, what: str = "state") -> int | None:
         return None
     with open(p) as f:
         return int(f.read().strip())
+
+
+def epoch_already_applied(state_path: str, what: str,
+                          epoch: int | None) -> bool:
+    """Shared epoch guard for every rewrite-style merge (rollup,
+    histogram, corpus-stats, freq-sketch, hll-sketch): True when this
+    exact epoch is already folded into the live version (replayed
+    micro-batch — caller returns without touching state); raises when
+    the state has applied a LATER epoch (the stream checkpoint was reset
+    against existing state — epoch counters restart per checkpoint, and
+    proceeding would double-count every batch)."""
+    if epoch is None:
+        return False
+    done = applied_epoch(state_path, what=what)
+    if done is None:
+        return False
+    if done == epoch:
+        return True
+    if done > epoch:
+        raise RuntimeError(
+            f"{what} at {state_path} already applied epoch {done} > "
+            f"incoming {epoch} — the stream checkpoint was reset against "
+            "existing state (epoch counters restart per checkpoint); "
+            "restore the checkpoint or start a fresh state root"
+        )
+    return False
+
+
+def commit_version(state_path: str, write_fn, *, epoch: int | None,
+                   prev: str | None) -> str:
+    """Shared version-commit ritual for rewrite-style merges: make a new
+    version dir, let ``write_fn(vdir)`` populate it, record the epoch
+    (inside the dir, so it commits atomically with the data via the
+    flip) and the predecessor (reader-grace GC record), flip the
+    MANIFEST, sweep orphans. Caller must hold the writer lease. Returns
+    the new version dir."""
+    os.makedirs(state_path, exist_ok=True)
+    version = new_version_name()
+    vdir = os.path.join(state_path, version)
+    write_fn(vdir)
+    if epoch is not None:
+        write_epoch(vdir, epoch)
+    write_prev(vdir, prev)
+    write_manifest(state_path, version)
+    gc_orphans(state_path)  # retains the predecessor for in-flight readers
+    return vdir
 
 
 def gc_orphans(state_path: str) -> list[str]:
