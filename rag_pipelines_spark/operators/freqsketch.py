@@ -149,6 +149,11 @@ def merge_freq(spark, batch: DataFrame, state_path: str, *,
         return  # replayed micro-batch: already folded in
     b_items, b_totals = freq_partial(batch, keys, item_col, m)
     with writer_lease(state_path, what="freq-sketch state"):
+        # authoritative re-check INSIDE the lease (see rollup.py: the
+        # pre-lease check is a fast path; a concurrent holder may have
+        # committed this epoch while we computed the partial)
+        if epoch_already_applied(state_path, "freq-sketch state", epoch):
+            return
         live = live_version_dir(state_path, what="freq-sketch state")
         if live is not None:
             o_items = spark.read.parquet(os.path.join(live, "items"))

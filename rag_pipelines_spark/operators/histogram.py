@@ -58,6 +58,11 @@ def merge_histogram(spark, batch: DataFrame, state_path: str, *,
         return  # replayed micro-batch: already folded in
     partial = histogram_partial(batch, keys, col, width)
     with writer_lease(state_path, what="histogram state"):
+        # authoritative re-check INSIDE the lease (see rollup.py: the
+        # pre-lease check is a fast path; a concurrent holder may have
+        # committed this epoch while we computed the partial)
+        if epoch_already_applied(state_path, "histogram state", epoch):
+            return
         live = live_version_dir(state_path, what="histogram state")
         if live is not None:
             partial = (

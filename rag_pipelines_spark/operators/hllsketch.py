@@ -69,6 +69,11 @@ def merge_hll(spark, batch: DataFrame, state_path: str, *,
         return  # replayed micro-batch: already folded in
     partial = hll_partial(batch, keys, item_col, lgk)
     with writer_lease(state_path, what="hll-sketch state"):
+        # authoritative re-check INSIDE the lease (see rollup.py: the
+        # pre-lease check is a fast path; a concurrent holder may have
+        # committed this epoch while we computed the partial)
+        if epoch_already_applied(state_path, "hll-sketch state", epoch):
+            return
         live = live_version_dir(state_path, what="hll-sketch state")
         if live is not None:
             merged = (

@@ -293,6 +293,11 @@ def merge_corpus_stats(spark, batch: DataFrame, state_path: str, *,
 
     b_terms, b_totals = batch_corpus_stats(batch, text_col=text_col)
     with writer_lease(state_path, what="corpus-stats state"):
+        # authoritative re-check INSIDE the lease (see rollup.py: the
+        # pre-lease check is a fast path; a concurrent holder may have
+        # committed this epoch while we computed the partial)
+        if epoch_already_applied(state_path, "corpus-stats state", epoch):
+            return
         live = live_version_dir(state_path, what="corpus-stats state")
         if live is not None:
             o_terms = spark.read.parquet(os.path.join(live, "terms"))

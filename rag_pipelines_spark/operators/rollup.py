@@ -113,6 +113,12 @@ def merge_rollup(spark, batch: DataFrame, state_path: str, *,
         return  # replayed micro-batch: already folded in
     partial = rollup_batch(batch, keys, measures)
     with writer_lease(state_path, what="rollup state"):
+        # authoritative re-check INSIDE the lease: the pre-lease check is a
+        # fast path only — a writer that held the lease while we computed
+        # the partial may have committed this very epoch (zombie-driver
+        # replay); without this, the additive merge double-counts
+        if epoch_already_applied(state_path, "rollup state", epoch):
+            return
         live = live_version_dir(state_path, what="rollup state")
         if live is not None:
             merged = (
