@@ -106,3 +106,56 @@ def test_epoch_replay_is_noop(spark, tmp_path):
     with pytest.raises(RuntimeError, match="checkpoint"):
         merge_freq(spark, batches[1], state, keys=["grp"], item_col="item",
                    m=100, epoch=-1)
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    stream=st.lists(
+        st.sampled_from("abcdefghij"), min_size=4, max_size=120
+    ),
+    cuts=st.lists(st.integers(min_value=1, max_value=119), max_size=3),
+    m=st.integers(min_value=2, max_value=8),
+)
+def test_mg_envelope_property(spark, tmp_path_factory, stream, cuts, m):
+    """For an ARBITRARY item stream, ARBITRARY batch boundaries (merge
+    tree shape), and ARBITRARY capacity m: every surviving counter obeys
+    est <= true <= est + err, err <= (#prunes) * n/(m+1), n_total is
+    exact, and any item with true count > err survives (the MG retention
+    guarantee). This is the m < distinct regime the driver oracle can't
+    check (it runs no-prune); hypothesis owns it."""
+    from rag_pipelines_spark.operators.freqsketch import merge_freq, read_freq
+
+    state = str(tmp_path_factory.mktemp("mg_prop"))
+    bounds = sorted({c for c in cuts if c < len(stream)})
+    batches, prev = [], 0
+    for b in [*bounds, len(stream)]:
+        if b > prev:
+            batches.append(stream[prev:b])
+            prev = b
+    for batch in batches:
+        df = spark.createDataFrame(
+            [("g", item) for item in batch], "grp STRING, item STRING"
+        )
+        merge_freq(spark, df, state, keys=["grp"], item_col="item", m=m)
+
+    truth = {}
+    for item in stream:
+        truth[item] = truth.get(item, 0) + 1
+    items, totals = read_freq(spark, state)
+    tot = totals.collect()[0]
+    err = int(tot.err)
+    assert int(tot.n_total) == len(stream)
+    # one prune opportunity per batch partial + one per merge step
+    max_prunes = 2 * len(batches) - 1
+    assert 0 <= err <= max_prunes * len(stream) // (m + 1)
+    served = {r.item: int(r.est) for r in items.collect()}
+    assert len(served) <= m
+    for item, est in served.items():
+        assert est <= truth[item] <= est + err, (stream, m, item, est, err)
+    for item, true in truth.items():
+        if true > err:
+            assert item in served, (stream, m, item, true, err)

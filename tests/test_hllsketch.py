@@ -91,3 +91,55 @@ def test_epoch_replay_is_noop_and_reset_raises(spark, tmp_path):
     with pytest.raises(RuntimeError, match="checkpoint"):
         merge_hll(spark, b0, state, keys=["event_type"], item_col="user_id",
                   epoch=-1)
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=500),
+                 min_size=1, max_size=150),
+    cuts=st.lists(st.integers(min_value=1, max_value=149), max_size=3),
+)
+def test_hll_merge_tree_invariance_property(spark, tmp_path_factory, ids, cuts):
+    """For an ARBITRARY id stream and ARBITRARY batch boundaries: the
+    state-served estimate equals the one-shot sketch over the whole
+    stream EXACTLY (register union is per-slot max — associative,
+    commutative, idempotent), and the estimate is sane for small true
+    cardinalities (HLL is near-exact well below 2^lgK)."""
+    from pyspark.sql import functions as F
+
+    from rag_pipelines_spark.operators.hllsketch import (
+        hll_estimate,
+        hll_partial,
+        merge_hll,
+        read_hll,
+    )
+
+    state = str(tmp_path_factory.mktemp("hll_prop"))
+    bounds = sorted({c for c in cuts if c < len(ids)})
+    batches, prev = [], 0
+    for b in [*bounds, len(ids)]:
+        if b > prev:
+            batches.append(ids[prev:b])
+            prev = b
+    for batch in batches:
+        df = spark.createDataFrame(
+            [("g", i) for i in batch], "grp STRING, uid INT"
+        )
+        merge_hll(spark, df, state, keys=["grp"], item_col="uid")
+    served = hll_estimate(read_hll(spark, state), ["grp"]).collect()[0]
+    oneshot = (
+        hll_partial(
+            spark.createDataFrame([("g", i) for i in ids], "grp STRING, uid INT"),
+            ["grp"],
+            "uid",
+        )
+        .select(F.hll_sketch_estimate("sketch").alias("e"))
+        .collect()[0]
+    )
+    assert served.n_distinct_est == oneshot.e
+    # tiny cardinalities sit in HLL's exact (sparse) regime
+    assert served.n_distinct_est == len(set(ids)), (ids,)
