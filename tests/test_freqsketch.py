@@ -159,3 +159,22 @@ def test_mg_envelope_property(spark, tmp_path_factory, stream, cuts, m):
     for item, true in truth.items():
         if true > err:
             assert item in served, (stream, m, item, true, err)
+
+
+def test_merge_freq_empty_batch_preserves_state(spark, tmp_path):
+    """An empty batch (quiet ingest window) must leave items/totals
+    unchanged — not crash, not shrink, not bump err."""
+    batches, _ = _batches(spark)
+    state = str(tmp_path / "fs_empty")
+    merge_freq(spark, batches[0], state, keys=["grp"], item_col="item", m=8)
+    before = (
+        sorted(map(tuple, read_freq(spark, state)[0].collect())),
+        sorted(map(tuple, read_freq(spark, state)[1].collect())),
+    )
+    empty = spark.createDataFrame([], "row_id INT, item STRING, grp STRING")
+    merge_freq(spark, empty, state, keys=["grp"], item_col="item", m=8)
+    after = (
+        sorted(map(tuple, read_freq(spark, state)[0].collect())),
+        sorted(map(tuple, read_freq(spark, state)[1].collect())),
+    )
+    assert after == before

@@ -143,3 +143,18 @@ def test_hll_merge_tree_invariance_property(spark, tmp_path_factory, ids, cuts):
     assert served.n_distinct_est == oneshot.e
     # tiny cardinalities sit in HLL's exact (sparse) regime
     assert served.n_distinct_est == len(set(ids)), (ids,)
+
+
+def test_merge_hll_empty_batch_preserves_state(spark, tmp_path):
+    ev = _events(spark)
+    state = str(tmp_path / "hll_empty")
+    merge_hll(spark, ev, state, keys=["event_type"], item_col="user_id")
+    before = sorted(
+        map(tuple, hll_estimate(read_hll(spark, state), ["event_type"]).collect())
+    )
+    empty = spark.createDataFrame([], "event_id INT, event_type STRING, user_id INT")
+    merge_hll(spark, empty, state, keys=["event_type"], item_col="user_id")
+    after = sorted(
+        map(tuple, hll_estimate(read_hll(spark, state), ["event_type"]).collect())
+    )
+    assert after == before
