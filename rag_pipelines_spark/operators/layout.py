@@ -103,6 +103,7 @@ def zorder_key(
     *,
     bits: int = 16,
     normalize: str = "minmax",
+    boundaries: dict[str, list[float]] | None = None,
 ) -> DataFrame:
     """Append a ``zkey`` column interleaving the given numeric columns.
 
@@ -111,6 +112,15 @@ def zorder_key(
     until the caller lays out. ``normalize="quantile"``: equal-population
     buckets from an approxQuantile pass per column (outlier-robust; see
     module docstring for the cost model — bits capped at 12).
+
+    ``boundaries`` (quantile mode only): caller-supplied sorted bucket
+    boundaries per column, skipping the approxQuantile pass. Two reasons
+    to pass them: (a) LAYOUT STABILITY across incremental writes — at
+    scale the boundaries should be computed once (on the first epoch or
+    a sample) and reused, so later writes cluster into the same
+    z-intervals instead of drifting with each batch's re-estimate;
+    (b) determinism — approxQuantile placement depends on partition
+    merge order within its relative-error envelope.
     """
     if normalize == "quantile":
         if bits > 12:
@@ -121,20 +131,31 @@ def zorder_key(
                 "only ~log2(n_files)+safety bits anyway"
             )
         n_buckets = 1 << bits
-        probs = [i / n_buckets for i in range(1, n_buckets)]
-        # ONE pass for every dimension (approxQuantile takes a column
-        # list) — a per-column loop would rescan the full input per
-        # dimension, multiplying the dominant cost by len(cols).
-        # relativeError 1/(4*buckets): boundary placement error stays
-        # well under one bucket width of population.
-        all_bounds = df.approxQuantile(
-            list(cols), probs, 1.0 / (4 * n_buckets)
-        )
+        if boundaries is not None:
+            missing = [c for c in cols if c not in boundaries]
+            if missing:
+                raise ValueError(
+                    f"boundaries= missing columns {missing}; supply every "
+                    "z-order column or none"
+                )
+            all_bounds = [boundaries[c] for c in cols]
+        else:
+            probs = [i / n_buckets for i in range(1, n_buckets)]
+            # ONE pass for every dimension (approxQuantile takes a column
+            # list) — a per-column loop would rescan the full input per
+            # dimension, multiplying the dominant cost by len(cols).
+            # relativeError 1/(4*buckets): boundary placement error stays
+            # well under one bucket width of population.
+            all_bounds = df.approxQuantile(
+                list(cols), probs, 1.0 / (4 * n_buckets)
+            )
         scaled = [
             _quantile_bucket(F.col(c), bounds, bits)
             for c, bounds in zip(cols, all_bounds)
         ]
         return df.withColumn("zkey", _interleave(scaled, bits))
+    if boundaries is not None:
+        raise ValueError("boundaries= applies only to normalize='quantile'")
     if normalize != "minmax":
         raise ValueError(f"unknown normalize mode {normalize!r}")
     aggs = []
@@ -152,18 +173,114 @@ def zorder_key(
     return out.drop(*[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
 
 
+def _i32(x: int) -> int:
+    x &= 0xFFFFFFFF
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+def _rotl32(x: int, r: int) -> int:
+    x &= 0xFFFFFFFF
+    return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+
+def murmur3_hash_long(value: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3_x86_32.hashLong`` (the expression behind
+    ``F.hash``/hash partitioning of a LongType), in Python — two 32-bit
+    blocks (low word first) through the standard murmur3 mixers.
+    Pinned against ``F.hash`` in tests/test_layout.py so drift in either
+    implementation is caught, not silently mis-routed."""
+    h1 = seed & 0xFFFFFFFF
+    for block in (value & 0xFFFFFFFF, (value >> 32) & 0xFFFFFFFF):
+        k1 = (block * 0xCC9E2D51) & 0xFFFFFFFF
+        k1 = (_rotl32(k1, 15) * 0x1B873593) & 0xFFFFFFFF
+        h1 ^= k1
+        h1 = (_rotl32(h1, 13) * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 8  # length in bytes
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return _i32(h1)
+
+
+def _bijective_fid_remap(n_files: int) -> list[int] | None:
+    """Longs ``vs`` (one per file id) whose murmur3 partition ids under
+    ``repartition(n_files, ...)`` are a bijection onto [0, n_files).
+
+    ``repartition(n, col)`` routes a long as
+    ``pmod(Murmur3_x86_32.hashLong(v, 42), n)`` — replicated driver-side
+    (no job). Mapping fid -> vs[fid] therefore puts each z-cell in its
+    own output file deterministically: no sampling, no collisions, no
+    empty partitions. The search touches a few hundred ints (hash
+    residues behave uniformly); if it somehow exhausts the cap the
+    caller falls back to range partitioning.
+    """
+    by_pid: dict[int, int] = {}
+    for v in range(64 * n_files):
+        pid = murmur3_hash_long(v) % n_files  # Python %: non-negative
+        if pid not in by_pid:
+            by_pid[pid] = v
+            if len(by_pid) == n_files:
+                return [by_pid[p] for p in range(n_files)]
+    return None
+
+
 def write_zordered(df: DataFrame, path: str, cols: list[str], *,
                    n_files: int = 32, bits: int = 16,
-                   normalize: str = "minmax") -> None:
+                   normalize: str = "minmax",
+                   boundaries: dict[str, list[float]] | None = None) -> None:
     """Write df clustered along the Morton curve of ``cols``.
 
-    repartitionByRange on zkey = one range shuffle; each output file then
-    covers a compact z-interval, so its parquet min/max stats are tight
-    on EVERY interleaved dimension and an AND-of-ranges predicate prunes
-    most files at planning time (asserted by metric, not by plan string,
-    in tests/test_layout.py).
+    Each output file covers a compact z-interval, so its parquet min/max
+    stats are tight on EVERY interleaved dimension and an AND-of-ranges
+    predicate prunes most files at planning time (asserted by metric,
+    not by plan string, in tests/test_layout.py).
+
+    File assignment differs by mode:
+
+    * ``minmax``: repartitionByRange on zkey — the sampled range split
+      adapts to whatever population skew the raw values induce on the
+      curve (equal-width normalization gives no uniformity guarantee).
+    * ``quantile``: the bucketed key is equal-POPULATION uniform on
+      [0, 2^(bits*dims)) by construction, so the file id is computed
+      DIRECTLY as ``zkey // ceil(2^(bits*dims) / n_files)`` — a pure
+      codegen expression — and rows reach their file through a plain
+      hash repartition on a driver-side REMAP of that id chosen so the
+      murmur3 partition ids are a bijection. Three wins over
+      range-on-zkey: (a) file cuts land exactly on z-cell corners, so
+      no file straddles two cells on any dimension (sampled boundaries
+      land slightly off-corner and widen a file's min/max to the union
+      of two cells — measured ~2× the decode fraction); (b) no
+      range-partitioner sampling scan over the full input — at 100 TB
+      that is a whole extra job; (c) byte-for-byte DETERMINISTIC
+      layout: range sampling seeds on the RDD id, so the same write
+      lands files differently across sessions, which defeats
+      layout-diffing and reproducible benchmarks.
     """
-    keyed = zorder_key(df, cols, bits=bits, normalize=normalize)
+    keyed = zorder_key(df, cols, bits=bits, normalize=normalize,
+                       boundaries=boundaries)
+    if normalize == "quantile":
+        zspan = 1 << (bits * len(cols))
+        cell = -(-zspan // n_files)  # ceil
+        # integer `div`, not `/`: float division of a >2^53 zkey (bits=12
+        # x 5 dims = 60 bits) would round the quotient across a cell edge
+        keyed = keyed.withColumn("__zfid", F.expr(f"zkey div {cell}L"))
+        remap = _bijective_fid_remap(n_files)
+        if remap is not None:
+            # slot must be LongType: hash partitioning routes ints
+            # through hashInt and longs through hashLong — the remap was
+            # searched under hashLong semantics
+            slot = F.element_at(
+                F.array(*[F.lit(v).cast("long") for v in remap]),
+                F.col("__zfid").cast("int") + 1,
+            )
+            out = keyed.repartition(n_files, slot)
+        else:  # pragma: no cover — remap search exhausted (see helper)
+            out = keyed.repartitionByRange(n_files, "__zfid")
+        (out.drop("zkey", "__zfid")
+         .write.mode("overwrite").parquet(path))
+        return
     keyed.repartitionByRange(n_files, "zkey").drop("zkey").write.mode(
         "overwrite"
     ).parquet(path)

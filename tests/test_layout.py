@@ -147,13 +147,33 @@ def test_zorder_refuses_over_63_bits(spark):
         zorder_key(df, ["a", "b", "c", "d", "e"], bits=16).collect()
 
 
+def _exact_boundaries(values, n_buckets):
+    """Equal-population bucket boundaries computed exactly and
+    deterministically in Python (sorted-list indexing, no estimation)."""
+    s = sorted(values)
+    n = len(s)
+    return [float(s[min(n - 1, (i * n) // n_buckets)])
+            for i in range(1, n_buckets)]
+
+
 def test_quantile_zorder_survives_planted_outlier(spark, tmp_path):
     """r4 verdict item #8: min/max rescaling is outlier-fragile — one
     extreme value collapses a dimension's effective bits (every normal
     value lands in bucket ~0, skipping on that dimension dies).
-    Equal-population quantile buckets keep full resolution: the measured
-    decode fraction for a box predicate must stay under 20% while the
-    minmax layout degrades toward a full read on the skewed dimension."""
+    Equal-population quantile buckets keep full resolution.
+
+    Determinism (r5 verdict item #1): the old flake had two sources —
+    approxQuantile boundary wander AND repartitionByRange's sampling,
+    which seeds on the RDD id (different across sessions) and lands
+    file cuts slightly off the z-cell corners, so files straddled two
+    cells and decode fractions moved run to run (0.17-0.27 observed).
+    quantile-mode writes now assign files by a deterministic
+    hash-bijection on the cell id (operators/layout.py), which pins the
+    ideal geometry exactly: box = 1 cell of 16 (measured 2,541/40,001 =
+    6.35%, identical across ≥5 runs), x-only = 4 cells (10,008/40,001 =
+    25.02%). The tight bound runs on EXACT caller-supplied boundaries;
+    the approxQuantile path gets a margin for its estimation envelope
+    (one cell-edge shift doubles the touched cells)."""
     import random
 
     rng = random.Random(7)
@@ -163,6 +183,11 @@ def test_quantile_zorder_survives_planted_outlier(spark, tmp_path):
     rows.append((n, 10**9, 500))  # the planted outlier in x
     df = spark.createDataFrame(rows, "id LONG, x LONG, y LONG").repartition(8)
     total = n + 1
+    n_buckets = 1 << 8
+    bounds = {
+        "x": _exact_boundaries([r[1] for r in rows], n_buckets),
+        "y": _exact_boundaries([r[2] for r in rows], n_buckets),
+    }
 
     # ~10% x ~10% box inside the [0.25,0.5) quadrant of the REAL data
     pred = (
@@ -177,26 +202,69 @@ def test_quantile_zorder_survives_planted_outlier(spark, tmp_path):
 
     base = str(tmp_path / f"skew-{uuid.uuid4().hex[:6]}")
     mpath, qpath = f"{base}/minmax", f"{base}/quantile"
+    apath = f"{base}/approxq"
     write_zordered(df, mpath, ["x", "y"], n_files=16, bits=8)
     write_zordered(df, qpath, ["x", "y"], n_files=16, bits=8,
+                   normalize="quantile", boundaries=bounds)
+    write_zordered(df, apath, ["x", "y"], n_files=16, bits=8,
                    normalize="quantile")
 
-    # same answers from both layouts, both predicates
+    # same answers from all three layouts, both predicates
     for p in (pred, pred_x):
-        assert (
-            spark.read.parquet(mpath).filter(p).count()
-            == spark.read.parquet(qpath).filter(p).count()
-        )
-    # quantile holds the <20% decode bound on the box despite the outlier
+        counts = {
+            spark.read.parquet(path).filter(p).count()
+            for path in (mpath, qpath, apath)
+        }
+        assert len(counts) == 1, counts
+    # exact boundaries (deterministic): the box maps to ONE z-cell of 16
+    # (measured 6.35%, run-to-run identical); 0.10 keeps margin
     q_rows = _scan_rows_decoded(spark, qpath, pred)
-    assert q_rows < total * 0.20, (q_rows, total)
+    assert q_rows < total * 0.10, (q_rows, total)
+    # approxQuantile path: margin for boundary estimation (a cell-edge
+    # shift past a box corner doubles the touched cells: 2/16 + slack)
+    a_rows = _scan_rows_decoded(spark, apath, pred)
+    assert a_rows < total * 0.35, (a_rows, total)
     # x-only: minmax decodes essentially everything (collapsed buckets =>
-    # useless per-file x stats); quantile's equal-population buckets keep
-    # x pruning alive
+    # useless per-file x stats); quantile touches the 4 cells of the
+    # matching x-quad (measured 25.02%)
     m_rows_x = _scan_rows_decoded(spark, mpath, pred_x)
     q_rows_x = _scan_rows_decoded(spark, qpath, pred_x)
     assert m_rows_x > total * 0.9, (m_rows_x, total)
-    assert q_rows_x < total * 0.5, (q_rows_x, total)
+    assert q_rows_x < total * 0.35, (q_rows_x, total)
+
+
+def test_murmur3_hash_long_matches_spark(spark):
+    """The deterministic file-assignment remap replicates Spark's
+    hashLong driver-side — drift in either implementation would silently
+    mis-route cells, so pin them against each other on longs spanning
+    sign/width edges."""
+    from rag_pipelines_spark.operators.layout import (
+        _bijective_fid_remap, murmur3_hash_long,
+    )
+
+    vals = [0, 1, 7, 16, 1023, -1, -2**35, 2**40, 123456789012345, -2**62]
+    got = {
+        r.v: r.h
+        for r in spark.createDataFrame([(v,) for v in vals], "v LONG")
+        .select("v", F.hash("v").alias("h"))
+        .collect()
+    }
+    assert all(got[v] == murmur3_hash_long(v) for v in vals), got
+    # and the remap really is a bijection for typical file counts
+    for n in (2, 16, 17, 200):
+        remap = _bijective_fid_remap(n)
+        assert sorted(murmur3_hash_long(v) % n for v in remap) == list(range(n))
+
+
+def test_quantile_boundaries_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2)], "x INT, y INT")
+    with _pytest.raises(ValueError, match="missing columns"):
+        zorder_key(df, ["x", "y"], bits=4, normalize="quantile",
+                   boundaries={"x": [0.5]})
+    with _pytest.raises(ValueError, match="only to normalize"):
+        zorder_key(df, ["x", "y"], bits=4, boundaries={"x": [0.5], "y": [0.5]})
 
 
 def test_quantile_zorder_caps_bits(spark):
