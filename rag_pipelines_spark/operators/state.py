@@ -120,8 +120,11 @@ def writer_lease(state_path: str, what: str = "state", ttl_s: float = 3600.0):
     record. A live lease (mtime age <= ttl_s) makes the second writer
     RAISE — interleaved manifest flips would race GC against the other
     writer's un-flipped version dir. A stale lease (holder crashed
-    without releasing) is taken over by unlink + one re-acquire attempt;
-    if a third writer wins that race the loser still raises rather than
+    without releasing) is taken over by an atomic RENAME-claim (of N
+    concurrent takers exactly one rename succeeds; the claimed content
+    is re-checked against the staleness read so a lease re-acquired
+    mid-takeover is restored, not stolen) followed by one re-acquire
+    attempt; a taker that loses any of those races raises rather than
     proceeding unlocked.
 
     Release is ownership-checked: the holder re-reads the lease and
@@ -159,10 +162,15 @@ def writer_lease(state_path: str, what: str = "state", ttl_s: float = 3600.0):
     try:
         _acquire()
     except FileExistsError:
+        # Read content and mtime off the SAME open fd so the staleness
+        # verdict and the takeover claim refer to one inode, not two
+        # reads racing a release/re-acquire.
         try:
-            age = time.time() - os.stat(path).st_mtime
+            with open(path) as f:
+                observed = f.read()
+                age = time.time() - os.fstat(f.fileno()).st_mtime
         except FileNotFoundError:
-            age = float("inf")  # holder released between probe and stat
+            observed, age = None, float("inf")  # released between probe and open
         if age <= ttl_s:
             raise RuntimeError(
                 f"{what} at {state_path} is locked by another writer "
@@ -171,11 +179,37 @@ def writer_lease(state_path: str, what: str = "state", ttl_s: float = 3600.0):
                 "compactions; wait for the holder or, if it is known "
                 "dead, remove the LEASE file"
             )
-        try:
-            os.unlink(path)  # stale: holder crashed; take over
-        except FileNotFoundError:
-            pass
-        _acquire()  # a concurrent takeover winning here raises to caller
+        # Stale: CLAIM it by atomic rename to a name only we use — of N
+        # concurrent takers exactly one rename succeeds, so only one
+        # taker ever removes the old lease (a bare unlink let taker A
+        # delete taker B's freshly re-acquired lease and both proceed —
+        # the round-5 advice race).
+        if observed is not None:
+            claim = os.path.join(state_path, f".{LEASE}.stale-{token}")
+            try:
+                os.rename(path, claim)
+            except FileNotFoundError:
+                pass  # another taker claimed it first; contend below
+            else:
+                with open(claim) as f:
+                    claimed = f.read()
+                if claimed != observed:
+                    # Between our staleness read and the rename, the old
+                    # holder released and a NEW writer acquired — we just
+                    # stole a live lease. Put it back (hardlink: never
+                    # clobbers a lease a third writer created meanwhile)
+                    # and bow out.
+                    try:
+                        os.link(claim, path)
+                    except FileExistsError:
+                        pass
+                    os.unlink(claim)
+                    raise RuntimeError(
+                        f"{what} at {state_path} is locked by another "
+                        "writer (lease was re-acquired during takeover)"
+                    )
+                os.unlink(claim)
+        _acquire()  # a concurrent taker winning here raises to caller
     try:
         yield
     finally:

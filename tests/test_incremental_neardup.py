@@ -310,6 +310,103 @@ def test_two_writer_lease_drill(spark, tmp_path):
     assert not os.path.isfile(lease_path)  # released after the merge
 
 
+def test_stale_takeover_claims_atomically_never_steals_fresh(tmp_path, monkeypatch):
+    """r5 ADVICE: two writers that both observed an expired LEASE could
+    both end up holding it — B unlinks+re-creates, then A's unlink
+    deletes B's FRESH lease and A re-acquires, defeating single-writer
+    exactly in the crashed-holder scenario. The fix claims the stale
+    lease by atomic rename and re-checks the claimed content; this drill
+    deterministically runs writer B's entire takeover inside writer A's
+    claim window and asserts A bows out with B's lease intact."""
+    import os
+    import sys
+    import time
+    from contextlib import ExitStack
+
+    from rag_pipelines_spark.operators.state import LEASE, writer_lease
+
+    state = str(tmp_path / "race_state")
+    os.makedirs(state)
+    lease = os.path.join(state, LEASE)
+    with open(lease, "w") as f:
+        f.write("deadtoken 1 0\n")
+    old = time.time() - 7200
+    os.utime(lease, (old, old))
+
+    state_mod = sys.modules["rag_pipelines_spark.operators.state"]
+    real_rename = os.rename
+    b_stack = ExitStack()
+    fired = {"done": False}
+
+    def rename_hook(src, dst):
+        if not fired["done"] and src == lease:
+            fired["done"] = True
+            # B's full takeover (claim stale -> acquire) lands in A's
+            # window between staleness read and rename-claim
+            b_stack.enter_context(writer_lease(state, what="writer B"))
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(state_mod.os, "rename", rename_hook)
+    with pytest.raises(RuntimeError, match="locked by another writer"):
+        with writer_lease(state, what="writer A"):
+            pass
+    monkeypatch.setattr(state_mod.os, "rename", real_rename)
+
+    # B's fresh lease survived A's failed takeover (the old unlink path
+    # deleted it here) and B releases cleanly
+    with open(lease) as f:
+        assert f.read().split(" ", 1)[0] != "deadtoken"
+    b_stack.close()
+    assert not os.path.isfile(lease)
+
+
+def test_stale_takeover_thread_stress_single_holder(tmp_path):
+    """N concurrent takers of one stale lease: at most one inside the
+    critical section at any instant; every loser raises rather than
+    proceeding unlocked."""
+    import os
+    import threading
+    import time
+
+    from rag_pipelines_spark.operators.state import LEASE, writer_lease
+
+    state = str(tmp_path / "stress_state")
+    os.makedirs(state)
+    lease = os.path.join(state, LEASE)
+    with open(lease, "w") as f:
+        f.write("deadtoken 1 0\n")
+    old = time.time() - 7200
+    os.utime(lease, (old, old))
+
+    lock = threading.Lock()
+    inside = {"now": 0, "max": 0, "wins": 0, "losses": 0}
+    barrier = threading.Barrier(8)
+
+    def taker():
+        barrier.wait()
+        try:
+            with writer_lease(state, what="stress"):
+                with lock:
+                    inside["now"] += 1
+                    inside["max"] = max(inside["max"], inside["now"])
+                time.sleep(0.05)
+                with lock:
+                    inside["now"] -= 1
+                    inside["wins"] += 1
+        except (RuntimeError, FileExistsError):
+            with lock:
+                inside["losses"] += 1
+
+    threads = [threading.Thread(target=taker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert inside["max"] == 1, inside
+    assert inside["wins"] >= 1
+    assert inside["wins"] + inside["losses"] == 8
+
+
 def test_state_rejects_non_local_schemes(tmp_path):
     """The manifest scheme's atomicity is built on os.replace/fsync/O_EXCL
     — on a URI path those silently report state 'fresh' (the look-empty
