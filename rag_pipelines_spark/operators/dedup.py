@@ -318,6 +318,7 @@ from rag_pipelines_spark.operators.state import (  # noqa: E402
 from rag_pipelines_spark.operators.state import (  # noqa: E402
     live_version_dir as _live_version_dir,
 )
+from rag_pipelines_spark.operators.statefs import backend_for  # noqa: E402
 
 
 def neardup_state_dir(state_path: str) -> str | None:
@@ -390,7 +391,7 @@ def incremental_neardup(
 
     live = neardup_state_dir(state_path)
     state_exists = live is not None and any(
-        n.endswith(".parquet") for n in os.listdir(live)
+        n.endswith(".parquet") for n in backend_for(live).listdir(live)
     )
     dup_vs_state = None
     already_applied = False
@@ -450,7 +451,7 @@ def incremental_neardup(
             # harmless and still reports as fresh
             version = f"v-{uuid.uuid4().hex[:8]}"
             live = os.path.join(state_path, version)
-            os.makedirs(live, exist_ok=True)
+            backend_for(state_path).makedirs(live)
             _write_manifest(state_path, version)
         # append only the SURVIVORS' keys (one row set per accepted doc)
         if not already_applied:

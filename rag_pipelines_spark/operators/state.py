@@ -4,11 +4,19 @@ incremental operator that persists small key/stat state between batches
 
 Layout: ``<state_path>/MANIFEST`` (one line naming the live prefix) plus
 ``<state_path>/v-<hex>/`` parquet directories. The live state is named by
-a POINTER FILE, never by directory renames: ``os.replace`` of the one
-small manifest is atomic on POSIX/HDFS, and on an object store it is a
-single-key PUT — whereas multi-key directory "renames" are non-atomic
-copies. The live path therefore exists at every instant; no crash window
-can make the state "look empty".
+a POINTER FILE, never by directory renames: publishing the one small
+manifest is atomic on every supported store (POSIX/HDFS rename; a
+single-key PUT on object stores) — whereas multi-key directory
+"renames" are non-atomic copies. The live path therefore exists at
+every instant; no crash window can make the state "look empty".
+
+Where the files live is a backend concern (``operators/statefs.py``):
+plain paths use the original ``os.*`` fast path (fsync'd, O_EXCL, the
+semantics the crash matrix pins); URI paths (``file://``, ``hdfs://``,
+``s3a://``...) route through the Hadoop FileSystem API of the active
+SparkSession — the same connector stack and credentials the cluster
+already uses for data. Per-store atomicity and the object-store lease
+caveat are documented in statefs.py.
 
 A root that holds committed parquet data we cannot resolve — version dirs
 without a MANIFEST, or a MANIFEST naming a missing dir — RAISES instead
@@ -16,7 +24,9 @@ of returning "fresh": treating such a state as empty would silently
 forget everything the state exists to remember (re-admitting seen
 documents, zeroing document frequencies), the one failure mode an
 incremental operator must never have. Crash drills are pinned in
-tests/test_incremental_neardup.py.
+tests/test_incremental_neardup.py and tests/test_continuous_ingest.py,
+and re-run through the Hadoop (``file://``) backend in
+tests/test_statefs.py.
 
 Single-writer by design: the reference's watcher is a singleton cron
 (fda_watcher.py scheduling), so batches and compactions are serialized —
@@ -31,53 +41,21 @@ from __future__ import annotations
 import os
 import time
 import uuid
+
 from contextlib import contextmanager
+
+from rag_pipelines_spark.operators.statefs import backend_for
 
 MANIFEST = "MANIFEST"
 PREV_FILE = "_prev"
 LEASE = "LEASE"
 
 
-def _require_local(path: str) -> None:
-    """This module's atomicity/durability arguments are implemented with
-    local-FS ``os.*`` calls (``os.replace``, ``os.fsync``, ``O_EXCL``).
-    Given an object-store/HDFS URI those calls would quietly report the
-    state absent ("provably fresh") — the silent look-empty outcome the
-    module exists to prevent — so non-local schemes are rejected loudly.
-    The object-store port routes these few calls through conditional PUT /
-    the Hadoop FileSystem API; the contract stays the same."""
-    if "://" in path:
-        raise ValueError(
-            f"manifest state requires a local filesystem path, got {path!r} "
-            "— the os.replace/fsync/O_EXCL atomicity this module relies on "
-            "does not hold through a URI scheme; port these calls to the "
-            "store's conditional-PUT API before pointing state there"
-        )
-
-
 def write_manifest(state_path: str, version: str) -> None:
-    """Atomically point the state's MANIFEST at ``version``.
-
-    Written to a temp sibling then ``os.replace``d — atomic on POSIX;
-    the object-store equivalent is one small-key PUT.
-    """
-    _require_local(state_path)
-    tmp = os.path.join(state_path, f".{MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        f.write(version + "\n")
-        # fsync BEFORE the rename: with delayed allocation the rename can
-        # become durable before the data blocks, leaving an empty MANIFEST
-        # after power loss — exactly the "state looks empty" failure this
-        # scheme exists to prevent
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(state_path, MANIFEST))
-    # make the rename itself durable
-    dir_fd = os.open(state_path, os.O_RDONLY)
-    try:
-        os.fsync(dir_fd)
-    finally:
-        os.close(dir_fd)
+    """Atomically point the state's MANIFEST at ``version`` (temp +
+    rename on rename-atomic stores; one small-key PUT on object stores
+    — see statefs.py)."""
+    backend_for(state_path).publish_text(state_path, MANIFEST, version + "\n")
 
 
 def new_version_name() -> str:
@@ -96,27 +74,27 @@ def write_prev(version_dir: str, prev_version: str | None) -> None:
     """
     if prev_version is None:
         return
-    p = os.path.join(version_dir, PREV_FILE)
-    with open(p, "w") as f:
-        f.write(prev_version + "\n")
-        f.flush()
-        os.fsync(f.fileno())
+    backend_for(version_dir).write_text(
+        os.path.join(version_dir, PREV_FILE), prev_version + "\n"
+    )
 
 
 def prev_version_name(version_dir: str) -> str | None:
+    fs = backend_for(version_dir)
     p = os.path.join(version_dir, PREV_FILE)
-    if not os.path.isfile(p):
+    if not fs.isfile(p):
         return None
-    with open(p) as f:
-        return f.read().strip() or None
+    return fs.read_text(p).strip() or None
 
 
 @contextmanager
 def writer_lease(state_path: str, what: str = "state", ttl_s: float = 3600.0):
     """Enforce the single-writer contract with a lease file.
 
-    ``O_CREAT|O_EXCL`` makes acquisition atomic on a local FS; the file
-    holds ``<token> <pid> <unix-ts>`` — the random token is the OWNERSHIP
+    Atomic create-if-absent (``O_EXCL`` locally, ``create(overwrite=
+    false)`` through Hadoop — see statefs.py for the object-store
+    caveat) makes acquisition exclusive; the file holds
+    ``<token> <pid> <unix-ts>`` — the random token is the OWNERSHIP
     record. A live lease (mtime age <= ttl_s) makes the second writer
     RAISE — interleaved manifest flips would race GC against the other
     writer's un-flipped version dir. A stale lease (holder crashed
@@ -135,89 +113,78 @@ def writer_lease(state_path: str, what: str = "state", ttl_s: float = 3600.0):
     longer than the default hour MUST pass a larger ttl_s — takeover of
     a lease whose holder is alive-but-slow leads to exactly the
     interleaved-flip corruption this lock exists to prevent (a
-    heartbeat-refreshing lease is the object-store-era upgrade; the
+    heartbeat-refreshing lease is the conditional-PUT-era upgrade; the
     reference's singleton cron makes the static TTL sufficient here).
-    Object-store port: conditional PUT (if-none-match) replaces O_EXCL,
-    token-compare-and-delete replaces the checked unlink.
     """
-    _require_local(state_path)
-    os.makedirs(state_path, exist_ok=True)
+    fs = backend_for(state_path)
+    fs.makedirs(state_path)
     path = os.path.join(state_path, LEASE)
     token = uuid.uuid4().hex
 
     def _acquire() -> None:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
-            f.write(f"{token} {os.getpid()} {time.time()}\n")
-            f.flush()
-            os.fsync(f.fileno())
+        fs.create_excl(path, f"{token} {os.getpid()} {time.time()}\n")
 
     def _owns() -> bool:
         try:
-            with open(path) as f:
-                return f.read().split(" ", 1)[0] == token
+            return fs.read_text(path).split(" ", 1)[0] == token
         except FileNotFoundError:
             return False
 
-    try:
-        _acquire()
-    except FileExistsError:
-        # Read content and mtime off the SAME open fd so the staleness
-        # verdict and the takeover claim refer to one inode, not two
-        # reads racing a release/re-acquire.
+    # Acquisition runs under the backend's dir lock (flock locally —
+    # serializes every taker outright, kernel-released on crash; no-op
+    # through the Hadoop API, where the rename-claim protocol below is
+    # the takeover guard and the lease tier is advisory-grade on object
+    # stores per statefs.py).
+    with fs.lock_dir(state_path):
         try:
-            with open(path) as f:
-                observed = f.read()
-                age = time.time() - os.fstat(f.fileno()).st_mtime
-        except FileNotFoundError:
-            observed, age = None, float("inf")  # released between probe and open
-        if age <= ttl_s:
-            raise RuntimeError(
-                f"{what} at {state_path} is locked by another writer "
-                f"(LEASE age {age:.0f}s <= ttl {ttl_s:.0f}s) — the "
-                "single-writer contract forbids concurrent merges/"
-                "compactions; wait for the holder or, if it is known "
-                "dead, remove the LEASE file"
-            )
-        # Stale: CLAIM it by atomic rename to a name only we use — of N
-        # concurrent takers exactly one rename succeeds, so only one
-        # taker ever removes the old lease (a bare unlink let taker A
-        # delete taker B's freshly re-acquired lease and both proceed —
-        # the round-5 advice race).
-        if observed is not None:
-            claim = os.path.join(state_path, f".{LEASE}.stale-{token}")
+            _acquire()
+        except FileExistsError:
+            # Staleness verdict and takeover claim should refer to one
+            # observation: read content and mtime together.
             try:
-                os.rename(path, claim)
+                observed, mt = fs.read_text_with_mtime(path)
+                age = time.time() - mt
             except FileNotFoundError:
-                pass  # another taker claimed it first; contend below
-            else:
-                with open(claim) as f:
-                    claimed = f.read()
-                if claimed != observed:
-                    # Between our staleness read and the rename, the old
-                    # holder released and a NEW writer acquired — we just
-                    # stole a live lease. Put it back (hardlink: never
-                    # clobbers a lease a third writer created meanwhile)
-                    # and bow out.
-                    try:
-                        os.link(claim, path)
-                    except FileExistsError:
-                        pass
-                    os.unlink(claim)
-                    raise RuntimeError(
-                        f"{what} at {state_path} is locked by another "
-                        "writer (lease was re-acquired during takeover)"
-                    )
-                os.unlink(claim)
-        _acquire()  # a concurrent taker winning here raises to caller
+                observed, age = None, float("inf")  # released btw probe & read
+            if age <= ttl_s:
+                raise RuntimeError(
+                    f"{what} at {state_path} is locked by another writer "
+                    f"(LEASE age {age:.0f}s <= ttl {ttl_s:.0f}s) — the "
+                    "single-writer contract forbids concurrent merges/"
+                    "compactions; wait for the holder or, if it is known "
+                    "dead, remove the LEASE file"
+                )
+            # Stale: CLAIM it by atomic rename to a name only we use — of
+            # N concurrent takers exactly one rename succeeds, so only one
+            # taker ever removes the old lease (a bare unlink let taker A
+            # delete taker B's freshly re-acquired lease and both proceed
+            # — the round-5 advice race).
+            if observed is not None:
+                claim = os.path.join(state_path, f".{LEASE}.stale-{token}")
+                try:
+                    fs.rename(path, claim)
+                except FileNotFoundError:
+                    pass  # another taker claimed it first; contend below
+                else:
+                    claimed = fs.read_text(claim)
+                    if claimed != observed:
+                        # Between our staleness read and the rename, the
+                        # old holder released and a NEW writer acquired —
+                        # we just stole a live lease. Put it back without
+                        # clobbering any third writer's lease and bow out.
+                        fs.restore_if_absent(claim, path)
+                        raise RuntimeError(
+                            f"{what} at {state_path} is locked by another "
+                            "writer (lease was re-acquired during takeover)"
+                        )
+                    fs.unlink(claim)
+            _acquire()  # a concurrent taker winning here raises to caller
     try:
         yield
     finally:
-        if _owns():
-            try:
-                os.unlink(path)
-            except FileNotFoundError:
-                pass
+        with fs.lock_dir(state_path):
+            if _owns():
+                fs.unlink(path, missing_ok=True)
 
 
 def live_version_dir(state_path: str, what: str = "state") -> str | None:
@@ -228,14 +195,13 @@ def live_version_dir(state_path: str, what: str = "state") -> str | None:
     from a crashed first init). Unresolvable-but-committed data raises
     (see module docstring). ``what`` names the operator in error text.
     """
-    _require_local(state_path)
-    if not os.path.isdir(state_path):
+    fs = backend_for(state_path)
+    if not fs.isdir(state_path):
         return None
-    names = os.listdir(state_path)
+    names = fs.listdir(state_path)
     manifest = os.path.join(state_path, MANIFEST)
-    if os.path.isfile(manifest):
-        with open(manifest) as f:
-            version = f.read().strip()
+    if fs.isfile(manifest):
+        version = fs.read_text(manifest).strip()
         if not version.startswith("v-"):
             # empty/garbage pointer (e.g. truncated by power loss before
             # fsync-era manifests): joining '' would resolve to the state
@@ -246,7 +212,7 @@ def live_version_dir(state_path: str, what: str = "state") -> str | None:
                 "refusing to treat state as empty"
             )
         live = os.path.join(state_path, version)
-        if not os.path.isdir(live):
+        if not fs.isdir(live):
             raise RuntimeError(
                 f"{what} MANIFEST names '{version}' but {live} does not "
                 "exist — restore the version dir or the previous "
@@ -254,16 +220,11 @@ def live_version_dir(state_path: str, what: str = "state") -> str | None:
             )
         return live
     versions = [n for n in names if n.startswith("v-")]
-
-    def _has_parquet(d: str) -> bool:
-        # recursive: a version may hold several parquet tables in subdirs
-        # (e.g. corpus-stats' terms/ + totals/)
-        for _root, _dirs, files in os.walk(d):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
-
-    with_data = [v for v in versions if _has_parquet(os.path.join(state_path, v))]
+    with_data = [
+        v
+        for v in versions
+        if fs.has_parquet_recursive(os.path.join(state_path, v))
+    ]
     if with_data:
         raise RuntimeError(
             f"{what} at {state_path} has committed version dirs "
@@ -280,11 +241,9 @@ def write_epoch(version_dir: str, epoch: int) -> None:
     """Record the micro-batch epoch INSIDE a version dir (before the
     manifest flip, so the epoch commits atomically with the data —
     a crash between them leaves an unreferenced dir, not a lie)."""
-    p = os.path.join(version_dir, EPOCH_FILE)
-    with open(p, "w") as f:
-        f.write(str(epoch) + "\n")
-        f.flush()
-        os.fsync(f.fileno())
+    backend_for(version_dir).write_text(
+        os.path.join(version_dir, EPOCH_FILE), str(epoch) + "\n"
+    )
 
 
 def applied_epoch(state_path: str, what: str = "state") -> int | None:
@@ -298,11 +257,11 @@ def applied_epoch(state_path: str, what: str = "state") -> int | None:
     live = live_version_dir(state_path, what=what)
     if live is None:
         return None
+    fs = backend_for(state_path)
     p = os.path.join(live, EPOCH_FILE)
-    if not os.path.isfile(p):
+    if not fs.isfile(p):
         return None
-    with open(p) as f:
-        return int(f.read().strip())
+    return int(fs.read_text(p).strip())
 
 
 def epoch_already_applied(state_path: str, what: str,
@@ -339,7 +298,7 @@ def commit_version(state_path: str, write_fn, *, epoch: int | None,
     flip) and the predecessor (reader-grace GC record), flip the
     MANIFEST, sweep orphans. Caller must hold the writer lease. Returns
     the new version dir."""
-    os.makedirs(state_path, exist_ok=True)
+    backend_for(state_path).makedirs(state_path)
     version = new_version_name()
     vdir = os.path.join(state_path, version)
     write_fn(vdir)
@@ -368,11 +327,10 @@ def gc_orphans(state_path: str) -> list[str]:
     (collect within one merge interval) — that residual contract is
     documented here instead of a FileNotFound mid-action.
     """
-    import shutil
-
+    fs = backend_for(state_path)
     names = [
         n
-        for n in (os.listdir(state_path) if os.path.isdir(state_path) else [])
+        for n in (fs.listdir(state_path) if fs.isdir(state_path) else [])
         if n.startswith("v-") or n.startswith(f".{MANIFEST}.tmp-")
     ]
     live = live_version_dir(state_path)
@@ -384,11 +342,7 @@ def gc_orphans(state_path: str) -> list[str]:
     for n in names:
         if n in keep:
             continue
-        p = os.path.join(state_path, n)
-        if os.path.isdir(p):
-            shutil.rmtree(p)
-        else:
-            os.unlink(p)
+        fs.rmtree(os.path.join(state_path, n))
         removed.append(n)
     return removed
 
@@ -416,20 +370,12 @@ def _marker_path(dir_: str, epoch: int) -> str:
 
 def mark_epoch_committed(dir_: str, epoch: int) -> None:
     """Record that epoch's append fully committed (fsync'd, crash-durable)."""
-    p = _marker_path(dir_, epoch)
-    with open(p, "w") as f:
-        f.write("1\n")
-        f.flush()
-        os.fsync(f.fileno())
-    dir_fd = os.open(dir_, os.O_RDONLY)
-    try:
-        os.fsync(dir_fd)
-    finally:
-        os.close(dir_fd)
+    backend_for(dir_).write_text(_marker_path(dir_, epoch), "1\n",
+                                 sync_dir=True)
 
 
 def epoch_is_committed(dir_: str, epoch: int) -> bool:
-    return os.path.isfile(_marker_path(dir_, epoch))
+    return backend_for(dir_).isfile(_marker_path(dir_, epoch))
 
 
 def max_committed_epoch(dir_: str) -> int | None:
@@ -437,11 +383,12 @@ def max_committed_epoch(dir_: str) -> int | None:
     contiguously by Structured Streaming and commit in order, so 'all
     committed epochs' == 'epoch <= max marker' — one range predicate a
     partitioned read can prune with."""
-    if not os.path.isdir(dir_):
+    fs = backend_for(dir_)
+    if not fs.isdir(dir_):
         return None
     epochs = [
         int(n[len("_epoch-"):-len(".committed")])
-        for n in os.listdir(dir_)
+        for n in fs.listdir(dir_)
         if n.startswith("_epoch-") and n.endswith(".committed")
     ]
     return max(epochs) if epochs else None

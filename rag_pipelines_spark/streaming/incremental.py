@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from rag_pipelines_spark.operators.statefs import backend_for
+
 
 def incremental_merge(
     spark: SparkSession,
@@ -40,8 +42,9 @@ def incremental_merge(
     side of the anti-join broadcasts when small, sort-merge otherwise —
     Catalyst/AQE decides.
     """
-    state_exists = os.path.isdir(state_path) and any(
-        n.endswith(".parquet") for n in os.listdir(state_path)
+    fs = backend_for(state_path)
+    state_exists = fs.isdir(state_path) and any(
+        n.endswith(".parquet") for n in fs.listdir(state_path)
     )
     if state_exists:
         state_keys = spark.read.parquet(state_path).select(key)

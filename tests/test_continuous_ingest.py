@@ -234,18 +234,26 @@ def nocrash_snapshot(spark, tmp_path_factory):
     return _state_snapshot(spark, root)
 
 
+@pytest.mark.parametrize("state_backend", ["local", "hadoop-file-uri"])
 @pytest.mark.parametrize("crash_after", CRASH_POINTS)
 def test_crash_matrix_every_step_replays_to_identical_state(
-    spark, tmp_path, crash_after, nocrash_snapshot
+    spark, tmp_path, crash_after, state_backend, nocrash_snapshot
 ):
     """The exactly-once drill the epoch design argues on paper, run
     mechanically: kill the foreachBatch after EACH commit step in turn
     (fault injection through the real checkpoint/replay machinery),
     restart, and require every state family to equal the no-crash run
     bit-for-data — additive merges not double-applied, near-dup keys
-    not lost, seen keys not partially visible."""
+    not lost, seen keys not partially visible.
+
+    Parametrized over the state backend (round 6): the same 9 points run
+    with the state root as a plain path (os.* fast path) AND as a
+    file:// URI (Hadoop FileSystem API path — the code every object
+    store scheme shares; only the connector behind the Path differs)."""
     src = str(tmp_path / "src")
     root = str(tmp_path / "root")
+    if state_backend == "hadoop-file-uri":
+        root = f"file://{root}"
     ckpt = str(tmp_path / "ckpt")
     b1, b2 = _rows()
     spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(src)

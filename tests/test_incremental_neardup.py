@@ -317,13 +317,26 @@ def test_stale_takeover_claims_atomically_never_steals_fresh(tmp_path, monkeypat
     exactly in the crashed-holder scenario. The fix claims the stale
     lease by atomic rename and re-checks the claimed content; this drill
     deterministically runs writer B's entire takeover inside writer A's
-    claim window and asserts A bows out with B's lease intact."""
+    claim window and asserts A bows out with B's lease intact.
+
+    The local backend additionally serializes acquisition with an flock
+    (statefs.py::lock_dir) which would simply block this interleave; the
+    drill disables it to certify the rename-claim protocol LAYER itself
+    — the only guard on backends without a lock primitive (Hadoop FS
+    API). The flock layer is certified by the thread-stress drill below."""
     import os
     import sys
     import time
-    from contextlib import ExitStack
+    from contextlib import ExitStack, contextmanager
 
     from rag_pipelines_spark.operators.state import LEASE, writer_lease
+    from rag_pipelines_spark.operators.statefs import LocalBackend
+
+    @contextmanager
+    def _no_lock(self, dir_):
+        yield
+
+    monkeypatch.setattr(LocalBackend, "lock_dir", _no_lock)
 
     state = str(tmp_path / "race_state")
     os.makedirs(state)
@@ -407,26 +420,30 @@ def test_stale_takeover_thread_stress_single_holder(tmp_path):
     assert inside["wins"] + inside["losses"] == 8
 
 
-def test_state_rejects_non_local_schemes(tmp_path):
-    """The manifest scheme's atomicity is built on os.replace/fsync/O_EXCL
-    — on a URI path those silently report state 'fresh' (the look-empty
-    failure the module exists to prevent), so they must raise."""
+def test_state_uri_schemes_route_through_hadoop_fs(spark, tmp_path):
+    """Round 6: URI state paths are no longer rejected — they route
+    through the Hadoop FileSystem API (tests/test_statefs.py drills the
+    full contract through file://). The refuse-to-look-empty posture
+    survives: a scheme with no connector raises loudly instead of
+    reporting the state fresh."""
     import pytest as _pytest
 
     from rag_pipelines_spark.operators.state import (
         live_version_dir,
         write_manifest,
-        writer_lease,
+    )
+    from rag_pipelines_spark.operators.statefs import (
+        HadoopBackend,
+        backend_for,
     )
 
-    for path in ("s3://bucket/state", "hdfs://nn/state"):
-        with _pytest.raises(ValueError, match="local filesystem"):
-            live_version_dir(path)
-        with _pytest.raises(ValueError, match="local filesystem"):
-            write_manifest(path, "v-abc")
-        with _pytest.raises(ValueError, match="local filesystem"):
-            with writer_lease(path):
-                pass
+    state = f"file://{tmp_path}/uri_state"
+    assert isinstance(backend_for(state), HadoopBackend)
+    backend_for(state).makedirs(f"{state}/v-xyz")
+    write_manifest(state, "v-xyz")
+    assert live_version_dir(state).endswith("v-xyz")
+    with _pytest.raises(Exception, match="(?i)no filesystem|unsupported"):
+        live_version_dir("nosuchscheme://bucket/state")
 
 
 def test_partial_epoch_append_is_repaired_on_replay(spark, tmp_path):
