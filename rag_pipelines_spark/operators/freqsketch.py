@@ -58,6 +58,53 @@ from rag_pipelines_spark.operators.state import (
 
 _CNT = "decimal(30,0)"
 
+# Target rows per state/partial partition when the caller doesn't pin a
+# count. Sketch rows are ~100 B (group keys + item + decimal), so 4M rows
+# ≈ a few hundred MB per task — comfortably in-memory for the window/
+# joins, while keeping the common KB-sized state in ONE file.
+_ROWS_PER_STATE_PARTITION = 4_000_000
+
+
+def _derived_partitions(frame: DataFrame, override: int | None) -> int:
+    """Partition count for a MATERIALIZED (localCheckpoint'd) frame:
+    override if given, else ceil(rows / _ROWS_PER_STATE_PARTITION). The
+    count is metadata-cheap on a checkpointed frame. This is the r5
+    advice fix: a static coalesce(1) silently funneled a
+    high-cardinality group key (per-domain instead of per-language
+    stats) through one task; deriving from the actual group-by size
+    keeps the single-file fast path for vocabulary-sized states and
+    fans out automatically past it."""
+    if override is not None:
+        return override
+    return max(1, -(-frame.count() // _ROWS_PER_STATE_PARTITION))
+
+
+def _sized(df: DataFrame, n: int) -> DataFrame:
+    """Set the partition count regardless of direction: coalesce can
+    only shrink, and AQE often leaves these tiny shuffles at ONE
+    partition — so fanning out (the whole point of the derived count for
+    high-cardinality groups) needs a repartition."""
+    return df.repartition(n) if n > 1 else df.coalesce(1)
+
+
+def _join_null_safe(left: DataFrame, right: DataFrame, keys: list[str],
+                    how: str) -> DataFrame:
+    """Equi-join on group keys with NULL-safe equality (<=>), so a NULL
+    group key is a first-class group — symmetric with merge_rollup /
+    merge_hll, whose groupBy already keeps NULL groups (r5 advice: the
+    old plain equi-joins dropped NULL groups' pruning offsets, so
+    freq_partial had to exclude them and a NULL-lang doc vanished from
+    the frequent-terms state while remaining counted in rollup/HLL).
+    Still a hash-joinable condition (BroadcastHashJoin supports <=>)."""
+    r = right
+    for i, k in enumerate(keys):
+        r = r.withColumnRenamed(k, f"__nk{i}")
+    cond = None
+    for i, k in enumerate(keys):
+        c = left[k].eqNullSafe(F.col(f"__nk{i}"))
+        cond = c if cond is None else cond & c
+    return left.join(r, cond, how).drop(*[f"__nk{i}" for i in range(len(keys))])
+
 
 def _prune(items: DataFrame, keys: list[str], m: int):
     """Reduce a (keys..., item, est) frame to <= m rows per group, MG-style:
@@ -73,8 +120,7 @@ def _prune(items: DataFrame, keys: list[str], m: int):
         *keys, F.col("est").cast(_CNT).alias("_d")
     )
     pruned = (
-        ranked.filter(F.col("_rk") <= m)
-        .join(d, keys, "left")
+        _join_null_safe(ranked.filter(F.col("_rk") <= m), d, keys, "left")
         .select(
             *keys,
             "item",
@@ -88,7 +134,7 @@ def _prune(items: DataFrame, keys: list[str], m: int):
 
 
 def freq_partial(batch: DataFrame, keys: list[str], item_col: str,
-                 m: int):
+                 m: int, partial_partitions: int | None = None):
     """(items, totals) summary of ONE batch: exact per-item counts pruned
     to m per group (exact counts are a valid MG summary with zero error;
     pruning subtracts d from survivors and adds d to the group's realized
@@ -96,29 +142,32 @@ def freq_partial(batch: DataFrame, keys: list[str], item_col: str,
     map-side combined; the counted frame is materialized
     (vocabulary-sized, not batch-sized) so items and totals both derive
     from it without re-scanning the batch (n_total == Σ est over the
-    un-pruned counts, by construction)."""
-    # NULL group keys are EXCLUDED, symmetric with the null-item filter:
-    # every keys-join in this module (the prune's d-frame, the totals err
-    # join, freq_topk's items⋈totals) is an equi-join that cannot match
-    # NULL keys, so a null group would silently lose its pruning offset
-    # (breaking est <= true <= est + err) and vanish from the served
-    # top-k. Excluding it loudly-by-contract keeps the invariant exact;
-    # callers wanting a null bucket coalesce the key to a sentinel first.
+    un-pruned counts, by construction). ``partial_partitions`` pins the
+    post-count partitioning; default derives it from the counted size
+    (see _derived_partitions)."""
+    # NULL group keys are a real group (r6): every keys-join in this
+    # module is NULL-safe (<=>, _join_null_safe), so the pruning offset
+    # and totals follow a NULL group exactly like any other — symmetric
+    # with merge_rollup/merge_hll, which keep NULL groups via groupBy.
+    # NULL ITEMS are still excluded (nothing to count), matching the
+    # hll-sketch's null-item filter.
     nn = batch.filter(F.col(item_col).isNotNull())
-    for kcol in keys:
-        nn = nn.filter(F.col(kcol).isNotNull())
     counted = (
         nn.groupBy(*keys, F.col(item_col).alias("item"))
         .agg(F.count("*").cast(_CNT).alias("est"))
-        .coalesce(1)  # vocabulary-sized: one task for the downstream
-        # window/joins beats 32 near-empty ones
         .localCheckpoint(eager=True)
     )
+    # vocabulary-sized → one task for the downstream window/joins beats
+    # 32 near-empty ones; a huge group-by (high-cardinality keys) fans
+    # out instead of funneling
+    counted = _sized(counted, _derived_partitions(counted, partial_partitions))
     items, d = _prune(counted, keys, m)
     totals = (
-        counted.groupBy(*keys)
-        .agg(F.sum("est").cast(_CNT).alias("n_total"))
-        .join(d, keys, "left")
+        _join_null_safe(
+            counted.groupBy(*keys)
+            .agg(F.sum("est").cast(_CNT).alias("n_total")),
+            d, keys, "left",
+        )
         .select(
             *keys,
             "n_total",
@@ -131,7 +180,7 @@ def freq_partial(batch: DataFrame, keys: list[str], item_col: str,
 def merge_freq(spark, batch: DataFrame, state_path: str, *,
                keys: list[str], item_col: str, m: int,
                epoch: int | None = None,
-               state_partitions: int = 1) -> None:
+               state_partitions: int | None = None) -> None:
     """Fold one batch into the frequent-items state.
 
     Merge rule (mergeable-summaries MG): per-item ests ADD across the two
@@ -139,15 +188,17 @@ def merge_freq(spark, batch: DataFrame, state_path: str, *,
     totals add exactly. Additive state: pass `epoch` (foreachBatch's
     epoch_id) for exactly-once under replay (state.py::applied_epoch).
 
-    `state_partitions` sizes the state files: the default 1 is right for
-    the common case (state is O(|groups|·m) rows — KBs), avoiding a
-    shuffle-partition-count spray of tiny files re-read every merge;
-    raise it when |groups| is genuinely large (the same knob class as
-    compact_neardup_state's num_partitions).
+    `state_partitions` sizes the state files. Default None DERIVES the
+    count from the merged summary's measured size (state is
+    O(|groups|·m) rows): the common vocabulary-sized state stays one
+    file, avoiding a shuffle-partition-count spray of tiny files re-read
+    every merge, while a high-cardinality group key (e.g. per-domain)
+    fans out automatically instead of funneling one task (r5 advice).
     """
     if epoch_already_applied(state_path, "freq-sketch state", epoch):
         return  # replayed micro-batch: already folded in
-    b_items, b_totals = freq_partial(batch, keys, item_col, m)
+    b_items, b_totals = freq_partial(batch, keys, item_col, m,
+                                     partial_partitions=state_partitions)
     with writer_lease(state_path, what="freq-sketch state"):
         # authoritative re-check INSIDE the lease (see rollup.py: the
         # pre-lease check is a fast path; a concurrent holder may have
@@ -165,18 +216,21 @@ def merge_freq(spark, batch: DataFrame, state_path: str, *,
                 o_items.unionByName(b_items)
                 .groupBy(*keys, "item")
                 .agg(F.sum("est").cast(_CNT).alias("est"))
-                .coalesce(state_partitions)
                 .localCheckpoint(eager=True)
             )
+            n_parts = _derived_partitions(summed, state_partitions)
+            summed = _sized(summed, n_parts)
             items, d = _prune(summed, keys, m)
             totals = (
-                o_totals.unionByName(b_totals)
-                .groupBy(*keys)
-                .agg(
-                    F.sum("n_total").cast(_CNT).alias("n_total"),
-                    F.sum("err").cast(_CNT).alias("err"),
+                _join_null_safe(
+                    o_totals.unionByName(b_totals)
+                    .groupBy(*keys)
+                    .agg(
+                        F.sum("n_total").cast(_CNT).alias("n_total"),
+                        F.sum("err").cast(_CNT).alias("err"),
+                    ),
+                    d, keys, "left",
                 )
-                .join(d, keys, "left")
                 .select(
                     *keys,
                     "n_total",
@@ -187,11 +241,17 @@ def merge_freq(spark, batch: DataFrame, state_path: str, *,
             )
         else:
             items, totals = b_items, b_totals
+            # first init only: one extra vocab-sized count to size the
+            # files (b_items derives from the checkpointed partial)
+            n_parts = (state_partitions if state_partitions is not None
+                       else max(1, -(-b_items.count()
+                                     // _ROWS_PER_STATE_PARTITION)))
+
         def _write(vdir: str) -> None:
-            items.coalesce(state_partitions).write.mode("overwrite").parquet(
+            _sized(items, n_parts).write.mode("overwrite").parquet(
                 os.path.join(vdir, "items")
             )
-            totals.coalesce(state_partitions).write.mode("overwrite").parquet(
+            _sized(totals, n_parts).write.mode("overwrite").parquet(
                 os.path.join(vdir, "totals")
             )
 
@@ -228,7 +288,7 @@ def freq_topk(spark, state_path: str, *, keys: list[str],
     items, totals = read_freq(spark, state_path)
     w = W.partitionBy(*keys).orderBy(F.col("est").desc(), F.col("item"))
     return (
-        items.join(totals, keys)
+        _join_null_safe(items, totals, keys, "inner")
         .withColumn("err_bound", F.col("err").cast("long"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)

@@ -178,3 +178,66 @@ def test_merge_freq_empty_batch_preserves_state(spark, tmp_path):
         sorted(map(tuple, read_freq(spark, state)[1].collect())),
     )
     assert after == before
+
+
+def test_null_group_key_is_a_real_group(spark, tmp_path):
+    """r5 advice: NULL-group docs were dropped from the freq state while
+    rollup/HLL kept them — a consumer comparing families read it as data
+    loss. With NULL-safe key joins the NULL group carries exact counts,
+    totals, and pruning offsets like any other group."""
+    state = str(tmp_path / "fs_null")
+    rows = [(1, None, "a"), (2, None, "a"), (3, None, "b"),
+            (4, "en", "a"), (5, "en", "c")]
+    df = spark.createDataFrame(rows, "row_id INT, lang STRING, item STRING")
+    merge_freq(spark, df, state, keys=["lang"], item_col="item", m=10)
+    # second batch extends the NULL group across a merge
+    df2 = spark.createDataFrame(
+        [(6, None, "a"), (7, None, "c")], "row_id INT, lang STRING, item STRING"
+    )
+    merge_freq(spark, df2, state, keys=["lang"], item_col="item", m=10)
+    served = freq_topk(spark, state, keys=["lang"], k=10).collect()
+    null_grp = {r.item: r.est for r in served if r.lang is None}
+    assert null_grp == {"a": 3, "b": 1, "c": 1}
+    assert all(r.err_bound == 0 for r in served)
+    _, totals = read_freq(spark, state)
+    tot = {r.lang: int(r.n_total) for r in totals.collect()}
+    assert tot == {None: 5, "en": 2}
+    # pruning also follows the NULL group: m=1 forces a subtraction there
+    state2 = str(tmp_path / "fs_null_prune")
+    merge_freq(spark, df, state2, keys=["lang"], item_col="item", m=1)
+    _, totals2 = read_freq(spark, state2)
+    errs = {r.lang: int(r.err) for r in totals2.collect()}
+    assert errs[None] > 0  # the (m+1)-th count was subtracted and recorded
+
+
+def test_state_partitions_derived_from_group_count(spark, tmp_path, monkeypatch):
+    """r5 advice + verdict #8: the static coalesce(1) silently funneled
+    high-cardinality group keys through one task. With the derived
+    default, a state bigger than the per-partition target lands in
+    multiple files and the served verdicts are unchanged."""
+    import glob
+
+    from rag_pipelines_spark.operators import freqsketch as fsq
+
+    monkeypatch.setattr(fsq, "_ROWS_PER_STATE_PARTITION", 500)
+    n_groups = 2_000
+    df = spark.range(n_groups).select(
+        F.concat(F.lit("g"), F.col("id")).alias("grp"),
+        F.concat(F.lit("w"), (F.col("id") % 7)).alias("item"),
+    )
+    state = str(tmp_path / "fs_wide")
+    merge_freq(spark, df, state, keys=["grp"], item_col="item", m=4)
+    from rag_pipelines_spark.operators.state import live_version_dir
+
+    live = live_version_dir(state)
+    item_files = glob.glob(f"{live}/items/part-*")
+    assert len(item_files) >= 3, item_files  # 2000 rows / 500-row target
+    served = freq_topk(spark, state, keys=["grp"], k=1)
+    assert served.count() == n_groups
+    assert {r.est for r in served.collect()} == {1}
+    # explicit override still wins
+    state2 = str(tmp_path / "fs_pinned")
+    merge_freq(spark, df, state2, keys=["grp"], item_col="item", m=4,
+               state_partitions=1)
+    live2 = live_version_dir(state2)
+    assert len(glob.glob(f"{live2}/items/part-*")) == 1
