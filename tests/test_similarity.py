@@ -90,3 +90,49 @@ def test_lsh_null_embedding_rows_dropped_not_crashed(spark):
     ids = {r["q_id"] for r in out}
     assert 2 not in ids
     assert 1 in ids  # live vectors still match
+
+
+def test_ivf_clustered_regime_high_recall_low_probe(spark):
+    """Round-6 verdict item #3 (pinned form of the SCALE.md clustered
+    ladder): on planted-cluster embeddings — the geometry real encoder
+    output has — IVF with kmeans refinement reaches high recall at a
+    small probe fraction, the regime the index exists for (the uniform
+    fixture documents its honest worst case)."""
+    import random
+
+    from rag_pipelines_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    rng = random.Random(11)
+    dim, n_clusters, per = 16, 16, 125
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            rows.append(
+                (vid, [centers[c][d] + rng.uniform(-0.3, 0.3)
+                       for d in range(dim)])
+            )
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = corpus.filter(F.col("vec_id") % 125 == 0)  # one query per cluster
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.q_id, set()).add(r.c_id)
+        return out
+
+    exact = topk_sets(cosine_topk_bruteforce(q, corpus, k=5))
+    ivf = cosine_topk_ivf(
+        q, corpus, k=5, n_cells=n_clusters, nprobe=2, refine_iters=2
+    )
+    approx = topk_sets(ivf)
+    hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
+    recall = hits / (5 * len(exact))
+    assert recall >= 0.8, f"clustered-regime IVF recall {recall:.2f}"

@@ -100,6 +100,18 @@ def run_ladder(spark, sf_dir: str) -> list[dict]:
                 queries, emb, k=ALL, n_cells=n_cells, nprobe=nprobe
             ),
         )
+    # kmeans-refined IVF (r5 verdict item #3): 2 Lloyd iterations move the
+    # sampled centroids to cluster means — the setting a user would run on
+    # clustered (real) embeddings
+    for nprobe in (2, 4, 8):
+        measure(
+            "ivf+kmeans2",
+            {"n_cells": n_cells, "nprobe": nprobe},
+            cosine_topk_ivf(
+                queries, emb, k=ALL, n_cells=n_cells, nprobe=nprobe,
+                refine_iters=2,
+            ),
+        )
     return results
 
 

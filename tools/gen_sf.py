@@ -253,8 +253,57 @@ def gen_embeddings(spark, n, dim=64):
     )
 
 
+def gen_clustered_embeddings(spark, n, dim=64, n_clusters=128,
+                             noise=0.35):
+    """Planted-cluster embeddings (r5 verdict item #3): k hash-random
+    unit centers; each vector = normalize(center[cluster(id)] +
+    noise * u(id)) with u hash-uniform per (id, pos). This is the regime
+    IVF indexing is FOR — real embedding corpora are clustered by
+    topic/language, and the hash-uniform `gen_embeddings` fixture is its
+    structureless worst case (SCALE.md documents the honest negative).
+    Expected member-center cosine ≈ 1/sqrt(1 + noise^2) ≈ 0.94 at the
+    default — tight clusters, near-orthogonal centers. All deterministic
+    column math; generation distributes like every other fixture."""
+    i = F.col("id")
+    cluster = F.pmod(F.xxhash64(i, F.lit(91)), F.lit(n_clusters))
+    raw = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda pos: (
+            # center coordinate for this id's cluster...
+            (
+                F.pmod(F.xxhash64(cluster, pos, F.lit(92)), F.lit(1_000_003))
+                .cast("double") / 1_000_003.0 - 0.5
+            )
+            # ...plus per-vector noise
+            + F.lit(noise) * (
+                F.pmod(F.xxhash64(i, pos, F.lit(93)), F.lit(1_000_003))
+                .cast("double") / 1_000_003.0 - 0.5
+            )
+        ),
+    )
+    norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    vec = F.transform(raw, lambda x: (x / norm).cast("float"))
+    return _base(spark, n).select(
+        i.alias("vec_id"),
+        vec.alias("embedding"),
+        cluster.cast("int").alias("label"),
+    )
+
+
 def main() -> None:
     args = list(sys.argv[1:])
+    if "--clustered-embeddings" in args:
+        # python tools/gen_sf.py --clustered-embeddings <n> <out_dir>
+        j = args.index("--clustered-embeddings")
+        n, out = int(args[j + 1]), args[j + 2]
+        from rag_pipelines_spark.session import get_spark
+
+        spark = get_spark("gen-clustered-emb")
+        gen_clustered_embeddings(spark, n).write.mode("overwrite").parquet(
+            f"{out}/embeddings.parquet"
+        )
+        print(f"wrote {n} clustered embeddings to {out}/embeddings.parquet")
+        return
     hot_user_frac = 0.0
     if "--skew-events" in args:  # e.g. --skew-events 0.2 => user 0 owns 20%
         j = args.index("--skew-events")
