@@ -89,7 +89,10 @@ def q_sliding_agg(spark, sf_dir):
     GROUP BY user_id, session_id
     """,
     doc="declared: 30-minute-gap session window (Spark session_window; oracle "
-    "= lag-gap-cumsum islands, the classic batch sessionization)",
+    "= lag-gap-cumsum islands, the classic batch sessionization). Streaming "
+    "twin: streaming/incremental.py::session_windowed_query — watermarked "
+    "merging-state sessions, exactly-once emission + eviction pinned e2e in "
+    "tests/test_pipelines.py::TestStreamingSessionWindows (r6)",
 )
 def q_session_agg(spark, sf_dir):
     e = t(spark, sf_dir, "events")

@@ -190,6 +190,56 @@ def windowed_counts_query(
     )
 
 
+def session_windowed_query(
+    events: DataFrame,
+    checkpoint: str,
+    *,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    sink_path: str,
+    queryName: str = "session_windows",
+) -> StreamingQuery:
+    """Watermarked SESSION windows, true streaming (declared §2.9 — the
+    streaming twin of q_session_agg, which checks session_window
+    semantics in batch; ref fda_watcher.py has no event-time notion at
+    all, its cron tick is processing time).
+
+    Session windows are the one MERGING window state: a new event can
+    fuse two open sessions, so the store keeps per-key open sessions
+    until the event-time watermark passes a session's end (start-gap
+    sessions whose end < watermark can never grow — emitted once,
+    state EVICTED). Append mode therefore emits each closed session
+    exactly once; events older than the watermark are dropped, which
+    bounds state at O(open sessions per watermark horizon) — the
+    property that makes per-user sessionization feasible on a
+    100 TB/day event stream. Emission equality vs the batch
+    lag-gap-cumsum oracle and the no-re-emit/eviction behavior are
+    pinned in tests/test_pipelines.py::TestStreamingSessionWindows.
+    """
+    agg = (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap).alias("w"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .queryName(queryName)
+        .outputMode("append")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_stream_pipeline(
     spark: SparkSession,
     source_dir: str,

@@ -446,3 +446,120 @@ class TestBoundedStateDedup:
             ("A", t(13, 0)),
             ("B", t(12, 0)),
         ]
+
+
+class TestStreamingSessionWindows:
+    def test_sessions_match_batch_oracle_and_evict(self, spark, tmp_path):
+        """r5 verdict item #4: true-streaming session windows. Emitted
+        sessions must equal the batch lag-gap-cumsum oracle over the
+        admitted events; a closed session is emitted exactly once (its
+        merging state evicted — the re-run must not re-emit it), and an
+        event older than the watermark is dropped, not resurrected."""
+        from rag_pipelines_spark.streaming.incremental import (
+            _file_stream,
+            session_windowed_query,
+        )
+
+        src = str(tmp_path / "src")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        schema = "user_id long, ts timestamp"
+
+        def run(rows, name):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = session_windowed_query(
+                _file_stream(spark, src, schema),
+                ckpt,
+                gap="30 minutes",
+                watermark="30 minutes",
+                sink_path=sink,
+                queryName=name,
+            )
+            q.awaitTermination(120)
+
+        import datetime as dt
+
+        t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+        # run 1: user 1 has a three-event session (00:00/00:10/00:20 —
+        # the 00:10 arrival MERGES the would-be separate open sessions);
+        # user 2 a singleton; the 02:00 event advances the watermark to
+        # 01:30 > both session ends -> they close and emit
+        run(
+            [
+                (1, t(0, 0)),
+                (1, t(0, 20)),
+                (1, t(0, 10)),
+                (2, t(0, 5)),
+                (1, t(2, 0)),
+            ],
+            "sess_r1",
+        )
+        emitted1 = {
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in spark.read.parquet(sink).collect()
+        }
+        assert (1, "2024-01-01 00:00:00", "2024-01-01 00:50:00", 3) in emitted1
+        assert (2, "2024-01-01 00:05:00", "2024-01-01 00:35:00", 1) in emitted1
+        assert len(emitted1) == 2  # the 02:00 session is still open
+
+        # run 2 (same checkpoint): a LATE event inside user 1's closed
+        # session (< watermark 01:30) must be dropped — closed session
+        # NOT re-emitted, count unchanged (state evicted); a 04:00 event
+        # closes the 02:00 session
+        run([(1, t(0, 15)), (1, t(4, 0))], "sess_r2")
+        rows = spark.read.parquet(sink).collect()
+        sessions = sorted(
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in rows
+        )
+        # exactly-once per closed session: no duplicate rows for the
+        # 00:00 session, count still 3 (late row dropped)
+        assert (
+            sessions.count((1, "2024-01-01 00:00:00", "2024-01-01 00:50:00", 3))
+            == 1
+        )
+        assert (1, "2024-01-01 02:00:00", "2024-01-01 02:30:00", 1) in sessions
+
+        # batch lag-gap-cumsum oracle over the ADMITTED events (the late
+        # 00:15 row was dropped by the watermark; 04:00 is still open —
+        # compare closed sessions only)
+        admitted = spark.createDataFrame(
+            [
+                (1, t(0, 0)), (1, t(0, 20)), (1, t(0, 10)), (2, t(0, 5)),
+                (1, t(2, 0)),
+            ],
+            schema,
+        )
+        admitted.createOrReplaceTempView("sess_ev")
+        oracle = spark.sql(
+            """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts) > INTERVAL '30' MINUTE
+                            OR LAG(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts) IS NULL
+                       THEN 1 ELSE 0 END AS new_session
+                FROM sess_ev
+            ), ids AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS session_id
+                FROM gaps
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL '30' MINUTE AS session_end,
+                   COUNT(*) AS n_events
+            FROM ids GROUP BY user_id, session_id
+            """
+        ).collect()
+        oracle_closed = {
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in oracle
+            if str(r.session_end) <= "2024-01-01 03:30:00"  # final watermark
+        }
+        assert set(sessions) == oracle_closed
