@@ -68,59 +68,62 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # q_window_frame, q_window_lead, q_window_rank, q_window_running,
 # q_ws_collapse, q_xml_extract, q_year_extract.
 PRIORITY: tuple[str, ...] = (
-    # --- (a) round-5 NEW (no driver row yet) + touched ---
-    "q_freq_topk_serve",
+    # Round-6 window: (a) queries touched/promoted this round, (b) ALL
+    # 13 r2-aged driver rows (oldest debt), (c) the oldest r3 cohort in
+    # COVERAGE.md listing order, filling the driver's 50-row window.
+    # --- (a) round-6 touched ---
+    "q_cutoff_trunc",        # promoted rows-only -> shared window oracle
+    "q_freq_topk_serve",     # derived partitions + NULL-safe group keys
     "q_distinct_sketch_serve",
-    "q_aqp_sum",
-    "q_term_pmi",
+    "q_ann_ivf",             # numpy nearest-cell assignment
+    "q_ann_lsh",
     "q_zorder_key",
-    "q_scd2_versions",
-    "q_stream_dedup",
-    # --- (b) r1-only driver rows ---
-    "q_checkpoint_semi",
-    "q_chunking",
-    "q_cube",
-    "q_doc_fingerprint",
-    "q_hash_sample",
-    "q_join_cross",
-    "q_join_full",
-    "q_lang_dist",
-    "q_rolling_hash",
-    "q_selective_agg",
-    "q_token_stats",
-    # --- (c) r2 rows: promised anchors, then alphabetical ---
-    "q_heavy_hitters",
-    "q_join_asof",
-    "q_snapshot_diff",
-    "q_agg_rates",
-    "q_author_format",
-    "q_citation_concat",
-    "q_clean_boilerplate",
-    "q_coalesce_defaults",
-    "q_cutoff_trunc",
-    "q_doi_extract",
-    "q_doi_norm",
-    "q_except",
-    "q_filter_length",
-    "q_filter_nullkey",
-    "q_grouping_sets",
-    "q_intersect",
-    "q_join_range",
-    "q_join_right",
-    "q_json_get",
-    "q_jsonl_roundtrip",
-    "q_levenshtein_sim",
-    "q_md5_id",
-    "q_md_image_strip",
-    "q_partition_prune",
-    "q_prefix_strip",
-    "q_scan_project",
-    "q_sliding_agg",
-    "q_sort",
-    "q_text_norm",
-    "q_topk",
-    "q_tpch_q3",
-    "q_tpch_q5",
+    # --- (b) r2-aged rows ---
+    "q_tumbling_agg",
+    "q_unicode_norm",
+    "q_union_all",
+    "q_union_order",
+    "q_unpivot",
+    "q_url_join",
+    "q_window_frame",
+    "q_window_lead",
+    "q_window_rank",
+    "q_window_running",
+    "q_ws_collapse",
+    "q_xml_extract",
+    "q_year_extract",
+    # --- (c) oldest r3 cohort ---
+    "q_balance_sources",
+    "q_binary_ingest",
+    "q_bucketed_join",
+    "q_cosine_topk",
+    "q_csv_roundtrip",
+    "q_cutoff_sql",
+    "q_decontaminate",
+    "q_dedup_exact",
+    "q_delta_anti_join",
+    "q_downsample",
+    "q_enrich_fetch",
+    "q_funnel",
+    "q_gap_fill",
+    "q_html_scan",
+    "q_map_explode",
+    "q_minhash_neardup",
+    "q_multimodal_features",
+    "q_ngram_jaccard",
+    "q_orc_roundtrip",
+    "q_pack_sequences",
+    "q_pretraining_prep",
+    "q_repetition_score",
+    "q_salted_agg",
+    "q_session_agg",
+    "q_simhash_md5",
+    "q_tpch_q1",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
 )
 
 
