@@ -217,20 +217,28 @@ class HadoopBackend:
 
     @classmethod
     def instance(cls) -> "HadoopBackend":
-        if cls._inst is None:
-            cls._inst = cls()
-        return cls._inst
-
-    def __init__(self) -> None:
         from pyspark.sql import SparkSession
 
-        spark = SparkSession.getActiveSession()
+        # cache per live session: a restarted SparkSession means a new
+        # JVM gateway, and calls through the old one hang/error — rebuild
+        # instead of handing out stale py4j handles
+        active = SparkSession.getActiveSession()
+        if cls._inst is None or cls._inst._spark is not active:
+            cls._inst = cls(active)
+        return cls._inst
+
+    def __init__(self, spark=None) -> None:
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
         if spark is None:
             raise RuntimeError(
                 "state on a URI path needs an active SparkSession — its "
                 "Hadoop configuration carries the connector/credentials "
                 "for the scheme; create the session before touching state"
             )
+        self._spark = spark
         self._jvm = spark._jvm
         self._conf = spark._jsc.hadoopConfiguration()
         from py4j.java_gateway import java_import
