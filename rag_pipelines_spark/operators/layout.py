@@ -173,6 +173,20 @@ def zorder_key(
     return out.drop(*[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
 
 
+def zcell_file_id(bits: int, dims: int, n_files: int,
+                  zkey_col: str = "zkey") -> Column:
+    """Deterministic file id for a QUANTILE-normalized z-key: the key is
+    equal-population uniform on [0, 2^(bits*dims)) by construction, so
+    ``zkey div ceil(zspan / n_files)`` cuts exactly on z-cell corners.
+    Integer ``div``, not ``/``: float division of a >2^53 zkey (bits=12
+    x 5 dims = 60 bits) would round the quotient across a cell edge.
+    Shared by write_zordered and the q_zorder_quantile oracle query so
+    the two cannot drift."""
+    zspan = 1 << (bits * dims)
+    cell = -(-zspan // n_files)  # ceil
+    return F.expr(f"{zkey_col} div {cell}L")
+
+
 def _i32(x: int) -> int:
     x &= 0xFFFFFFFF
     return x - (1 << 32) if x >= (1 << 31) else x
@@ -261,11 +275,9 @@ def write_zordered(df: DataFrame, path: str, cols: list[str], *,
     keyed = zorder_key(df, cols, bits=bits, normalize=normalize,
                        boundaries=boundaries)
     if normalize == "quantile":
-        zspan = 1 << (bits * len(cols))
-        cell = -(-zspan // n_files)  # ceil
-        # integer `div`, not `/`: float division of a >2^53 zkey (bits=12
-        # x 5 dims = 60 bits) would round the quotient across a cell edge
-        keyed = keyed.withColumn("__zfid", F.expr(f"zkey div {cell}L"))
+        keyed = keyed.withColumn(
+            "__zfid", zcell_file_id(bits, len(cols), n_files)
+        )
         remap = _bijective_fid_remap(n_files)
         if remap is not None:
             # slot must be LongType: hash partitioning routes ints

@@ -109,6 +109,68 @@ def q_session_agg(spark, sf_dir):
 
 
 @register(
+    "q_stream_session",
+    oracle=None,  # true Structured Streaming run (merging session state,
+    # watermark-gated append emission) — rows-only; emission equality vs
+    # the batch lag-gap-cumsum oracle is pinned e2e in
+    # tests/test_pipelines.py::TestStreamingSessionWindows
+    doc="round-6 streaming session windows served through the registry: "
+    "readStream over events, session_window(30 min gap) + 1 h watermark, "
+    "availableNow, parquet sink + read-back "
+    "(streaming/incremental.py::session_windowed_query). Only sessions the "
+    "final watermark closed are emitted — the append-mode contract",
+)
+def q_stream_session(spark, sf_dir):
+    import os
+    import shutil
+    import uuid
+
+    from rag_pipelines_spark.streaming.incremental import (
+        session_windowed_query,
+    )
+
+    # events.ts is parquet TIMESTAMP(NANOS) — same nanosAsLong + integer
+    # div conversion as io.table, applied stream-side
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table_path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(table_path).schema
+    if os.path.isdir(table_path):
+        stream = spark.readStream.schema(raw_schema).parquet(table_path)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    # mirror io.table's conditional: some Spark/parquet combinations
+    # surface TIMESTAMP(NANOS) as TimestampNTZ natively, others (with
+    # nanosAsLong) as bigint nanoseconds
+    ts = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if dict(stream.dtypes).get("ts") == "bigint"
+        # watermarks demand TIMESTAMP (LTZ); the session tz is pinned
+        # UTC (io.table), so the NTZ -> LTZ cast is a no-op wall-clock
+        else F.col("ts").cast("timestamp")
+    )
+    ev = stream.select("user_id", ts.alias("ts"))
+    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    ckpt = f"/root/repo/.scratch/ckpt-{name}"
+    out = f"/root/repo/.scratch/out-{name}"
+    os.makedirs(ckpt, exist_ok=True)
+    try:
+        q = session_windowed_query(
+            ev, ckpt, gap="30 minutes", watermark="1 hour",
+            sink_path=out, queryName=name,
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    result = spark.read.parquet(out).localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+@register(
     "q_stream_dedup",
     oracle=None,  # true Structured Streaming run — rows-only
     doc="T2 incremental dedup: readStream over the events parquet, "

@@ -227,6 +227,68 @@ def q_zorder_key(spark, sf_dir):
     return zorder_key(ev, ["user_id", "tsec"]).select("event_id", "zkey")
 
 
+_QZQ_BOUNDS = [float(1000 * i // 16) for i in range(1, 16)]
+
+
+def _sql_bucket_16(col: str) -> str:
+    """DuckDB mirror of layout.py::_quantile_bucket for the fixed
+    boundary list: count of boundaries <= col."""
+    return " + ".join(
+        f"(CASE WHEN {col} >= {int(b)} THEN 1 ELSE 0 END)"
+        for b in _QZQ_BOUNDS
+    )
+
+
+@register(
+    "q_zorder_quantile",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_id,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000 AS u,
+               ('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'z'), 1, 8))::BIGINT
+                   % 1000 AS v
+        FROM events
+    ),
+    sc AS (
+        SELECT event_id,
+               ({_sql_bucket_16("u")}) AS xu,
+               ({_sql_bucket_16("v")}) AS xv
+        FROM b
+    )
+    SELECT event_id,
+           ({_sql_zorder_terms("xu", "xv", bits=4)}) AS zkey,
+           ({_sql_zorder_terms("xu", "xv", bits=4)}) // 32 AS zfile
+    FROM sc
+    """,
+    doc="round-6 quantile z-order mechanics, oracle-checked end to end: "
+    "caller-supplied equal-population boundaries (the boundaries= reuse "
+    "API — layout stability across incremental writes), bucket index = "
+    "count of boundaries <= value (codegen array filter), Morton "
+    "interleave, and the deterministic cell-aligned file id "
+    "(zcell_file_id: zkey div cell — the assignment write_zordered "
+    "routes through a murmur3 hash-bijection, replacing sampled range "
+    "boundaries). Dims are md5-portable hashes of the ids so the check "
+    "is scale-independent. ref layout: operators/layout.py",
+)
+def q_zorder_quantile(spark, sf_dir):
+    from rag_pipelines_spark.operators.layout import zcell_file_id, zorder_key
+    from rag_pipelines_spark.operators.sampling import hash_bucket
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        hash_bucket("user_id", granularity=1000).alias("u"),
+        hash_bucket(F.col("event_id"), salt="z", granularity=1000).alias("v"),
+    )
+    keyed = zorder_key(
+        ev, ["u", "v"], bits=4, normalize="quantile",
+        boundaries={"u": _QZQ_BOUNDS, "v": _QZQ_BOUNDS},
+    )
+    return keyed.select(
+        "event_id", "zkey", zcell_file_id(4, 2, 8).alias("zfile")
+    )
+
+
 @register(
     "q_rollup_serve",
     oracle="""

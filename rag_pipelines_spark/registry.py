@@ -71,7 +71,9 @@ PRIORITY: tuple[str, ...] = (
     # Round-6 window: (a) queries touched/promoted this round, (b) ALL
     # 13 r2-aged driver rows (oldest debt), (c) the oldest r3 cohort in
     # COVERAGE.md listing order, filling the driver's 50-row window.
-    # --- (a) round-6 touched ---
+    # --- (a) round-6 new + touched ---
+    "q_zorder_quantile",     # NEW: quantile z-order mechanics oracle
+    "q_stream_session",      # NEW: streaming session windows (rows-only)
     "q_cutoff_trunc",        # promoted rows-only -> shared window oracle
     "q_freq_topk_serve",     # derived partitions + NULL-safe group keys
     "q_distinct_sketch_serve",
@@ -122,8 +124,6 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q10",
     "q_tpch_q11",
     "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
 )
 
 
