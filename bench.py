@@ -74,6 +74,9 @@ EXTRAS = [
     # the incremental-view-maintenance cost profile, incl. state I/O
     "q_freq_topk_serve",
     "q_distinct_sketch_serve",
+    # round 6: quantile z-order mechanics (boundaries= reuse + cell-aligned
+    # deterministic file id), oracle-checked
+    "q_zorder_quantile",
 ]
 
 HEADLINE = CORE + EXTRAS + CORE_R4

@@ -49,7 +49,6 @@ uploading the object).
 from __future__ import annotations
 
 import os
-import time
 import uuid
 from contextlib import contextmanager
 
@@ -411,7 +410,3 @@ class HadoopBackend:
         safety regardless."""
         yield
 
-
-def now_epoch_line(token: str) -> str:
-    """Lease file content: ``<token> <pid> <unix-ts>``."""
-    return f"{token} {os.getpid()} {time.time()}\n"
