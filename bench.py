@@ -77,6 +77,9 @@ EXTRAS = [
     # round 6: quantile z-order mechanics (boundaries= reuse + cell-aligned
     # deterministic file id), oracle-checked
     "q_zorder_quantile",
+    # round 6: bloom-prefiltered delta anti-join — the shuffled volume is
+    # |dups| + fpp*|new|, not |new| (operators/bloomfilter.py)
+    "q_bloom_prefilter",
 ]
 
 HEADLINE = CORE + EXTRAS + CORE_R4

@@ -1459,3 +1459,36 @@ def q_aqp_sum(spark, sf_dir):
             / F.nullif(F.abs(F.col("exact_sum")), F.lit(0.0))
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered anti-join — the scale path for "seen before?" deltas
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bloom_prefilter",
+    oracle="""
+    WITH master AS (
+        SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT d.doc_id, md5(d.text) AS fp
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM master m WHERE m.fp = md5(d.text))
+    """,
+    doc="Bloom-prefiltered delta anti-join (operators/bloomfilter.py): "
+    "master fingerprints aggregate to a map<word,bits> bloom (one "
+    "bounded shuffle, <= m/64 rows, no driver collect), the new batch "
+    "is split map-side by a forall() bit probe, and only maybe-seen "
+    "rows enter the exact anti-join — output is EXACTLY the plain "
+    "anti-join (no false negatives), which is what the oracle checks. "
+    "ref: fda_watcher.py:397-403 (pandas isin delta, driver-sized); "
+    "here the shuffled volume is |dups| + fpp*|new| instead of |new|",
+)
+def q_bloom_prefilter(spark, sf_dir):
+    from rag_pipelines_spark.operators.bloomfilter import bloom_anti_join
+
+    d = t(spark, sf_dir, "documents")
+    new = d.select("doc_id", F.md5("text").alias("fp"))
+    master = d.filter(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("fp"))
+    return bloom_anti_join(new, master, "fp")

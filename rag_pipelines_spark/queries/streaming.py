@@ -258,3 +258,96 @@ def q_downsample(spark, sf_dir):
             F.count("*").alias("n"),
         )
     )
+
+
+def _events_stream(spark, sf_dir):
+    """readStream over the events table with io.table's ts normalization
+    (TIMESTAMP(NANOS) parquet surfaces as bigint nanos under nanosAsLong
+    on some Spark/parquet combos, as TimestampNTZ on others)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table_path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(table_path).schema
+    if os.path.isdir(table_path):
+        stream = spark.readStream.schema(raw_schema).parquet(table_path)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    ts = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if dict(stream.dtypes).get("ts") == "bigint"
+        else F.col("ts").cast("timestamp")
+    )
+    return stream.withColumn("ts", ts)
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+    SELECT a.user_id, a.ts AS view_ts, b.ts AS buy_ts, b.value AS buy_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 4 HOUR
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+    doc="true Structured Streaming stream-stream interval join "
+    "(streaming/joins.py::stream_interval_join): views and purchases read "
+    "as two file streams, watermarked both sides, joined per user within "
+    "a 4-hour window, parquet sink + read-back. availableNow over the "
+    "fixture is a single micro-batch, so the append-mode emission equals "
+    "the batch interval join exactly — which is what the oracle checks. "
+    "State stays O(key-rate x interval) per the both-side watermarks",
+)
+def q_stream_join(spark, sf_dir):
+    import os
+    import shutil
+    import uuid
+
+    from rag_pipelines_spark.streaming.joins import stream_interval_join
+
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+    )
+    buys = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("buy_ts"),
+            F.col("value").alias("buy_value"),
+        )
+    )
+    joined = stream_interval_join(
+        views,
+        buys,
+        key="user_id",
+        left_ts="view_ts",
+        right_ts="buy_ts",
+        max_delay="4 hours",
+        watermark="4 hours",
+    ).select("user_id", "view_ts", "buy_ts", "buy_value")
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    ckpt = f"/root/repo/.scratch/ckpt-{name}"
+    out = f"/root/repo/.scratch/out-{name}"
+    os.makedirs(ckpt, exist_ok=True)
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    result = spark.read.parquet(out).localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result

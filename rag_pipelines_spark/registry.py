@@ -72,6 +72,8 @@ PRIORITY: tuple[str, ...] = (
     # 13 r2-aged driver rows (oldest debt), (c) the oldest r3 cohort in
     # COVERAGE.md listing order, filling the driver's 50-row window.
     # --- (a) round-6 new + touched ---
+    "q_bloom_prefilter",     # NEW: bloom-prefiltered anti-join (oracle)
+    "q_stream_join",         # NEW: stream-stream interval join (oracle)
     "q_zorder_quantile",     # NEW: quantile z-order mechanics oracle
     "q_stream_session",      # NEW: streaming session windows (rows-only)
     "q_cutoff_trunc",        # promoted rows-only -> shared window oracle
@@ -122,8 +124,8 @@ PRIORITY: tuple[str, ...] = (
     "q_simhash_md5",
     "q_tpch_q1",
     "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q12",
+    # (q_tpch_q11 / q_tpch_q12 rolled to r7 — displaced by the two new
+    # round-6 oracle queries above; both still green in driver_sim.)
 )
 
 
