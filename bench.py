@@ -80,6 +80,9 @@ EXTRAS = [
     # round 6: bloom-prefiltered delta anti-join — the shuffled volume is
     # |dups| + fpp*|new|, not |new| (operators/bloomfilter.py)
     "q_bloom_prefilter",
+    # round 6: exact Jaccard-threshold join via prefix filtering — the
+    # deterministic-guarantee twin of MinHash banding (operators/setjoin.py)
+    "q_jaccard_join",
 ]
 
 HEADLINE = CORE + EXTRAS + CORE_R4

@@ -1492,3 +1492,48 @@ def q_bloom_prefilter(spark, sf_dir):
     new = d.select("doc_id", F.md5("text").alias("fp"))
     master = d.filter(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("fp"))
     return bloom_anti_join(new, master, "fp")
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_jaccard_join",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id % 10 = 0)
+        WHERE tok <> ''
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        FROM toks a JOIN toks b ON a.tok = b.tok AND b.doc_id > a.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = inter.a_id
+    JOIN sz sb ON sb.doc_id = inter.b_id
+    WHERE i * 5 >= 4 * (sa.n + sb.n - i)
+    """,
+    doc="exact Jaccard>=0.8 set-similarity JOIN via prefix filtering "
+    "(operators/setjoin.py): candidates only from an equi-join on the "
+    "rarest p = |s| - ceil(0.8|s|) + 1 tokens per doc (prefix-filtering "
+    "lemma, integer-exact ceiling), then exact integer-cross-multiplied "
+    "verification — ALL qualifying pairs, no all-pairs product, no "
+    "probabilistic miss (the guarantee MinHash banding can't give). "
+    "Oracle = brute-force shared-token join; the two differ only in "
+    "candidate generation, which is the point",
+)
+def q_jaccard_join(spark, sf_dir):
+    from rag_pipelines_spark.operators.setjoin import jaccard_prefix_join
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return jaccard_prefix_join(
+        d, "doc_id", "text", threshold_num=4, threshold_den=5
+    )
