@@ -12,23 +12,30 @@ AGGREGATION — no driver collect, no JVM sketch objects, no Python in the
 hot path — and uses it to split the new batch map-side:
 
   build:  master keys -> explode k=xxhash64(key, seed) bit positions
-          -> groupBy(word = pos div 64) bit_or(mask)    [<= m/64 rows]
-          -> one row holding map<word, bits>            [m/8 bytes]
-  probe:  crossJoin(broadcast(1-row bloom)) + a forall() over the k
-          positions — pure column expressions, zero shuffle, evaluated
-          inside the scan stage
+          -> groupBy(word = pos div 64) bit_or(mask)
+          => a (word, bits) frame of <= m/64 rows (m/8 bytes of payload)
+  probe:  k BROADCAST hash joins of the new batch against that frame,
+          one per seed — each is an O(1) lookup in the broadcast hash
+          relation, map-side, zero shuffle. (A 1-row map<word,bits>
+          probed with element_at is the tempting alternative and it is
+          QUADRATIC: Spark's ArrayBasedMapData lookup is a linear scan,
+          measured 137 s vs ~4 s at sf10.)
   verify: only the "maybe seen" rows (true dups + fpp of the rest) enter
           the exact anti-join; "definitely new" rows bypass it entirely.
 
 The result is EXACTLY the plain anti-join (Bloom filters have no false
 negatives), so the operator is oracle-checkable; the win is that the
-shuffled volume drops from |new| to |dups| + fpp*|new|.
+anti-join's shuffled volume drops from |new| to |dups| + fpp*|new|.
 
-Scale notes (100 TB): the bloom state is m/8 bytes broadcast once —
-size m for the expected master cardinality (m ≈ 10 bits/key gives
-fpp ≈ 1%; 10^9 keys ≈ 1.2 GB, still broadcastable). Beyond that,
-range-partition the master and build one bloom per range. An undersized
-m degrades fpp (less pruning), never correctness.
+When to use which tier (measured, SCALE.md "Bloom-prefiltered delta"):
+  - master keys broadcastable (< ~200 MB): plain broadcast anti-join is
+    already shuffle-free — use it, the bloom adds nothing.
+  - master keys over the broadcast limit but m/8 bytes under it: the
+    bloom IS the broadcastable digest (10 bits/key ~ fpp 1% vs 32-byte
+    fingerprints = 25x smaller) — this operator's regime.
+  - bloom too big to broadcast (>~10^10 keys): range-partition the
+    master and apply per range.
+An undersized m degrades fpp (less pruning), never correctness.
 """
 
 from __future__ import annotations
@@ -36,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bloom_build", "bloom_anti_join"]
+__all__ = ["bloom_build", "bloom_probe", "bloom_anti_join"]
 
 
 def _positions(col, m_bits: int, k: int) -> list:
@@ -45,8 +52,8 @@ def _positions(col, m_bits: int, k: int) -> list:
 
 
 def bloom_build(keys: DataFrame, key: str, m_bits: int, k: int) -> DataFrame:
-    """Aggregate `keys[key]` into a 1-row DataFrame with a `_bf` column:
-    map<long, long> of 64-bit words covering the m_bits bitmap.
+    """Aggregate `keys[key]` into a (w, bits) frame: the non-empty 64-bit
+    words of the m_bits bitmap.
 
     One shuffle of (word, mask) pairs with map-side partial bit_or — the
     post-shuffle size is <= m_bits/64 rows regardless of key count.
@@ -54,7 +61,7 @@ def bloom_build(keys: DataFrame, key: str, m_bits: int, k: int) -> DataFrame:
     pos = keys.select(
         F.explode(F.array(*_positions(F.col(key), m_bits, k))).alias("pos")
     )
-    words = (
+    return (
         pos.select(
             F.shiftright("pos", 6).alias("w"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("m"),
@@ -62,17 +69,40 @@ def bloom_build(keys: DataFrame, key: str, m_bits: int, k: int) -> DataFrame:
         .groupBy("w")
         .agg(F.expr("bit_or(m)").alias("bits"))
     )
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("_bf")
-    )
 
 
-# forall over the position array: every probed bit must be set for the key
-# to be "maybe in master". element_at misses (word never written) read as 0.
-_PROBE = (
-    "forall(_bfpos, p -> (shiftright(coalesce(element_at(_bf, p div 64), "
-    "CAST(0 AS BIGINT)), CAST(p % 64 AS INT)) & 1) = 1)"
-)
+def bloom_probe(
+    new: DataFrame, words: DataFrame, key: str, m_bits: int, k: int
+) -> DataFrame:
+    """`new` plus a boolean `_bfmaybe`: true iff all k probed bits are set.
+
+    One broadcast hash join per seed — each an O(1) lookup, all map-side
+    (the k joins fuse into one stage; the words frame is broadcast once
+    per distinct alias). Missing words read as bits=0.
+    """
+    out = new
+    checks = []
+    for i, pos in enumerate(_positions(F.col(key), m_bits, k)):
+        out = out.withColumn(f"_bfp{i}", pos)
+        w_i = words.select(
+            F.col("w").alias(f"_bfw{i}"), F.col("bits").alias(f"_bfb{i}")
+        )
+        out = out.join(
+            F.broadcast(w_i),
+            F.shiftright(F.col(f"_bfp{i}"), 6) == F.col(f"_bfw{i}"),
+            "left",
+        )
+        checks.append(
+            F.expr(
+                f"(shiftright(coalesce(_bfb{i}, CAST(0 AS BIGINT)), "
+                f"CAST(_bfp{i} % 64 AS INT)) & 1) = 1"
+            )
+        )
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond & c
+    drop = [c for i in range(k) for c in (f"_bfp{i}", f"_bfw{i}", f"_bfb{i}")]
+    return out.withColumn("_bfmaybe", cond).drop(*drop)
 
 
 def bloom_anti_join(
@@ -85,14 +115,10 @@ def bloom_anti_join(
     """Rows of `new` whose `key` does not appear in `master` — exact
     anti-join semantics (NULL-keyed new rows are kept, as with left_anti),
     with a Bloom prefilter so only maybe-seen rows reach the join."""
-    bloom = bloom_build(master.select(key), key, m_bits, k)
-    probed = (
-        new.crossJoin(F.broadcast(bloom))
-        .withColumn("_bfpos", F.array(*_positions(F.col(key), m_bits, k)))
-        .withColumn("_bfmaybe", F.expr(_PROBE))
-    )
-    definite_new = probed.filter(~F.col("_bfmaybe")).drop("_bf", "_bfpos", "_bfmaybe")
-    candidates = probed.filter(F.col("_bfmaybe")).drop("_bf", "_bfpos", "_bfmaybe")
+    words = bloom_build(master.select(key), key, m_bits, k)
+    probed = bloom_probe(new, words, key, m_bits, k)
+    definite_new = probed.filter(~F.col("_bfmaybe")).drop("_bfmaybe")
+    candidates = probed.filter(F.col("_bfmaybe")).drop("_bfmaybe")
     verified_new = candidates.join(master.select(key), on=key, how="left_anti")
-    # candidates.join reorders `key` first; align columns by name
+    # the verify join reorders `key` first; align columns by name
     return definite_new.unionByName(verified_new.select(*definite_new.columns))

@@ -8,10 +8,9 @@ import pyspark.sql.functions as F
 import pytest
 
 from rag_pipelines_spark.operators.bloomfilter import (
-    _PROBE,
-    _positions,
     bloom_anti_join,
     bloom_build,
+    bloom_probe,
 )
 
 
@@ -66,12 +65,8 @@ def test_probe_prunes_map_side(spark):
         F.concat(F.lit("x"), F.col("id").cast("string")).alias("key")
     )
     new = fresh.unionByName(dups)
-    bloom = bloom_build(master, "key", m_bits, k)
-    probed = (
-        new.crossJoin(F.broadcast(bloom))
-        .withColumn("_bfpos", F.array(*_positions(F.col("key"), m_bits, k)))
-        .withColumn("_bfmaybe", F.expr(_PROBE))
-    )
+    words = bloom_build(master, "key", m_bits, k)
+    probed = bloom_probe(new, words, "key", m_bits, k)
     maybe_keys = {r[0] for r in probed.filter("_bfmaybe").select("key").collect()}
     dup_keys = {r[0] for r in dups.collect()}
     assert dup_keys <= maybe_keys  # zero false negatives
