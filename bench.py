@@ -83,6 +83,9 @@ EXTRAS = [
     # round 6: exact Jaccard-threshold join via prefix filtering — the
     # deterministic-guarantee twin of MinHash banding (operators/setjoin.py)
     "q_jaccard_join",
+    # round 6: KMV distinct sketch — the oracle-checked sketch tier
+    # (operators/kmv.py)
+    "q_kmv_distinct",
 ]
 
 HEADLINE = CORE + EXTRAS + CORE_R4

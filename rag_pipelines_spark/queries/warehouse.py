@@ -496,3 +496,110 @@ def q_distinct_sketch_serve(spark, sf_dir):
             item_col="user_id",
         )
     return hll_estimate(read_hll(spark, state), ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch — the oracle-checkable twin of the HLL serve family
+# ---------------------------------------------------------------------------
+
+# (k-1) * 2^60 with both factors exactly representable: both engines fold
+# the identical double before the single deterministic division.
+_KMV_NUM = "(255.0 * 1152921504606846976.0)"
+
+_KMV_HASHES = """
+        SELECT DISTINCT l_returnflag,
+               CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM lineitem WHERE l_orderkey IS NOT NULL
+"""
+
+
+@register(
+    "q_kmv_distinct",
+    oracle=f"""
+    WITH h AS ({_KMV_HASHES}),
+    rk AS (
+        SELECT l_returnflag, h,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+        FROM h
+    ),
+    agg AS (
+        SELECT l_returnflag, MAX(h) AS hk, COUNT(*) AS nk
+        FROM rk WHERE rk <= 256 GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CASE WHEN nk < 256 THEN CAST(nk AS DOUBLE)
+                ELSE {_KMV_NUM} / CAST(hk AS DOUBLE) END AS est_distinct
+    FROM agg
+    """,
+    doc="KMV (k-minimum-values) distinct-count sketch, k=256: per return "
+    "flag, the estimated distinct order keys (~11k true) from only the "
+    "256 smallest md5-derived hashes (operators/kmv.py). The "
+    "engine-portable hash makes the sketch AND the estimate bit-identical "
+    "in DuckDB — the oracle-checkable twin of the rows-only HLL serve "
+    "family; rel err ~1/sqrt(k-2) pinned in tests/test_kmv.py",
+)
+def q_kmv_distinct(spark, sf_dir):
+    from rag_pipelines_spark.operators.kmv import kmv_estimate, kmv_sketch
+
+    li = t(spark, sf_dir, "lineitem")
+    sk = kmv_sketch(li, ["l_returnflag"], "l_orderkey", k=256)
+    return kmv_estimate(sk, ["l_returnflag"], k=256)
+
+
+@register(
+    "q_kmv_intersect",
+    oracle=f"""
+    WITH ha AS (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM lineitem WHERE l_partkey % 4 <> 0
+    ),
+    hb AS (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM lineitem WHERE l_partkey % 6 <> 0
+    ),
+    a AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM ha)
+          WHERE rk <= 256),
+    b AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM hb)
+          WHERE rk <= 256),
+    uk AS (SELECT h, row_number() OVER (ORDER BY h) AS rk
+           FROM (SELECT h FROM a UNION SELECT h FROM b)),
+    k AS (SELECT h FROM uk WHERE rk <= 256),
+    stats AS (
+        SELECT (SELECT COUNT(*) FROM k) AS nk,
+               (SELECT MAX(h) FROM k) AS hk,
+               (SELECT COUNT(*) FROM k
+                WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)) AS nboth
+    )
+    SELECT CAST(nboth AS DOUBLE) / CAST(nk AS DOUBLE)
+               * (CASE WHEN nk < 256 THEN CAST(nk AS DOUBLE)
+                       ELSE {_KMV_NUM} / CAST(hk AS DOUBLE) END)
+               AS est_intersection,
+           CASE WHEN nk < 256 THEN CAST(nk AS DOUBLE)
+                ELSE {_KMV_NUM} / CAST(hk AS DOUBLE) END AS est_union
+    FROM stats
+    """,
+    doc="KMV set arithmetic HLL cannot do: estimated distinct-part-key "
+    "overlap of two genuinely different sets (part keys on orders with "
+    "partkey%4!=0 vs %6!=0: true |A|=1500, |B|=1666, |A∩B|=1333 at "
+    "sf0.01) from the two 256-value sketches ALONE — k smallest of the "
+    "union is a uniform hash-sample, the in-both fraction estimates the "
+    "Jaccard, J x union_est the overlap. Hash-checked against DuckDB "
+    "recomputing the identical sketch algebra; accuracy envelope in "
+    "tests/test_kmv.py",
+)
+def q_kmv_intersect(spark, sf_dir):
+    from rag_pipelines_spark.operators.kmv import kmv_intersect, kmv_sketch
+
+    li = t(spark, sf_dir, "lineitem")
+    a = kmv_sketch(
+        li.filter(F.col("l_partkey") % 4 != 0), [], "l_partkey", k=256
+    ).withColumn("g", F.lit(1))
+    b = kmv_sketch(
+        li.filter(F.col("l_partkey") % 6 != 0), [], "l_partkey", k=256
+    ).withColumn("g", F.lit(1))
+    return kmv_intersect(a, b, ["g"], k=256).drop("g")

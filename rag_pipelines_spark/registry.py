@@ -75,6 +75,8 @@ PRIORITY: tuple[str, ...] = (
     "q_bloom_prefilter",     # NEW: bloom-prefiltered anti-join (oracle)
     "q_stream_join",         # NEW: stream-stream interval join (oracle)
     "q_jaccard_join",        # NEW: prefix-filtered exact Jaccard join (oracle)
+    "q_kmv_distinct",        # NEW: KMV distinct sketch (oracle-checked)
+    "q_kmv_intersect",       # NEW: KMV sketch intersection (oracle-checked)
     "q_zorder_quantile",     # NEW: quantile z-order mechanics oracle
     "q_stream_session",      # NEW: streaming session windows (rows-only)
     "q_cutoff_trunc",        # promoted rows-only -> shared window oracle
@@ -122,10 +124,9 @@ PRIORITY: tuple[str, ...] = (
     "q_repetition_score",
     "q_salted_agg",
     "q_session_agg",
-    "q_simhash_md5",
-    "q_tpch_q1",
-    # (q_tpch_q10 / q_tpch_q11 / q_tpch_q12 rolled to r7 — displaced by
-    # the three new round-6 oracle queries above; all green in driver_sim.)
+    # (q_simhash_md5 / q_tpch_q1 / q_tpch_q10 / q_tpch_q11 / q_tpch_q12
+    # rolled to r7 — displaced by the five new round-6 oracle queries
+    # above; all green in driver_sim.)
 )
 
 

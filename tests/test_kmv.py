@@ -1,0 +1,93 @@
+"""KMV sketch (operators/kmv.py): estimate accuracy envelope, exactness
+below k, merge invariance, two-phase top-k correctness, intersection
+estimates, and null handling."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from rag_pipelines_spark.operators.kmv import (
+    _k_smallest,
+    kmv_estimate,
+    kmv_intersect,
+    kmv_merge,
+    kmv_sketch,
+)
+
+
+def _items(spark, n, prefix="i", g=1):
+    return spark.range(0, n).select(
+        F.lit(g).alias("g"),
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("item"),
+    )
+
+
+def test_estimate_envelope(spark):
+    """k=256 -> rel std err ~6%; the fixture is deterministic so the
+    realized error is a fixed number — assert it under 4 sigma."""
+    for n in (2000, 20000):
+        df = _items(spark, n)
+        est = kmv_estimate(kmv_sketch(df, ["g"], "item"), ["g"]).collect()[0]
+        assert abs(est.est_distinct - n) / n < 0.25, (n, est.est_distinct)
+
+
+def test_exact_below_k(spark):
+    df = _items(spark, 200)  # 200 distinct < k=256 -> sketch = whole set
+    est = kmv_estimate(kmv_sketch(df, ["g"], "item"), ["g"]).collect()[0]
+    assert est.est_distinct == 200.0
+
+
+def test_duplicates_do_not_move_estimate(spark):
+    base = _items(spark, 3000)
+    tripled = base.unionByName(base).unionByName(base)
+    s1 = kmv_sketch(base, ["g"], "item").collect()[0].kmv
+    s3 = kmv_sketch(tripled, ["g"], "item").collect()[0].kmv
+    assert s1 == s3
+
+
+def test_merge_equals_full_sketch(spark):
+    full = _items(spark, 5000)
+    a = full.filter(F.col("item").substr(-1, 1).isin("0", "1", "2", "3"))
+    b = full.filter(~F.col("item").substr(-1, 1).isin("0", "1", "2"))  # overlaps a
+    merged = kmv_merge(
+        kmv_sketch(a, ["g"], "item"), kmv_sketch(b, ["g"], "item"), ["g"]
+    ).collect()[0].kmv
+    whole = kmv_sketch(a.unionByName(b), ["g"], "item").collect()[0].kmv
+    assert merged == whole
+
+
+def test_two_phase_matches_naive(spark):
+    """The salted two-phase k-smallest must return exactly the global k
+    smallest (it's an optimization, not an approximation)."""
+    hashes = spark.range(0, 10000).select(
+        F.lit(1).alias("g"), F.xxhash64("id").alias("h")
+    ).distinct()
+    got = sorted(r.h for r in _k_smallest(hashes, ["g"], 100).collect())
+    want = [r.h for r in hashes.orderBy("h").limit(100).collect()]
+    assert got == want
+
+
+@pytest.mark.parametrize("overlap", [0, 1000, 4000])
+def test_intersection_estimate(spark, overlap):
+    n = 4000
+    a = _items(spark, n)
+    b = spark.range(n - overlap, 2 * n - overlap).select(
+        F.lit(1).alias("g"),
+        F.concat(F.lit("i"), F.col("id").cast("string")).alias("item"),
+    )
+    got = kmv_intersect(
+        kmv_sketch(a, ["g"], "item"), kmv_sketch(b, ["g"], "item"), ["g"]
+    ).collect()[0]
+    true_union = 2 * n - overlap
+    assert abs(got.est_union - true_union) / true_union < 0.25
+    # absolute tolerance scaled to the union (the estimator's noise floor)
+    assert abs(got.est_intersection - overlap) < 0.25 * true_union
+
+
+def test_nulls_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, None), (1, "b")], "g int, item string"
+    )
+    est = kmv_estimate(kmv_sketch(df, ["g"], "item"), ["g"]).collect()[0]
+    assert est.est_distinct == 2.0
