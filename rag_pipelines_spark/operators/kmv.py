@@ -36,7 +36,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_sketch", "kmv_estimate", "kmv_merge", "kmv_intersect"]
+__all__ = [
+    "kmv_sketch",
+    "kmv_estimate",
+    "kmv_merge",
+    "kmv_intersect",
+    "merge_kmv",
+    "read_kmv",
+]
 
 _M = float(1 << 60)  # hash domain size; 2^60 is exactly representable
 
@@ -137,3 +144,58 @@ def kmv_intersect(
         (jacc * union_est).alias("est_intersection"),
         union_est.alias("est_union"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental state (7th family): manifest/epoch/lease contract, same as
+# rollup / histogram / freq / hll — accrete batches, never re-scan history.
+# KMV union is idempotent and associative (k smallest of a union of
+# k-smallest sets == k smallest of the union), so accretion == one-shot
+# EXACTLY, merge-tree-invariant at the ARRAY level (asserted in tests).
+# ---------------------------------------------------------------------------
+
+
+def merge_kmv(spark, batch: DataFrame, state_path: str, *,
+              keys: list[str], item_col: str, k: int = 256,
+              epoch: int | None = None,
+              state_partitions: int = 1) -> None:
+    """Fold one batch into the per-group KMV state (see merge_hll for the
+    lease/epoch choreography this mirrors)."""
+    from rag_pipelines_spark.operators.state import (
+        commit_version,
+        epoch_already_applied,
+        live_version_dir,
+        writer_lease,
+    )
+    import os
+
+    if epoch_already_applied(state_path, "kmv-sketch state", epoch):
+        return  # replayed micro-batch: already folded in
+    partial = kmv_sketch(batch, keys, item_col, k)
+    with writer_lease(state_path, what="kmv-sketch state"):
+        # authoritative re-check inside the lease (fast path above may
+        # have raced a concurrent holder committing this epoch)
+        if epoch_already_applied(state_path, "kmv-sketch state", epoch):
+            return
+        live = live_version_dir(state_path, what="kmv-sketch state")
+        if live is not None:
+            merged = kmv_merge(spark.read.parquet(live), partial, keys, k)
+        else:
+            merged = partial
+        commit_version(
+            state_path,
+            lambda vdir: merged.coalesce(state_partitions)
+            .write.mode("overwrite")
+            .parquet(vdir),
+            epoch=epoch,
+            prev=os.path.basename(live) if live else None,
+        )
+
+
+def read_kmv(spark, state_path: str) -> DataFrame:
+    from rag_pipelines_spark.operators.state import live_version_dir
+
+    live = live_version_dir(state_path, what="kmv-sketch state")
+    if live is None:
+        raise FileNotFoundError(f"no kmv-sketch state at {state_path}")
+    return spark.read.parquet(live)

@@ -285,6 +285,7 @@ def continuous_ingest_pipeline(
     glob: str = "*.parquet",
     freq_m: int | None = None,
     hll_item_col: str | None = None,
+    kmv_item_col: str | None = None,
     _crash_after: str | None = None,
 ):
     """The reference's watcher as ONE streaming job maintaining EVERY
@@ -334,11 +335,13 @@ def continuous_ingest_pipeline(
     Optional sketch families, same epoch-guarded exactly-once contract:
     `freq_m` maintains a per-`rollup_keys` Misra-Gries frequent-terms
     sketch over the accepted docs' whitespace tokens
-    (``<root>/freq``, operators/freqsketch.py), and `hll_item_col`
+    (``<root>/freq``, operators/freqsketch.py), `hll_item_col`
     maintains a per-`rollup_keys` HLL distinct-count sketch over that
-    column (``<root>/hll``, operators/hllsketch.py). Both merges skip
-    already-applied epochs, so they slot between the rollup merge and
-    the corpus write without changing the crash-recovery argument —
+    column (``<root>/hll``, operators/hllsketch.py), and `kmv_item_col`
+    a per-`rollup_keys` KMV sketch (``<root>/kmv``, operators/kmv.py —
+    the oracle-checkable distinct/intersection tier). All three merges
+    skip already-applied epochs, so they slot between the rollup merge
+    and the corpus write without changing the crash-recovery argument —
     the crash matrix drills them too.
 
     `_crash_after` is FAULT INJECTION for the crash-matrix drill
@@ -422,6 +425,15 @@ def continuous_ingest_pipeline(
                 epoch=epoch_id,
             )
             crash("hll")
+        if kmv_item_col is not None:
+            from rag_pipelines_spark.operators.kmv import merge_kmv
+
+            merge_kmv(
+                s, clean, os.path.join(root, "kmv"),
+                keys=list(rollup_keys), item_col=kmv_item_col,
+                epoch=epoch_id,
+            )
+            crash("kmv")
         # per-epoch partition overwrite: replaying rewrites the same files
         clean.write.mode("overwrite").parquet(
             os.path.join(root, "corpus", f"epoch={epoch_id}")

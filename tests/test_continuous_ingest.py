@@ -52,7 +52,7 @@ def _rows():
 def _run(spark, src, root, ckpt):
     q = continuous_ingest_pipeline(
         spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
-        freq_m=100, hll_item_col="doc_id",
+        freq_m=100, hll_item_col="doc_id", kmv_item_col="doc_id",
     )
     q.awaitTermination(120)
 
@@ -85,7 +85,13 @@ def _state_snapshot(spark, root):
     hll = sorted(
         map(tuple, hll_estimate(read_hll(spark, f"{root}/hll"), ["lang"]).collect())
     )
-    return corpus, stats, rollup, seen, freq, hll
+    from rag_pipelines_spark.operators.kmv import read_kmv
+
+    kmv = sorted(
+        (r.lang, tuple(r.kmv))
+        for r in read_kmv(spark, f"{root}/kmv").collect()
+    )
+    return corpus, stats, rollup, seen, freq, hll, kmv
 
 
 def test_continuous_ingest_all_families(spark, tmp_path):
@@ -98,7 +104,7 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
     _run(spark, src, root, ckpt)
 
-    corpus, stats, rollup, seen, freq, hll = _state_snapshot(spark, root)
+    corpus, stats, rollup, seen, freq, hll, kmv = _state_snapshot(spark, root)
 
     # front door saw every distinct key; exact dup (doc 1 again) blocked
     assert seen == {1, 2, 3, 4, 5}
@@ -162,10 +168,20 @@ def test_continuous_ingest_all_families(spark, tmp_path):
         )
     )
     assert hll == direct_hll
+    # kmv sketch: the accreted state ARRAYS equal a one-shot sketch over
+    # the accepted set (merge == one-shot is exact for KMV, not just the
+    # estimate)
+    from rag_pipelines_spark.operators.kmv import kmv_sketch
+
+    direct_kmv = sorted(
+        (r.lang, tuple(r.kmv))
+        for r in kmv_sketch(accepted, ["lang"], "doc_id").collect()
+    )
+    assert kmv == direct_kmv
 
     # full replay: fresh checkpoint over the same source files — the
     # front door anti-join makes every batch a no-op for every family
-    before = (corpus, stats, rollup, seen, freq, hll)
+    before = (corpus, stats, rollup, seen, freq, hll, kmv)
     _run(spark, src, root, str(tmp_path / "ckpt2"))
     assert _state_snapshot(spark, root) == before
 
@@ -216,7 +232,7 @@ def test_epoch_guards_make_merges_idempotent(spark, tmp_path):
 
 
 CRASH_POINTS = [
-    "delta", "neardup", "stats", "rollup", "freq", "hll", "corpus",
+    "delta", "neardup", "stats", "rollup", "freq", "hll", "kmv", "corpus",
     "seen_keys", "seen_marker",
 ]
 
@@ -263,7 +279,7 @@ def test_crash_matrix_every_step_replays_to_identical_state(
     spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
     q = continuous_ingest_pipeline(
         spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
-        freq_m=100, hll_item_col="doc_id",
+        freq_m=100, hll_item_col="doc_id", kmv_item_col="doc_id",
         _crash_after=crash_after,
     )
     with pytest.raises(Exception, match="injected crash"):
