@@ -43,7 +43,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bloom_build", "bloom_probe", "bloom_anti_join"]
+__all__ = [
+    "bloom_build",
+    "bloom_probe",
+    "bloom_anti_join",
+    "merge_bloom",
+    "read_bloom_words",
+]
 
 
 def _positions(col, m_bits: int, k: int) -> list:
@@ -122,3 +128,67 @@ def bloom_anti_join(
     verified_new = candidates.join(master.select(key), on=key, how="left_anti")
     # the verify join reorders `key` first; align columns by name
     return definite_new.unionByName(verified_new.select(*definite_new.columns))
+
+
+# ---------------------------------------------------------------------------
+# Accreted bloom state (manifest/epoch/lease contract) — the continuous-
+# ingest front door's prefilter. Word-wise bit_or is commutative,
+# associative and idempotent, so accretion == one-shot bloom EXACTLY and
+# replayed epochs cannot corrupt the bitmap.
+#
+# Safety ordering (streaming/incremental.py): the bloom merges BEFORE the
+# seen commit marker. A crash between the two leaves the bloom covering
+# MORE than the marker-committed key set — safe, because the bloom only
+# routes rows toward the exact verify join (false "maybe" = wasted work).
+# The reverse order would allow a marker-committed key missing from the
+# bloom, whose re-arrival probes "definitely new" and skips the verify —
+# a silent duplicate. Over-coverage is free; under-coverage is a bug.
+# ---------------------------------------------------------------------------
+
+
+def merge_bloom(spark, keys_df: DataFrame, state_path: str, *,
+                key: str, m_bits: int = 1 << 20, k: int = 5,
+                epoch: int | None = None,
+                state_partitions: int = 1) -> None:
+    """Fold one batch's keys into the accreted (w, bits) bloom state."""
+    import os
+
+    from rag_pipelines_spark.operators.state import (
+        commit_version,
+        epoch_already_applied,
+        live_version_dir,
+        writer_lease,
+    )
+
+    if epoch_already_applied(state_path, "bloom state", epoch):
+        return
+    partial = bloom_build(keys_df.select(key), key, m_bits, k)
+    with writer_lease(state_path, what="bloom state"):
+        if epoch_already_applied(state_path, "bloom state", epoch):
+            return
+        live = live_version_dir(state_path, what="bloom state")
+        if live is not None:
+            merged = (
+                spark.read.parquet(live)
+                .unionByName(partial)
+                .groupBy("w")
+                .agg(F.expr("bit_or(bits)").alias("bits"))
+            )
+        else:
+            merged = partial
+        commit_version(
+            state_path,
+            lambda vdir: merged.coalesce(state_partitions)
+            .write.mode("overwrite")
+            .parquet(vdir),
+            epoch=epoch,
+            prev=os.path.basename(live) if live else None,
+        )
+
+
+def read_bloom_words(spark, state_path: str) -> DataFrame | None:
+    """The live (w, bits) frame, or None if no bloom has committed yet."""
+    from rag_pipelines_spark.operators.state import live_version_dir
+
+    live = live_version_dir(state_path, what="bloom state")
+    return None if live is None else spark.read.parquet(live)

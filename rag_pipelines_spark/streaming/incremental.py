@@ -286,6 +286,7 @@ def continuous_ingest_pipeline(
     freq_m: int | None = None,
     hll_item_col: str | None = None,
     kmv_item_col: str | None = None,
+    seen_bloom_m_bits: int | None = None,
     _crash_after: str | None = None,
 ):
     """The reference's watcher as ONE streaming job maintaining EVERY
@@ -344,6 +345,17 @@ def continuous_ingest_pipeline(
     and the corpus write without changing the crash-recovery argument —
     the crash matrix drills them too.
 
+    `seen_bloom_m_bits` accretes a bloom over the seen keys
+    (``<root>/bloomseen``, operators/bloomfilter.py::merge_bloom) and
+    uses it to PREFILTER the front-door anti-join: probed-definitely-new
+    rows skip the seen-keys join entirely; only maybe-seen rows verify
+    against the marker-committed key set, so the delta stays EXACT while
+    the join input shrinks to |dups| + fpp*|batch|. Ordering is the
+    correctness argument: the bloom merges BEFORE the seen marker, so a
+    crash can only leave the bloom OVER-covering (extra verify work),
+    never under-covering (which would admit a silent duplicate) — the
+    'seen_bloom' crash point drills exactly that window.
+
     `_crash_after` is FAULT INJECTION for the crash-matrix drill
     (tests/test_continuous_ingest.py): naming a step makes process()
     raise immediately after that step's commit, failing the query so a
@@ -374,7 +386,30 @@ def continuous_ingest_pipeline(
             seen_keys = s.read.parquet(seen_path).filter(
                 F.col("epoch") <= done_max
             ).select(id_col)
-            delta = delta.join(seen_keys, id_col, "left_anti")
+            words = None
+            if seen_bloom_m_bits is not None:
+                from rag_pipelines_spark.operators.bloomfilter import (
+                    bloom_probe,
+                    read_bloom_words,
+                )
+
+                words = read_bloom_words(s, os.path.join(root, "bloomseen"))
+            if words is not None:
+                # bloom front door: definitely-new rows skip the seen join;
+                # maybe-seen rows verify exactly. The bloom can only OVER-
+                # cover the committed keys (merge precedes the marker), so
+                # the split is never wrong — see docstring.
+                probed = bloom_probe(
+                    delta, words, id_col, seen_bloom_m_bits, 5
+                )
+                definite = probed.filter(~F.col("_bfmaybe")).drop("_bfmaybe")
+                maybe = probed.filter(F.col("_bfmaybe")).drop("_bfmaybe")
+                verified = maybe.join(seen_keys, id_col, "left_anti")
+                delta = definite.unionByName(
+                    verified.select(*definite.columns)
+                )
+            else:
+                delta = delta.join(seen_keys, id_col, "left_anti")
         delta = delta.localCheckpoint(eager=True)
         if not delta.take(1):  # fully-replayed or all-seen batch: no-op
             return
@@ -446,6 +481,16 @@ def continuous_ingest_pipeline(
             os.path.join(seen_path, f"epoch={epoch_id}")
         )
         crash("seen_keys")
+        if seen_bloom_m_bits is not None:
+            from rag_pipelines_spark.operators.bloomfilter import merge_bloom
+
+            # MUST precede the marker: a crash in between leaves the bloom
+            # over-covering (safe); the reverse window would under-cover
+            merge_bloom(
+                s, delta.select(id_col), os.path.join(root, "bloomseen"),
+                key=id_col, m_bits=seen_bloom_m_bits, epoch=epoch_id,
+            )
+            crash("seen_bloom")
         mark_epoch_committed(seen_path, epoch_id)
         crash("seen_marker")
 

@@ -53,6 +53,7 @@ def _run(spark, src, root, ckpt):
     q = continuous_ingest_pipeline(
         spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
         freq_m=100, hll_item_col="doc_id", kmv_item_col="doc_id",
+        seen_bloom_m_bits=1 << 16,
     )
     q.awaitTermination(120)
 
@@ -91,7 +92,12 @@ def _state_snapshot(spark, root):
         (r.lang, tuple(r.kmv))
         for r in read_kmv(spark, f"{root}/kmv").collect()
     )
-    return corpus, stats, rollup, seen, freq, hll, kmv
+    from rag_pipelines_spark.operators.bloomfilter import read_bloom_words
+
+    bloom = sorted(
+        map(tuple, read_bloom_words(spark, f"{root}/bloomseen").collect())
+    )
+    return corpus, stats, rollup, seen, freq, hll, kmv, bloom
 
 
 def test_continuous_ingest_all_families(spark, tmp_path):
@@ -104,7 +110,7 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
     _run(spark, src, root, ckpt)
 
-    corpus, stats, rollup, seen, freq, hll, kmv = _state_snapshot(spark, root)
+    corpus, stats, rollup, seen, freq, hll, kmv, bloom = _state_snapshot(spark, root)
 
     # front door saw every distinct key; exact dup (doc 1 again) blocked
     assert seen == {1, 2, 3, 4, 5}
@@ -178,10 +184,24 @@ def test_continuous_ingest_all_families(spark, tmp_path):
         for r in kmv_sketch(accepted, ["lang"], "doc_id").collect()
     )
     assert kmv == direct_kmv
+    # seen-keys bloom: the accreted (w, bits) state equals a one-shot
+    # bloom over ALL seen keys (bit_or accretion == one-shot, exactly)
+    from rag_pipelines_spark.operators.bloomfilter import bloom_build
+
+    direct_bloom = sorted(
+        map(
+            tuple,
+            bloom_build(
+                spark.read.parquet(f"{root}/seen").select("doc_id"),
+                "doc_id", 1 << 16, 5,
+            ).collect(),
+        )
+    )
+    assert bloom == direct_bloom
 
     # full replay: fresh checkpoint over the same source files — the
     # front door anti-join makes every batch a no-op for every family
-    before = (corpus, stats, rollup, seen, freq, hll, kmv)
+    before = (corpus, stats, rollup, seen, freq, hll, kmv, bloom)
     _run(spark, src, root, str(tmp_path / "ckpt2"))
     assert _state_snapshot(spark, root) == before
 
@@ -233,7 +253,7 @@ def test_epoch_guards_make_merges_idempotent(spark, tmp_path):
 
 CRASH_POINTS = [
     "delta", "neardup", "stats", "rollup", "freq", "hll", "kmv", "corpus",
-    "seen_keys", "seen_marker",
+    "seen_keys", "seen_bloom", "seen_marker",
 ]
 
 
@@ -280,6 +300,7 @@ def test_crash_matrix_every_step_replays_to_identical_state(
     q = continuous_ingest_pipeline(
         spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
         freq_m=100, hll_item_col="doc_id", kmv_item_col="doc_id",
+        seen_bloom_m_bits=1 << 16,
         _crash_after=crash_after,
     )
     with pytest.raises(Exception, match="injected crash"):

@@ -210,6 +210,10 @@ TINY_FRAME_WINDOW_OK = {
     "q_quality_bins",  # per-block offsets + grand total (global_ntile)
     "q_lang_dist",  # grand total over #langs aggregated rows
     "q_ann_ivf",  # centroid numbering over the n_cells-row survivor frame
+    # kmv phase-2 rank on a KEYLESS sketch: input is structurally
+    # <= fanout*k = 8192 rows (phase-1 survivors), never data-sized;
+    # phase 1's data-sized window partitions by the salt (kmv.py)
+    "q_kmv_intersect",
 }
 
 
