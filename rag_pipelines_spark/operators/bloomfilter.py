@@ -150,7 +150,13 @@ def merge_bloom(spark, keys_df: DataFrame, state_path: str, *,
                 key: str, m_bits: int = 1 << 20, k: int = 5,
                 epoch: int | None = None,
                 state_partitions: int = 1) -> None:
-    """Fold one batch's keys into the accreted (w, bits) bloom state."""
+    """Fold one batch's keys into the accreted (w, bits) bloom state.
+
+    The state carries its (m_bits, k) in-band; merging with DIFFERENT
+    parameters raises instead of silently mixing position spaces — a
+    mixed bitmap would produce probe FALSE NEGATIVES, i.e. silently
+    admitted duplicates (same posture as hll_union_agg's lgk mismatch).
+    """
     import os
 
     from rag_pipelines_spark.operators.state import (
@@ -168,17 +174,29 @@ def merge_bloom(spark, keys_df: DataFrame, state_path: str, *,
             return
         live = live_version_dir(state_path, what="bloom state")
         if live is not None:
+            state = spark.read.parquet(live)
+            got = bloom_state_params(state)
+            if got is not None and got != (m_bits, k):
+                raise ValueError(
+                    f"bloom state at {state_path} was built with "
+                    f"(m_bits, k)={got}; refusing to merge with "
+                    f"({m_bits}, {k}) — mixed position spaces cause probe "
+                    "false negatives (silent duplicates)"
+                )
             merged = (
-                spark.read.parquet(live)
+                state.select("w", "bits")
                 .unionByName(partial)
                 .groupBy("w")
                 .agg(F.expr("bit_or(bits)").alias("bits"))
             )
         else:
             merged = partial
+        stamped = merged.withColumn("m_bits", F.lit(m_bits)).withColumn(
+            "k", F.lit(k)
+        )
         commit_version(
             state_path,
-            lambda vdir: merged.coalesce(state_partitions)
+            lambda vdir: stamped.coalesce(state_partitions)
             .write.mode("overwrite")
             .parquet(vdir),
             epoch=epoch,
@@ -187,8 +205,17 @@ def merge_bloom(spark, keys_df: DataFrame, state_path: str, *,
 
 
 def read_bloom_words(spark, state_path: str) -> DataFrame | None:
-    """The live (w, bits) frame, or None if no bloom has committed yet."""
+    """The live (w, bits, m_bits, k) frame, or None if no bloom has
+    committed yet. Probe with the STATE's own parameters
+    (bloom_state_params), never a caller-remembered value."""
     from rag_pipelines_spark.operators.state import live_version_dir
 
     live = live_version_dir(state_path, what="bloom state")
     return None if live is None else spark.read.parquet(live)
+
+
+def bloom_state_params(words: DataFrame) -> tuple[int, int] | None:
+    """(m_bits, k) the state was built with (constant columns, any row);
+    None for an empty state (zero keys folded — no constraint yet)."""
+    row = words.select("m_bits", "k").first()
+    return None if row is None else (row.m_bits, row.k)

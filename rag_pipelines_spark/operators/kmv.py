@@ -179,12 +179,24 @@ def merge_kmv(spark, batch: DataFrame, state_path: str, *,
             return
         live = live_version_dir(state_path, what="kmv-sketch state")
         if live is not None:
-            merged = kmv_merge(spark.read.parquet(live), partial, keys, k)
+            state = spark.read.parquet(live)
+            # k travels in-band: a k mismatch would silently corrupt the
+            # size<k exact/estimate branch (the full-sketch test reads
+            # array length against the CALLER's k) — refuse loudly, the
+            # same posture as hll_union_agg's lgk mismatch
+            row = state.select("k").first()
+            if row is not None and row.k != k:
+                raise ValueError(
+                    f"kmv state at {state_path} was built with k={row.k}; "
+                    f"refusing to merge with k={k}"
+                )
+            merged = kmv_merge(state.drop("k"), partial, keys, k)
         else:
             merged = partial
         commit_version(
             state_path,
-            lambda vdir: merged.coalesce(state_partitions)
+            lambda vdir: merged.withColumn("k", F.lit(k))
+            .coalesce(state_partitions)
             .write.mode("overwrite")
             .parquet(vdir),
             epoch=epoch,

@@ -603,3 +603,57 @@ def q_kmv_intersect(spark, sf_dir):
         li.filter(F.col("l_partkey") % 6 != 0), [], "l_partkey", k=256
     ).withColumn("g", F.lit(1))
     return kmv_intersect(a, b, ["g"], k=256).drop("g")
+
+
+@register(
+    "q_kmv_serve",
+    oracle=f"""
+    WITH h AS ({_KMV_HASHES}),
+    rk AS (
+        SELECT l_returnflag, h,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+        FROM h
+    ),
+    agg AS (
+        SELECT l_returnflag, MAX(h) AS hk, COUNT(*) AS nk
+        FROM rk WHERE rk <= 256 GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CASE WHEN nk < 256 THEN CAST(nk AS DOUBLE)
+                ELSE {_KMV_NUM} / CAST(hk AS DOUBLE) END AS est_distinct
+    FROM agg
+    """,
+    doc="KMV state served END-TO-END: three l_orderkey%3 batches folded "
+    "into <root>/kmv via merge_kmv (manifest/epoch/lease contract, "
+    "operators/kmv.py), then the estimate served from state alone. The "
+    "oracle is the SAME one-shot SQL as q_kmv_distinct because KMV "
+    "accretion == one-shot EXACTLY (k-smallest of unions) — so the "
+    "driver hash-gate certifies the merge/state path itself, incl. "
+    "state I/O, not just the sketch math",
+)
+def q_kmv_serve(spark, sf_dir):
+    import shutil
+
+    from rag_pipelines_spark.operators.kmv import (
+        kmv_estimate,
+        merge_kmv,
+        read_kmv,
+    )
+    from rag_pipelines_spark.queries.sources import _scratch
+
+    state = _scratch("kmv-serve", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)  # additive state: fresh per run
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    for r in range(3):
+        merge_kmv(
+            spark,
+            li.filter(F.col("l_orderkey") % 3 == r),
+            state,
+            keys=["l_returnflag"],
+            item_col="l_orderkey",
+            k=256,
+            epoch=r,
+        )
+    return kmv_estimate(
+        read_kmv(spark, state).drop("k"), ["l_returnflag"], k=256
+    )

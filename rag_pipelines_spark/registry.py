@@ -77,6 +77,7 @@ PRIORITY: tuple[str, ...] = (
     "q_jaccard_join",        # NEW: prefix-filtered exact Jaccard join (oracle)
     "q_kmv_distinct",        # NEW: KMV distinct sketch (oracle-checked)
     "q_kmv_intersect",       # NEW: KMV sketch intersection (oracle-checked)
+    "q_kmv_serve",           # NEW: KMV 3-batch state serve (oracle-checked)
     "q_zorder_quantile",     # NEW: quantile z-order mechanics oracle
     "q_stream_session",      # NEW: streaming session windows (rows-only)
     "q_cutoff_trunc",        # promoted rows-only -> shared window oracle
@@ -123,10 +124,9 @@ PRIORITY: tuple[str, ...] = (
     "q_pretraining_prep",
     "q_repetition_score",
     "q_salted_agg",
-    "q_session_agg",
-    # (q_simhash_md5 / q_tpch_q1 / q_tpch_q10 / q_tpch_q11 / q_tpch_q12
-    # rolled to r7 — displaced by the five new round-6 oracle queries
-    # above; all green in driver_sim.)
+    # (q_session_agg / q_simhash_md5 / q_tpch_q1 / q_tpch_q10 / q_tpch_q11
+    # / q_tpch_q12 rolled to r7 — displaced by the six new round-6 oracle
+    # queries above; all green in driver_sim.)
 )
 
 

@@ -386,21 +386,28 @@ def continuous_ingest_pipeline(
             seen_keys = s.read.parquet(seen_path).filter(
                 F.col("epoch") <= done_max
             ).select(id_col)
-            words = None
+            words = state_params = None
             if seen_bloom_m_bits is not None:
                 from rag_pipelines_spark.operators.bloomfilter import (
                     bloom_probe,
+                    bloom_state_params,
                     read_bloom_words,
                 )
 
                 words = read_bloom_words(s, os.path.join(root, "bloomseen"))
-            if words is not None:
+                if words is not None:
+                    # probe with the STATE's own (m_bits, k) — a caller-
+                    # remembered value could diverge after a config change
+                    # and produce false negatives (= silent duplicates);
+                    # merge_bloom separately refuses mismatched merges
+                    state_params = bloom_state_params(words)
+            if words is not None and state_params is not None:
                 # bloom front door: definitely-new rows skip the seen join;
                 # maybe-seen rows verify exactly. The bloom can only OVER-
                 # cover the committed keys (merge precedes the marker), so
                 # the split is never wrong — see docstring.
                 probed = bloom_probe(
-                    delta, words, id_col, seen_bloom_m_bits, 5
+                    delta, words, id_col, state_params[0], state_params[1]
                 )
                 definite = probed.filter(~F.col("_bfmaybe")).drop("_bfmaybe")
                 maybe = probed.filter(F.col("_bfmaybe")).drop("_bfmaybe")

@@ -73,3 +73,34 @@ def test_probe_prunes_map_side(spark):
     # fpp at 2000 keys in 2^20 bits is ~1e-9: essentially nothing but the
     # true dups should reach the verify join (allow a tiny slack anyway)
     assert len(maybe_keys - dup_keys) <= 2
+
+
+def test_bloom_state_param_mismatch_refused(spark, tmp_path):
+    from rag_pipelines_spark.operators.bloomfilter import (
+        bloom_state_params,
+        merge_bloom,
+        read_bloom_words,
+    )
+
+    st = str(tmp_path / "bloomstate")
+    keys = spark.range(0, 300).select(F.col("id").cast("string").alias("fp"))
+    merge_bloom(spark, keys, st, key="fp", m_bits=1 << 14, k=4, epoch=0)
+    assert bloom_state_params(read_bloom_words(spark, st)) == (1 << 14, 4)
+    # mixed position spaces would cause probe false negatives -> refused
+    with pytest.raises(ValueError, match="refusing to merge"):
+        merge_bloom(spark, keys, st, key="fp", m_bits=1 << 16, k=4, epoch=1)
+    with pytest.raises(ValueError, match="refusing to merge"):
+        merge_bloom(spark, keys, st, key="fp", m_bits=1 << 14, k=5, epoch=1)
+    # matching params accrete == one-shot (bit_or exactness)
+    more = spark.range(300, 800).select(F.col("id").cast("string").alias("fp"))
+    merge_bloom(spark, more, st, key="fp", m_bits=1 << 14, k=4, epoch=1)
+    got = sorted(
+        map(tuple, read_bloom_words(spark, st).select("w", "bits").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            bloom_build(keys.unionByName(more), "fp", 1 << 14, 4).collect(),
+        )
+    )
+    assert got == want

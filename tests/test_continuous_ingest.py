@@ -95,7 +95,12 @@ def _state_snapshot(spark, root):
     from rag_pipelines_spark.operators.bloomfilter import read_bloom_words
 
     bloom = sorted(
-        map(tuple, read_bloom_words(spark, f"{root}/bloomseen").collect())
+        map(
+            tuple,
+            read_bloom_words(spark, f"{root}/bloomseen")
+            .select("w", "bits")
+            .collect(),
+        )
     )
     return corpus, stats, rollup, seen, freq, hll, kmv, bloom
 

@@ -91,3 +91,19 @@ def test_nulls_excluded(spark):
     )
     est = kmv_estimate(kmv_sketch(df, ["g"], "item"), ["g"]).collect()[0]
     assert est.est_distinct == 2.0
+
+
+def test_state_k_mismatch_refused(spark, tmp_path):
+    from rag_pipelines_spark.operators.kmv import merge_kmv, read_kmv
+
+    st = str(tmp_path / "kmvstate")
+    df = _items(spark, 500)
+    merge_kmv(spark, df, st, keys=["g"], item_col="item", k=64, epoch=0)
+    with pytest.raises(ValueError, match="k=64"):
+        merge_kmv(spark, df, st, keys=["g"], item_col="item", k=128, epoch=1)
+    # same k merges fine and accretion == one-shot (arrays, not estimates)
+    more = _items(spark, 900)
+    merge_kmv(spark, more, st, keys=["g"], item_col="item", k=64, epoch=1)
+    got = read_kmv(spark, st).collect()[0].kmv
+    want = kmv_sketch(df.unionByName(more), ["g"], "item", k=64).collect()[0].kmv
+    assert got == want
