@@ -38,27 +38,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["jaccard_prefix_join"]
+__all__ = ["jaccard_prefix_join", "prefix_candidates"]
 
 
-def jaccard_prefix_join(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    threshold_num: int = 3,
-    threshold_den: int = 5,
-) -> DataFrame:
-    """All (a_id, b_id, jaccard) pairs, a_id < b_id, with distinct-word-set
-    Jaccard >= threshold_num/threshold_den. Tokenization: split on single
-    spaces, empties dropped (mirrors the DuckDB oracle exactly)."""
-    num, den = threshold_num, threshold_den
-    toks = (
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (
         docs.select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok"),
         )
         .filter(F.col("tok") != "")
     )
+
+
+def prefix_candidates(
+    toks: DataFrame, num: int, den: int
+) -> DataFrame:
+    """(a_id, b_id) candidate pairs from the prefix equi-join — every
+    qualifying pair is here (lemma), plus the prefix-collision extras the
+    verify step rejects. Exposed so the scale harness can measure the
+    candidate count the pruning argument rests on."""
     freq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     # rarest-first global order; token string breaks frequency ties so the
     # order is total (any consistent total order preserves the lemma)
@@ -76,13 +75,28 @@ def jaccard_prefix_join(
         + F.lit(1)
     )
     prefix = ranked.filter(F.col("rnk") <= prefix_len).select("id", "tok")
-    cand = (
+    return (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
     )
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """All (a_id, b_id, jaccard) pairs, a_id < b_id, with distinct-word-set
+    Jaccard >= threshold_num/threshold_den. Tokenization: split on single
+    spaces, empties dropped (mirrors the DuckDB oracle exactly)."""
+    num, den = threshold_num, threshold_den
+    toks = _tokens(docs, id_col, text_col)
+    cand = prefix_candidates(toks, num, den)
     sets = toks.groupBy("id").agg(
         F.collect_set("tok").alias("set"), F.count("*").alias("n")
     )
