@@ -86,6 +86,9 @@ EXTRAS = [
     # round 6: KMV distinct sketch — the oracle-checked sketch tier
     # (operators/kmv.py)
     "q_kmv_distinct",
+    # round 6: exact duplicated-substring removal (token 8-gram spans,
+    # keeper-exempt) — operators/substrdedup.py
+    "q_substring_dedup",
 ]
 
 HEADLINE = CORE + EXTRAS + CORE_R4

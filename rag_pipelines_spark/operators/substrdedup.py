@@ -1,0 +1,171 @@
+"""Exact duplicated-substring detection and removal (n-gram spans).
+
+The corpus-dedup tier the engine still lacked between line-level dedup
+(operators/dedup.py::line_dedup — whole lines) and document-level MinHash
+(whole documents): find every token n-gram that occurs >= min_count times
+ANYWHERE in the corpus, merge the hits into maximal per-document spans,
+and optionally cut the duplicated spans out (keeping each gram's single
+global first occurrence), in the spirit of exact substring deduplication
+for LLM training data ("Deduplicating Training Data Makes Language Models
+Better", Lee et al. 2022). The reference repo normalizes/dedups at the
+whole-record tier only (json_split_and_clean.py dedups exact records);
+this operator is the §2.11 north-star extension of that idea to
+sub-document granularity.
+
+Spark-first design (and the 100 TB argument):
+
+  * grams are built per row with pure column math — ``transform`` over
+    ``sequence(0, size-n)`` slicing the token array — so gram construction
+    is embarrassingly parallel with ZERO shuffle and no Python;
+  * the one corpus-sized shuffle is the gram-frequency hash aggregate,
+    which map-side combines (partial counts per partition before the
+    exchange). Grams travel as md5 digests, not strings: fixed 32-byte
+    shuffle width regardless of n, and md5 is engine-portable so the
+    DuckDB oracle runs the identical keys. 128-bit collisions are
+    negligible at any realistic corpus size (birthday bound ~2^64 grams);
+  * the duplicated-gram set is usually a small fraction of all grams —
+    the join back to positions is an equi-join on the digest that AQE
+    converts to a broadcast when the dup set is small;
+  * span merging and keeper selection are windows partitioned by doc id
+    and by gram digest respectively — both bounded partitions (doc
+    length / gram occurrence count), never a global sort;
+  * removal re-shuffles only token rows on (doc, pos) — O(corpus tokens),
+    the same inherent lower bound line_dedup documents: content must
+    co-locate to compare.
+
+Determinism: the keeper occurrence per gram is the lexicographic min
+(doc id, position) — stable under any partitioning; reassembly sorts
+collected (pos, tok) structs, so output never depends on row arrival
+order. Both registered queries hash-match a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ngram_occurrences", "duplicated_ngram_spans", "substring_dedup"]
+
+
+def ngram_occurrences(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, pos, gh) — every token n-gram occurrence, gh = md5 of the
+    space-joined gram. pos is the 0-based index of the gram's first token.
+    Docs with fewer than n tokens contribute nothing. Pure column math."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.md5(F.array_join(F.slice(toks, i + 1, n), " ")).alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array())
+    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g")).select(
+        "id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh")
+    )
+
+
+def _dup_occurrences(occ: DataFrame, min_count: int) -> DataFrame:
+    """Occurrences of grams seen >= min_count times corpus-wide."""
+    dup = (
+        occ.groupBy("gh")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gh")
+    )
+    return occ.join(dup, "gh")
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal per-document token spans covered by duplicated n-grams.
+
+    Returns (id_col, span_start, span_end, span_len): every maximal run of
+    token positions covered by at least one occurrence of a gram that
+    appears >= min_count times anywhere in the corpus (including the
+    keeper occurrence — this is the detection view; removal exempts the
+    keeper). span_end is inclusive; span_len = span_end - span_start + 1.
+
+    Merging is the classic island scheme: a hit starts a new island iff
+    its start exceeds (running max end of prior hits) + 1, so touching
+    spans fuse into one maximal covered run.
+    """
+    occ = ngram_occurrences(df, id_col, text_col, n)
+    hits = _dup_occurrences(occ, min_count).select(
+        "id", F.col("pos").alias("s"), (F.col("pos") + n - 1).alias("e")
+    )
+    by_pos = Window.partitionBy("id").orderBy("s")
+    prior = by_pos.rowsBetween(Window.unboundedPreceding, -1)
+    runmax = F.max("e").over(prior)
+    island_flag = F.when(
+        runmax.isNull() | (F.col("s") > runmax + 1), 1
+    ).otherwise(0)
+    run = by_pos.rowsBetween(Window.unboundedPreceding, 0)
+    islands = hits.withColumn("island", F.sum(island_flag).over(run))
+    return (
+        islands.groupBy("id", "island")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Cut duplicated n-gram occurrences out of every document, keeping
+    each gram's single global first occurrence (min (doc id, pos)).
+
+    A token is removed iff some NON-keeper occurrence of a duplicated gram
+    covers its position — even if a keeper occurrence of another gram also
+    covers it (removal wins; the rule is positional, deterministic, and
+    identical in the SQL oracle). Documents keep their surviving tokens in
+    original order, space-joined; a doc whose every token was covered
+    comes back as the empty string.
+    """
+    occ = ngram_occurrences(df, id_col, text_col, n)
+    w = Window.partitionBy("gh").orderBy("id", "pos")
+    nonkeeper = (
+        _dup_occurrences(occ, min_count)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+    )
+    covered = nonkeeper.select(
+        "id", F.explode(F.sequence("pos", F.col("pos") + n - 1)).alias("cpos")
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("cpos", "tok"),
+    )
+    kept = toks.join(covered, ["id", "cpos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias(out_col)
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col), F.coalesce(out_col, F.lit("")).alias(out_col)
+    )

@@ -1537,3 +1537,131 @@ def q_jaccard_join(spark, sf_dir):
     return jaccard_prefix_join(
         d, "doc_id", "text", threshold_num=4, threshold_den=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring dedup (n-gram spans) — operators/substrdedup.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_substring_spans",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS s FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, s, unnest(range(1, len(s) - 8 + 2)) AS i
+        FROM toks WHERE len(s) >= 8
+    ),
+    g AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(s[i:i+7], ' ')) AS gh
+        FROM idx
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+    hits AS (
+        SELECT g.doc_id, g.pos AS st, g.pos + 7 AS en
+        FROM g JOIN dup USING (gh)
+    ),
+    flagged AS (
+        SELECT doc_id, st, en,
+               CASE WHEN MAX(en) OVER (
+                        PARTITION BY doc_id ORDER BY st
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR st > MAX(en) OVER (
+                        PARTITION BY doc_id ORDER BY st
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) + 1
+               THEN 1 ELSE 0 END AS nw
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, st, en,
+               SUM(nw) OVER (PARTITION BY doc_id ORDER BY st
+                             ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    )
+    SELECT doc_id, MIN(st) AS span_start, MAX(en) AS span_end,
+           MAX(en) - MIN(st) + 1 AS span_len
+    FROM isl GROUP BY doc_id, island
+    """,
+    doc="exact duplicated-substring DETECTION: maximal per-doc token spans "
+    "covered by 8-grams occurring >= 2 times corpus-wide (Lee et al. 2022 "
+    "exact substring dedup, token-granular). Grams built with zero-shuffle "
+    "column math, travel as md5 digests (fixed shuffle width, engine-"
+    "portable keys); the only corpus-sized shuffle is the map-side-"
+    "combinable gram-count agg — operators/substrdedup.py",
+)
+def q_substring_spans(spark, sf_dir):
+    from rag_pipelines_spark.operators.substrdedup import duplicated_ngram_spans
+
+    d = t(spark, sf_dir, "documents")
+    s = duplicated_ngram_spans(d, "doc_id", "text", n=8, min_count=2)
+    return s.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_len").cast("long").alias("span_len"),
+    )
+
+
+@register(
+    "q_substring_dedup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS s FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, s, unnest(range(1, len(s) - 8 + 2)) AS i
+        FROM toks WHERE len(s) >= 8
+    ),
+    g AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(s[i:i+7], ' ')) AS gh
+        FROM idx
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+    hits AS (
+        SELECT g.doc_id, g.pos, g.gh,
+               row_number() OVER (
+                   PARTITION BY g.gh ORDER BY g.doc_id, g.pos
+               ) AS rn
+        FROM g JOIN dup USING (gh)
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, pos + d AS cpos
+        FROM (SELECT doc_id, pos, unnest(range(0, 8)) AS d
+              FROM hits WHERE rn > 1)
+    ),
+    tokrows AS (
+        SELECT doc_id, i - 1 AS cpos, s[i] AS tok
+        FROM (SELECT doc_id, s, unnest(range(1, len(s) + 1)) AS i FROM toks)
+    ),
+    kept AS (
+        SELECT tr.doc_id, tr.cpos, tr.tok FROM tokrows tr
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cov c
+            WHERE c.doc_id = tr.doc_id AND c.cpos = tr.cpos
+        )
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY cpos) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+    doc="exact duplicated-substring REMOVAL: every duplicated 8-gram "
+    "occurrence except the global first (min (doc_id, pos) per gram) has "
+    "its covered tokens cut; docs reassembled in position order (empty "
+    "string when fully covered). Keeper choice is partition-stable; "
+    "removal shuffles only token rows on (doc, pos) — the same inherent "
+    "lower bound as line_dedup — operators/substrdedup.py",
+)
+def q_substring_dedup(spark, sf_dir):
+    from rag_pipelines_spark.operators.substrdedup import substring_dedup
+
+    d = t(spark, sf_dir, "documents")
+    return substring_dedup(d, "doc_id", "text", n=8, min_count=2)
