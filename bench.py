@@ -89,6 +89,8 @@ EXTRAS = [
     # round 6: exact duplicated-substring removal (token 8-gram spans,
     # keeper-exempt) — operators/substrdedup.py
     "q_substring_dedup",
+    # round 6: SemDeDup embedding-cluster near-dedup — operators/semdedup.py
+    "q_semantic_dedup",
 ]
 
 HEADLINE = CORE + EXTRAS + CORE_R4

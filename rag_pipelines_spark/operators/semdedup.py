@@ -1,0 +1,163 @@
+"""Semantic (embedding-space) near-deduplication — SemDeDup-style.
+
+Cluster the corpus embeddings, then drop documents whose embedding is
+near-identical (cosine >= threshold) to a lower-id document in the SAME
+cluster — the within-cluster restriction is what makes the operation
+scale: pairwise comparison happens only inside clusters of bounded size,
+never corpus x corpus (Abbas et al. 2023, "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication"). Complements the
+lexical tiers (exact / MinHash / substring): embedding-space duplicates
+need not share a single token. Beyond the reference surface (§2.11
+north-star; the reference dedups exact records only).
+
+Spark-first, oracle-checkable design:
+
+  * **Deterministic hash-seeded centroids.** Seeds are the k corpus
+    vectors with the smallest (md5(id), id) — layout-stable, engine-
+    portable (DuckDB computes the identical seed set), and no float
+    averaging, so the "centroids" are exact fp32 data vectors. Callers
+    with real cluster structure can pass kmeans-refined centroids
+    (operators/similarity.py::kmeans_refine) via `seeds` instead; the
+    hash-seeded default is the oracle-checked tier.
+  * **Assignment is the IVF pattern**: broadcast the k seed vectors,
+    one nearest-cell pass over the corpus (|N|·k dot products, corpus
+    never shuffles). k derives from a target cluster size, so cluster
+    populations — and with them the within-cluster pair count — stay
+    bounded as the corpus grows.
+  * **Bitwise-deterministic scores.** Dot products are double products
+    (exact for fp32 inputs) folded through decimal(30,15) — order-
+    independent — and cosines are rounded to 9 decimals before ANY
+    comparison, so assignment, tie-breaks, and the threshold test make
+    identical decisions in Spark and DuckDB (same scheme as
+    q_cosine_topk).
+  * **Greedy min-id witness rule**: a document is dropped iff some
+    SAME-CLUSTER document with a smaller id has cosine >= threshold to
+    it — deterministic under any partitioning, one equi-join on the
+    cluster id. (Connected-component keeper semantics are the separate
+    q_dup_clusters operator; SemDeDup itself keeps one exemplar per
+    near-duplicate neighborhood, which the witness rule reproduces for
+    the tight-pair case.)
+
+100 TB posture: the only corpus-sized shuffles are the assignment
+window (partitioned by doc id — re-expressible as max_by if the window
+ever shows up in a profile) and the within-cluster self-equi-join whose
+volume is sum_c |c|^2 — bounded by target_cluster_size * N, tunable,
+and the exact knob SemDeDup's k controls. Seeds broadcast is k·dim
+floats; for k beyond broadcast limits, assignment switches to the LSH /
+IVF machinery in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["semantic_dedup"]
+
+_DEC = "decimal(30,15)"
+
+
+def _dot_dec(a, b):
+    """Order-independent exact dot product (double products summed as
+    decimals via a left fold) — the cross-engine-bitwise scheme shared
+    with q_cosine_topk."""
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC)
+    )
+    return F.aggregate(
+        prods, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC)
+    )
+
+
+def _cos9(dot, n2a, n2b):
+    return F.round(dot / (F.sqrt(n2a) * F.sqrt(n2b)), 9)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    target_cluster: int = 32,
+    seeds: DataFrame | None = None,
+) -> DataFrame:
+    """(id_col, cluster_id, kept) for every input row; kept = 0 iff a
+    smaller-id same-cluster row has cosine >= threshold.
+
+    `seeds`: optional (seed_id, seed_vec) frame of centroid vectors (e.g.
+    kmeans-refined). Default: k = ceil(n / target_cluster) hash-seeded
+    corpus vectors (deterministic, oracle-portable).
+    """
+    norms = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _dot_dec(F.col(vec_col), F.col(vec_col)).cast("double").alias("n2"),
+    )
+    if seeds is None:
+        n = emb.count()
+        k = max(1, math.ceil(n / target_cluster))
+        seed_frame = (
+            norms.select(
+                F.col("id").alias("seed_id"),
+                F.col("v").alias("sv"),
+                F.col("n2").alias("sn2"),
+                F.md5(F.col("id").cast("string")).alias("h"),
+            )
+            .orderBy("h", "seed_id")  # distributed top-k, no global sort
+            .limit(k)
+            .drop("h")
+        )
+    else:
+        seed_frame = seeds.select(
+            F.col(seeds.columns[0]).alias("seed_id"),
+            F.col(seeds.columns[1]).alias("sv"),
+        ).withColumn("sn2", _dot_dec(F.col("sv"), F.col("sv")).cast("double"))
+
+    scored = norms.crossJoin(F.broadcast(seed_frame)).select(
+        "id",
+        "v",
+        "n2",
+        "seed_id",
+        _cos9(_dot_dec(F.col("v"), F.col("sv")), F.col("n2"), F.col("sn2")).alias(
+            "scos"
+        ),
+    )
+    # nulls last on BOTH engines (DuckDB DESC defaults nulls-first)
+    w = Window.partitionBy("id").orderBy(F.desc_nulls_last("scos"), F.asc("seed_id"))
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("id", "v", "n2", F.col("seed_id").alias("cluster_id"))
+    )
+    a = assigned.select(
+        F.col("id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("n2").alias("an2"),
+        "cluster_id",
+    )
+    b = assigned.select(
+        F.col("id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("n2").alias("bn2"),
+        "cluster_id",
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            _cos9(_dot_dec(F.col("av"), F.col("bv")), F.col("an2"), F.col("bn2"))
+            >= F.lit(threshold)
+        )
+        .select("b_id")
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned["id"] == dropped["b_id"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            F.when(F.col("b_id").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )

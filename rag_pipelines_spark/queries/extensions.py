@@ -1665,3 +1665,99 @@ def q_substring_dedup(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return substring_dedup(d, "doc_id", "text", n=8, min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) near-dedup — operators/semdedup.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_semantic_dedup",
+    oracle="""
+    WITH sub AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    cnt AS (SELECT CAST(CEIL(COUNT(*) / 32.0) AS BIGINT) AS k FROM sub),
+    norms AS (
+        SELECT vec_id, embedding,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS n2
+        FROM (SELECT vec_id, embedding, unnest(embedding) AS x FROM sub)
+        GROUP BY vec_id, embedding
+    ),
+    ranked AS (
+        SELECT vec_id, embedding, n2,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rh
+        FROM norms
+    ),
+    seeds AS (
+        SELECT vec_id AS seed_id, embedding AS sv, n2 AS sn2
+        FROM ranked, cnt WHERE rh <= cnt.k
+    ),
+    pairs0 AS (
+        SELECT n.vec_id, n.embedding AS v, n.n2, s.seed_id, s.sv, s.sn2
+        FROM norms n, seeds s
+    ),
+    sdots AS (
+        SELECT vec_id, seed_id, n2, sn2,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS dot
+        FROM (SELECT vec_id, seed_id, n2, sn2,
+                     unnest(v) AS x, unnest(sv) AS y FROM pairs0)
+        GROUP BY vec_id, seed_id, n2, sn2
+    ),
+    assign AS (
+        SELECT vec_id, seed_id AS cluster_id,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY round(dot / (sqrt(n2) * sqrt(sn2)), 9)
+                            DESC NULLS LAST,
+                            seed_id
+               ) AS rk
+        FROM sdots
+    ),
+    mem AS (
+        SELECT a.vec_id, a.cluster_id, n.embedding AS v, n.n2
+        FROM assign a JOIN norms n USING (vec_id) WHERE a.rk = 1
+    ),
+    cpairs AS (
+        SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+               x.n2 AS an2, y.n2 AS bn2, x.v AS av, y.v AS bv
+        FROM mem x JOIN mem y
+          ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+    ),
+    pdots AS (
+        SELECT a_id, b_id, an2, bn2,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS dot
+        FROM (SELECT a_id, b_id, an2, bn2,
+                     unnest(av) AS x, unnest(bv) AS y FROM cpairs)
+        GROUP BY a_id, b_id, an2, bn2
+    ),
+    dropped AS (
+        SELECT DISTINCT b_id FROM pdots
+        WHERE round(dot / (sqrt(an2) * sqrt(bn2)), 9) >= 0.3
+    )
+    SELECT m.vec_id, m.cluster_id,
+           CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM mem m LEFT JOIN dropped d ON m.vec_id = d.b_id
+    """,
+    doc="SemDeDup-style semantic near-dedup (operators/semdedup.py): "
+    "hash-seeded deterministic centroids (k = ceil(n/32)), IVF-pattern "
+    "nearest-seed assignment vs broadcast seeds, within-cluster-only "
+    "pairwise cosine (bounded sum |c|^2, never corpus x corpus), drop iff "
+    "a smaller-id same-cluster row has cos >= 0.3 (threshold sits in the "
+    "observable range of the hash-uniform fixture — same honesty note as "
+    "the ANN ladder; real encoders cluster, which only helps). Cosines "
+    "decimal-folded + round-9 so both engines make identical decisions",
+)
+def q_semantic_dedup(spark, sf_dir):
+    from rag_pipelines_spark.operators.semdedup import semantic_dedup
+
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    return semantic_dedup(
+        e, "vec_id", "embedding", threshold=0.3, target_cluster=32
+    )
