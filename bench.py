@@ -91,6 +91,8 @@ EXTRAS = [
     "q_substring_dedup",
     # round 6: SemDeDup embedding-cluster near-dedup — operators/semdedup.py
     "q_semantic_dedup",
+    # round 6: linear quality-classifier inference (map-only, zero shuffle)
+    "q_quality_model",
 ]
 
 HEADLINE = CORE + EXTRAS + CORE_R4

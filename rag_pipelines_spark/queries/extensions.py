@@ -1761,3 +1761,55 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(
         e, "vec_id", "embedding", threshold=0.3, target_cluster=32
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring — operators/qualitymodel.py
+# ---------------------------------------------------------------------------
+
+from rag_pipelines_spark.operators.qualitymodel import md5_weights as _md5_w
+
+_QM_DIM = 64
+_QM_W = _md5_w(_QM_DIM)
+_QM_VALUES = ", ".join(f"({j}, {w})" for j, w in enumerate(_QM_W))
+
+
+@register(
+    "q_quality_model",
+    oracle=f"""
+    WITH w(bucket, wt) AS (VALUES {_QM_VALUES}),
+    tk AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '') AS toks
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+    contrib AS (
+        SELECT t.doc_id, CAST(w.wt AS DECIMAL(18,3)) AS wt
+        FROM toks t
+        JOIN w ON (('0x' || substring(md5(t.tok), 1, 8))::BIGINT % {_QM_DIM})
+                  = w.bucket
+    ),
+    s AS (SELECT doc_id, SUM(wt) AS total FROM contrib GROUP BY doc_id)
+    SELECT tk.doc_id,
+           CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.total, 0) AS DOUBLE) AS logit,
+           CASE WHEN COALESCE(s.total, 0) >= 0 THEN 1 ELSE 0 END AS predicted
+    FROM tk LEFT JOIN s USING (doc_id)
+    """,
+    doc="model-based quality scoring (fastText-architecture linear "
+    "classifier INFERENCE): logit = bias + sum over tokens of "
+    "w[md5-bucket(tok)], folded per row over the token array — map-only, "
+    "ZERO shuffle (plan-asserted in tests), weights an O(1)-indexed "
+    "broadcast array literal. Exact-decimal contributions so the >= 0 "
+    "class decision is bitwise cross-engine; fixture weights are the "
+    "deterministic md5_weights(64) vector (real weights come from an "
+    "off-cluster-trained model) — operators/qualitymodel.py",
+)
+def q_quality_model(spark, sf_dir):
+    from rag_pipelines_spark.operators.qualitymodel import linear_quality_score
+
+    d = t(spark, sf_dir, "documents")
+    return linear_quality_score(d, "doc_id", "text", _QM_W)
