@@ -44,7 +44,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ngram_occurrences", "duplicated_ngram_spans", "substring_dedup"]
+__all__ = [
+    "ngram_occurrences",
+    "merge_covered_spans",
+    "duplicated_ngram_spans",
+    "substring_dedup",
+]
 
 
 def ngram_occurrences(
@@ -100,7 +105,16 @@ def duplicated_ngram_spans(
     spans fuse into one maximal covered run.
     """
     occ = ngram_occurrences(df, id_col, text_col, n)
-    hits = _dup_occurrences(occ, min_count).select(
+    hits = _dup_occurrences(occ, min_count)
+    return merge_covered_spans(hits, n, id_col)
+
+
+def merge_covered_spans(hits: DataFrame, n: int, id_col: str) -> DataFrame:
+    """(id_col, span_start, span_end, span_len) — maximal covered runs of
+    an (id, pos) hit frame where each hit covers [pos, pos+n-1]. Island
+    windows partition by doc id (bounded by doc length). Shared by the
+    full-recompute path and the state-served path."""
+    hits = hits.select(
         "id", F.col("pos").alias("s"), (F.col("pos") + n - 1).alias("e")
     )
     by_pos = Window.partitionBy("id").orderBy("s")
