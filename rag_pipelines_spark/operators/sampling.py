@@ -136,3 +136,57 @@ def mixture_sample(
         .drop("_quota")
         .withColumnRenamed("_rk", "sample_rank")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    temperature: float = 2.0,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled mixture: downsample so surviving group sizes are
+    proportional to n_g^(1/T) — the multilingual/source rebalancing rule
+    (T=1 keeps natural proportions, T→∞ approaches balance_groups'
+    uniform mix). quota_g = floor(n_g^(1/T) * scale) with
+    scale = min_g(n_g / n_g^(1/T)) — the largest total with no group
+    oversampled (a downsampling mixer, like mixture_sample, whose
+    weights this computes FROM the data instead of taking as input).
+
+    Determinism: for T in {2, 4} the weight is (repeated) sqrt — an IEEE
+    correctly-rounded op, so quotas are bitwise engine-portable (the
+    oracle-checked tier). Other T use pow(n, 1/T), whose last ULP is
+    libm-dependent — fine in production, excluded from the oracle.
+    Plan: identical to mixture_sample (tiny count frame, broadcast
+    quotas, one md5-rank window) — the corpus shuffles once.
+    """
+    n_dbl = F.col("_n").cast("double")
+    if temperature == 2.0:
+        wexpr = F.sqrt(n_dbl)
+    elif temperature == 4.0:
+        wexpr = F.sqrt(F.sqrt(n_dbl))
+    else:
+        wexpr = F.pow(n_dbl, F.lit(1.0 / temperature))
+    cnts = (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_w", wexpr)
+    )
+    scale = cnts.agg(F.min(n_dbl / F.col("_w")).alias("_scale"))  # 1 row
+    quotas = F.broadcast(
+        cnts.crossJoin(F.broadcast(scale)).select(
+            group_col,
+            F.floor(F.col("_w") * F.col("_scale")).cast("long").alias("_quota"),
+        )
+    )
+    c = F.col(key_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(c.cast("string"), F.lit(salt))), c
+    )
+    return (
+        df.join(quotas, group_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_quota")
+        .withColumnRenamed("_rk", "sample_rank")
+    )

@@ -1813,3 +1813,44 @@ def q_quality_model(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return linear_quality_score(d, "doc_id", "text", _QM_W)
+
+
+@register(
+    "q_temperature_mixture",
+    oracle="""
+    WITH n AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    w AS (
+        SELECT lang, cnt, sqrt(CAST(cnt AS DOUBLE)) AS wt FROM n
+    ),
+    s AS (SELECT MIN(CAST(cnt AS DOUBLE) / wt) AS scale FROM w),
+    q AS (
+        SELECT w.lang, CAST(FLOOR(w.wt * s.scale) AS BIGINT) AS quota
+        FROM w, s
+    ),
+    r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS sample_rank
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.sample_rank
+    FROM r JOIN q USING (lang)
+    WHERE r.sample_rank <= q.quota
+    """,
+    doc="temperature-scaled data mixture (T=2): surviving language sizes "
+    "proportional to sqrt(n_g) — the multilingual rebalancing rule "
+    "(UniMax-style), weights computed FROM the corpus counts instead of "
+    "taken as input (q_mixture_weights is the given-weights case, "
+    "balance_groups the T->inf limit). sqrt is IEEE correctly-rounded, "
+    "so quotas are bitwise engine-portable; md5-rank selection is "
+    "layout-stable — operators/sampling.py temperature_sample",
+)
+def q_temperature_mixture(spark, sf_dir):
+    from rag_pipelines_spark.operators.sampling import temperature_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_sample(d, "lang", "doc_id", temperature=2.0).select(
+        "doc_id", "lang", "sample_rank"
+    )

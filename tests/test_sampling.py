@@ -161,3 +161,54 @@ def test_aqp_sample_error_bounded(spark):
             r.event_type,
             r.rel_err,
         )
+
+
+def test_temperature_sample_quotas_and_determinism(spark):
+    """T=2 quotas: floor(sqrt(n_g) * min_g(n_g/sqrt(n_g))); the smallest
+    group keeps (nearly) everything, bigger groups shrink toward it;
+    selection equals the brute-force md5 rank."""
+    import hashlib
+    import math
+
+    from rag_pipelines_spark.operators.sampling import temperature_sample
+
+    rows = (
+        [("en", i) for i in range(100)]
+        + [("zh", 1000 + i) for i in range(25)]
+        + [("es", 2000 + i) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["lang", "doc_id"])
+    got = sorted(
+        (r.lang, r.doc_id, r.sample_rank)
+        for r in temperature_sample(df, "lang", "doc_id", 2.0).collect()
+    )
+    ns = {"en": 100, "zh": 25, "es": 4}
+    scale = min(n / math.sqrt(n) for n in ns.values())  # = sqrt(4) = 2
+    quotas = {g: int(math.floor(math.sqrt(n) * scale)) for g, n in ns.items()}
+    assert quotas == {"en": 20, "zh": 10, "es": 4}
+    want = []
+    for g, n in ns.items():
+        ids = [i for gg, i in rows if gg == g]
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        want += [(g, i, rk + 1) for rk, i in enumerate(ranked[: quotas[g]])]
+    assert got == sorted(want)
+    # natural proportions 100:25:4 compress to 20:10:4 (ratios ~ sqrt)
+    # and the schedule is layout-stable:
+    again = sorted(
+        (r.lang, r.doc_id, r.sample_rank)
+        for r in temperature_sample(
+            df.repartition(7, "doc_id"), "lang", "doc_id", 2.0
+        ).collect()
+    )
+    assert again == got
+
+
+def test_temperature_one_keeps_everything(spark):
+    """T=1 is the identity weights case: scale = min n^0 ... quota_g = n_g
+    for every group (natural proportions preserved)."""
+    from rag_pipelines_spark.operators.sampling import temperature_sample
+
+    rows = [("a", i) for i in range(6)] + [("b", 10 + i) for i in range(3)]
+    df = spark.createDataFrame(rows, ["src", "doc_id"])
+    got = temperature_sample(df, "src", "doc_id", 1.0)
+    assert got.count() == 9
