@@ -190,3 +190,66 @@ def temperature_sample(
         .drop("_quota")
         .withColumnRenamed("_rk", "sample_rank")
     )
+
+
+def repeat_upsample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    targets: dict[str, int],
+    cap: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic UP-sampling by integer repetition with an epoch cap —
+    the complement of the downsampling mixers for data-constrained
+    regimes (rare sources repeated up to `cap` times, after which a
+    group saturates rather than overfitting on endless copies).
+
+    For group g with n_g rows and target t_g: every row gets
+    full = min(cap, t_g div n_g) copies; if full < cap, the first
+    (t_g mod n_g) rows by md5 rank get one extra — the group lands at
+    exactly t_g, or at cap*n_g when the target is unreachable under the
+    cap (documented saturation, never silent over-repetition). Groups
+    absent from `targets` drop (same contract as mixture_sample).
+
+    Output: one row per COPY — (input columns, sample_rank, copy) with
+    copy in 1..copies. Plan: tiny count frame joined to the literal
+    target frame, quotas broadcast back, one md5-rank window, then a
+    per-row explode(sequence(1, copies)) — output-sized, no extra
+    shuffle beyond the rank window's group exchange.
+    """
+    spark = df.sparkSession
+    tdf = spark.createDataFrame(
+        [(g, int(v)) for g, v in targets.items()],
+        f"{group_col} string, _t long",
+    )
+    cnts = (
+        df.groupBy(group_col).agg(F.count("*").alias("_n")).join(tdf, group_col)
+    )
+    fulldiv = F.expr("_t div _n")  # exact integer division, never doubles
+    quotas = F.broadcast(
+        cnts.select(
+            group_col,
+            F.least(F.lit(cap).cast("long"), fulldiv).alias("_full"),
+            F.when(fulldiv >= cap, F.lit(0))
+            .otherwise(F.col("_t") % F.col("_n"))
+            .cast("long")
+            .alias("_rem"),
+        )
+    )
+    c = F.col(key_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(c.cast("string"), F.lit(salt))), c
+    )
+    ranked = df.join(quotas, group_col).withColumn(
+        "sample_rank", F.row_number().over(w)
+    )
+    copies = F.col("_full") + F.when(
+        F.col("sample_rank") <= F.col("_rem"), 1
+    ).otherwise(0)
+    return (
+        ranked.withColumn("_copies", copies)
+        .filter(F.col("_copies") >= 1)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+        .drop("_full", "_rem", "_copies")
+    )

@@ -1854,3 +1854,53 @@ def q_temperature_mixture(spark, sf_dir):
     return temperature_sample(d, "lang", "doc_id", temperature=2.0).select(
         "doc_id", "lang", "sample_rank"
     )
+
+
+@register(
+    "q_repeat_upsample",
+    oracle="""
+    WITH tgt(lang, t) AS (VALUES ('en', 120), ('zh', 500), ('es', 70)),
+    n AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    q AS (
+        SELECT n.lang,
+               LEAST(4, t // cnt) AS fullc,
+               CASE WHEN t // cnt >= 4 THEN 0 ELSE t % cnt END AS rem
+        FROM n JOIN tgt USING (lang)
+    ),
+    r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS sample_rank
+        FROM documents
+    ),
+    c AS (
+        SELECT r.doc_id, r.lang, r.sample_rank,
+               q.fullc + CASE WHEN r.sample_rank <= q.rem
+                              THEN 1 ELSE 0 END AS copies
+        FROM r JOIN q USING (lang)
+    )
+    SELECT doc_id, lang, sample_rank,
+           CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+    FROM c WHERE copies >= 1
+    """,
+    doc="capped repeat-upsampling (data-constrained mixing): rare groups "
+    "repeated up to cap=4 epochs toward a per-group target (exact-integer "
+    "div/mod quota math — full copies for everyone, md5-rank-first rows "
+    "take the remainder; unreachable targets SATURATE at cap*n, never "
+    "silently over-repeat). The upsampling complement of the "
+    "downsampling mixers (q_mixture_weights / q_temperature_mixture); "
+    "per-copy rows come from an output-sized explode(sequence), no extra "
+    "shuffle — operators/sampling.py repeat_upsample",
+)
+def q_repeat_upsample(spark, sf_dir):
+    from rag_pipelines_spark.operators.sampling import repeat_upsample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = repeat_upsample(
+        d, "lang", "doc_id", {"en": 120, "zh": 500, "es": 70}, cap=4
+    )
+    return out.select(
+        "doc_id", "lang", "sample_rank", F.col("copy").cast("long").alias("copy")
+    )

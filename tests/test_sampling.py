@@ -212,3 +212,52 @@ def test_temperature_one_keeps_everything(spark):
     df = spark.createDataFrame(rows, ["src", "doc_id"])
     got = temperature_sample(df, "src", "doc_id", 1.0)
     assert got.count() == 9
+
+
+def test_repeat_upsample_hits_targets_and_caps(spark):
+    """Targets met exactly under the cap; saturation at cap*n when the
+    target is unreachable; copy expansion is md5-rank deterministic."""
+    import hashlib
+
+    from rag_pipelines_spark.operators.sampling import repeat_upsample
+
+    rows = (
+        [("big", i) for i in range(10)]
+        + [("rare", 100 + i) for i in range(3)]
+        + [("tiny", 200 + i) for i in range(2)]
+        + [("unlisted", 300)]
+    )
+    df = spark.createDataFrame(rows, ["src", "doc_id"])
+    got = repeat_upsample(
+        df, "src", "doc_id", {"big": 10, "rare": 8, "tiny": 100}, cap=4
+    ).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.src, []).append((r.doc_id, r.copy))
+    # big: target == n -> 1 copy each
+    assert sorted(by["big"]) == [(i, 1) for i in range(10)]
+    # rare: 8 = 2*3 + 2 -> everyone 2 copies, first 2 by md5 rank get a 3rd
+    assert len(by["rare"]) == 8
+    ranked = sorted(
+        range(100, 103),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )
+    triples = sorted(i for i, c in by["rare"] if c == 3)
+    assert triples == sorted(ranked[:2])
+    # tiny: target 100 unreachable under cap=4 -> saturates at 4*2 = 8
+    assert len(by["tiny"]) == 8
+    assert all(1 <= c <= 4 for _, c in by["tiny"])
+    # unlisted group drops
+    assert "unlisted" not in by
+
+
+def test_repeat_upsample_zero_target_drops_group(spark):
+    from rag_pipelines_spark.operators.sampling import repeat_upsample
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], ["src", "doc_id"]
+    )
+    got = repeat_upsample(df, "src", "doc_id", {"a": 0, "b": 2}, cap=4)
+    rows = got.collect()
+    assert all(r.src == "b" for r in rows)
+    assert sorted((r.doc_id, r.copy) for r in rows) == [(3, 1), (3, 2)]
