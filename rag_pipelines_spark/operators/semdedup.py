@@ -54,7 +54,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["semantic_dedup"]
+__all__ = ["semantic_dedup", "ivf_topk_exact"]
 
 _DEC = "decimal(30,15)"
 
@@ -160,4 +160,106 @@ def semantic_dedup(
             "cluster_id",
             F.when(F.col("b_id").isNull(), 1).otherwise(0).alias("kept"),
         )
+    )
+
+
+def ivf_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_seeds: int = 32,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF approximate top-k with FULLY deterministic, engine-portable
+    semantics — the oracle-checked twin of the numpy IVF tier
+    (operators/similarity.py::cosine_topk_ivf, rows-only by design).
+
+    Same centroid scheme as semantic_dedup: the k_seeds corpus vectors
+    with smallest (md5(id), id) are the cells — no float averaging, so
+    DuckDB reproduces cells, assignments, probes, and scores
+    bit-for-bit. Corpus rows assign to their nearest cell (decimal-fold
+    cosine, round-9, tie-break min seed id); each query probes its
+    `nprobe` nearest cells and exact-scores ONLY the vectors in them
+    (the IVF contract: candidates come from an equi-join on the cell
+    id, never query x corpus). Output (q_id, c_id, cosine, rk) matches
+    the exact-baseline contract of q_cosine_topk, so recall against the
+    exact answer is directly measurable.
+
+    Scale: one N·k_seeds assignment pass against broadcast seeds (the
+    corpus never shuffles for index build) + candidate scoring sized
+    |queries|·nprobe·(N/k_seeds). k_seeds is fixed here for the
+    verification tier; production sizing (k ~ sqrt(N), kmeans-refined
+    centroids, multi-probe) lives in operators/similarity.py.
+    """
+    norms = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _dot_dec(F.col(vec_col), F.col(vec_col)).cast("double").alias("n2"),
+    )
+    seed_frame = (
+        norms.select(
+            F.col("id").alias("seed_id"),
+            F.col("v").alias("sv"),
+            F.col("n2").alias("sn2"),
+            F.md5(F.col("id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "seed_id")
+        .limit(k_seeds)
+        .drop("h")
+    )
+
+    def nearest(frame, n_cells):
+        scored = frame.crossJoin(F.broadcast(seed_frame)).select(
+            frame["id"],
+            frame["v"],
+            frame["n2"],
+            "seed_id",
+            _cos9(
+                _dot_dec(frame["v"], F.col("sv")), frame["n2"], F.col("sn2")
+            ).alias("scos"),
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.desc_nulls_last("scos"), F.asc("seed_id")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= n_cells)
+            .select("id", "v", "n2", F.col("seed_id").alias("cell"))
+        )
+
+    cells = nearest(norms, 1)
+    qnorms = queries.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _dot_dec(F.col(vec_col), F.col(vec_col)).cast("double").alias("n2"),
+    )
+    probes = nearest(qnorms, nprobe).select(
+        F.col("id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+        "cell",
+    )
+    cand = probes.join(
+        cells.select(
+            F.col("id").alias("c_id"),
+            F.col("v").alias("cv"),
+            F.col("n2").alias("cn2"),
+            "cell",
+        ),
+        "cell",
+    ).filter(F.col("q_id") != F.col("c_id"))
+    scored = cand.select(
+        "q_id",
+        "c_id",
+        _cos9(_dot_dec(F.col("qv"), F.col("cv")), F.col("qn2"), F.col("cn2")).alias(
+            "cosine"
+        ),
+    ).distinct()  # a candidate reachable via two probed cells scores once
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cosine", "rk")
     )

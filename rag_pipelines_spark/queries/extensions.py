@@ -1904,3 +1904,109 @@ def q_repeat_upsample(spark, sf_dir):
     return out.select(
         "doc_id", "lang", "sample_rank", F.col("copy").cast("long").alias("copy")
     )
+
+
+@register(
+    "q_ann_ivf_exact",
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id, embedding,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS n2
+        FROM (SELECT vec_id, embedding, unnest(embedding) AS x FROM embeddings)
+        GROUP BY vec_id, embedding
+    ),
+    ranked AS (
+        SELECT vec_id, embedding, n2,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rh
+        FROM norms
+    ),
+    seeds AS (
+        SELECT vec_id AS seed_id, embedding AS sv, n2 AS sn2
+        FROM ranked WHERE rh <= 32
+    ),
+    cp AS (
+        SELECT n.vec_id, n.embedding AS v, n.n2, s.seed_id, s.sv, s.sn2
+        FROM norms n, seeds s
+    ),
+    cdots AS (
+        SELECT vec_id, seed_id, n2, sn2,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS dot
+        FROM (SELECT vec_id, seed_id, n2, sn2,
+                     unnest(v) AS x, unnest(sv) AS y FROM cp)
+        GROUP BY vec_id, seed_id, n2, sn2
+    ),
+    cassign AS (
+        SELECT vec_id, seed_id AS cell,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY round(dot / (sqrt(n2) * sqrt(sn2)), 9)
+                            DESC NULLS LAST,
+                            seed_id
+               ) AS rk
+        FROM cdots
+    ),
+    cells AS (
+        SELECT a.vec_id AS c_id, a.cell, n.embedding AS cv, n.n2 AS cn2
+        FROM cassign a JOIN norms n USING (vec_id) WHERE a.rk = 1
+    ),
+    qassign AS (
+        SELECT vec_id AS q_id, seed_id AS cell,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY round(dot / (sqrt(n2) * sqrt(sn2)), 9)
+                            DESC NULLS LAST,
+                            seed_id
+               ) AS rk
+        FROM cdots WHERE vec_id < 10
+    ),
+    probes AS (
+        SELECT p.q_id, p.cell, n.embedding AS qv, n.n2 AS qn2
+        FROM qassign p JOIN norms n ON n.vec_id = p.q_id
+        WHERE p.rk <= 2
+    ),
+    cand AS (
+        SELECT DISTINCT p.q_id, c.c_id, p.qv, p.qn2, c.cv, c.cn2
+        FROM probes p JOIN cells c USING (cell)
+        WHERE p.q_id <> c.c_id
+    ),
+    pdots AS (
+        SELECT q_id, c_id, qn2, cn2,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS dot
+        FROM (SELECT q_id, c_id, qn2, cn2,
+                     unnest(qv) AS x, unnest(cv) AS y FROM cand)
+        GROUP BY q_id, c_id, qn2, cn2
+    ),
+    scored AS (
+        SELECT q_id, c_id,
+               round(dot / (sqrt(qn2) * sqrt(cn2)), 9) AS cosine,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY round(dot / (sqrt(qn2) * sqrt(cn2)), 9) DESC,
+                            c_id
+               ) AS rk
+        FROM pdots
+    )
+    SELECT q_id, c_id, cosine, rk FROM scored WHERE rk <= 5
+    """,
+    doc="IVF top-k with fully deterministic engine-portable semantics "
+    "(operators/semdedup.py ivf_topk_exact): hash-seeded cells (32), "
+    "nearest-cell corpus assignment, nprobe=2 query probes, exact "
+    "re-rank of probed cells only — candidates come from an equi-join "
+    "on the cell id, never query x corpus. The oracle-CHECKED twin of "
+    "the numpy IVF tier (q_ann_ivf stays the production rows-only path "
+    "with kmeans refinement); output contract matches q_cosine_topk so "
+    "recall vs exact is directly measurable in the driver artifacts",
+)
+def q_ann_ivf_exact(spark, sf_dir):
+    from rag_pipelines_spark.operators.semdedup import ivf_topk_exact
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_topk_exact(
+        e, q, "vec_id", "embedding", k_seeds=32, nprobe=2, k=5
+    )

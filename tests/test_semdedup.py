@@ -15,6 +15,12 @@ from rag_pipelines_spark.operators.semdedup import semantic_dedup
 
 
 def _cos9(a, b):
+    import numpy as np
+
+    # the Spark column is array<float>: quantize reference inputs to fp32
+    # exactly as the engine stores them, then compute in float64
+    a = [float(np.float32(x)) for x in a]
+    b = [float(np.float32(x)) for x in b]
     d = sum(x * y for x, y in zip(a, b))
     na = sum(x * x for x in a)
     nb = sum(x * x for x in b)
@@ -133,3 +139,75 @@ _vecs = st.lists(_vec, min_size=1, max_size=12).map(
 @given(vectors=_vecs, tc=st.integers(2, 6))
 def test_property_matches_brute_force(spark, vectors, tc):
     assert _run(spark, vectors, 0.5, tc) == brute(vectors, 0.5, tc)
+
+
+# ---------------------------------------------------------------------------
+# ivf_topk_exact — deterministic IVF twin
+# ---------------------------------------------------------------------------
+
+
+def _brute_ivf(vectors, query_ids, k_seeds, nprobe, k):
+    ids = sorted(vectors)
+    seed_ids = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:k_seeds]
+
+    def cells_of(i, n):
+        ranked = sorted(
+            seed_ids, key=lambda s: (-_cos9(vectors[i], vectors[s]), s)
+        )
+        return ranked[:n]
+
+    assign = {i: cells_of(i, 1)[0] for i in ids}
+    out = []
+    for q in query_ids:
+        probed = set(cells_of(q, nprobe))
+        cands = sorted(
+            {c for c in ids if c != q and assign[c] in probed}
+        )
+        scored = sorted(
+            ((_cos9(vectors[q], vectors[c]), c) for c in cands),
+            key=lambda t: (-t[0], t[1]),
+        )
+        out += [(q, c, cos, rk + 1) for rk, (cos, c) in enumerate(scored[:k])]
+    return sorted(out)
+
+
+def _run_ivf(spark, vectors, query_ids, k_seeds, nprobe, k):
+    from rag_pipelines_spark.operators.semdedup import ivf_topk_exact
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(vectors.items())],
+        "vec_id: long, embedding: array<float>",
+    )
+    q = df.filter(df.vec_id.isin(list(query_ids)))
+    rows = ivf_topk_exact(
+        df, q, "vec_id", "embedding", k_seeds=k_seeds, nprobe=nprobe, k=k
+    ).collect()
+    return sorted((r.q_id, r.c_id, r.cosine, r.rk) for r in rows)
+
+
+def test_ivf_matches_brute_force(spark):
+    got = _run_ivf(spark, PLANTED, [0, 3], 3, 2, 3)
+    assert got == _brute_ivf(PLANTED, [0, 3], 3, 2, 3)
+
+
+def test_ivf_probes_restrict_candidates(spark):
+    """With nprobe == k_seeds the probe covers everything -> IVF equals
+    exact brute force; with nprobe=1 the candidate set can only shrink."""
+    full = _run_ivf(spark, PLANTED, [0], 3, 3, 10)
+    assert full == _brute_ivf(PLANTED, [0], 3, 3, 10)
+    # full-probe == exact: every other vector is a candidate
+    assert {c for _, c, _, _ in full} == set(PLANTED) - {0}
+    narrow = _run_ivf(spark, PLANTED, [0], 3, 1, 10)
+    assert {c for _, c, _, _ in narrow} <= {c for _, c, _, _ in full}
+    assert narrow == _brute_ivf(PLANTED, [0], 3, 1, 10)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vectors=_vecs, nprobe=st.integers(1, 3))
+def test_ivf_property_matches_brute_force(spark, vectors, nprobe):
+    qids = [i for i in vectors if i % 3 == 0]
+    assert _run_ivf(spark, vectors, qids, 4, nprobe, 3) == _brute_ivf(
+        vectors, qids, 4, nprobe, 3
+    )
