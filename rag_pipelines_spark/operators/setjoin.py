@@ -38,7 +38,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["jaccard_prefix_join", "prefix_candidates"]
+__all__ = [
+    "jaccard_prefix_join",
+    "jaccard_prefix_join_bipartite",
+    "prefix_candidates",
+]
 
 
 def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -118,6 +122,80 @@ def jaccard_prefix_join(
         .select(
             "a_id",
             "b_id",
+            (F.col("inter").cast("double") / F.col("u").cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def _prefixes(toks: DataFrame, freq: DataFrame, num: int, den: int) -> DataFrame:
+    """Rarest-p prefix tokens per doc under a SHARED frequency order."""
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("sz", F.count("*").over(Window.partitionBy("id")))
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"({num} * sz + {den - 1}) div {den}")
+        + F.lit(1)
+    )
+    return ranked.filter(F.col("rnk") <= prefix_len).select("id", "tok")
+
+
+def jaccard_prefix_join_bipartite(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """All CROSS-corpus pairs (left_id, right_id, jaccard) with
+    distinct-word-set Jaccard >= num/den — the bipartite form of the
+    prefix-filtering join (fuzzy decontamination: corpus docs too similar
+    to any benchmark doc, where the exact-n-gram tier is
+    q_decontaminate).
+
+    The lemma needs ONE total token order shared by both sides, so the
+    frequency frame is computed over the union of both corpora; prefixes
+    are then equi-joined left-prefix x right-prefix. Pairs whose two ids
+    are equal are NOT excluded here (caller decides; a doc present in
+    both corpora is trivially its own match)."""
+    num, den = threshold_num, threshold_den
+    lt = _tokens(left, id_col, text_col)
+    rt = _tokens(right, id_col, text_col)
+    freq = (
+        lt.unionByName(rt).groupBy("tok").agg(F.count("*").alias("df"))
+    )
+    la = _prefixes(lt, freq, num, den)
+    rb = _prefixes(rt, freq, num, den)
+    cand = (
+        la.alias("a")
+        .join(rb.alias("b"), "tok")
+        .select(F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id"))
+        .distinct()
+    )
+
+    def sets(toks, idc):
+        return toks.groupBy("id").agg(
+            F.collect_set("tok").alias(f"{idc}_set"),
+            F.count("*").alias(f"{idc}_n"),
+        ).withColumnRenamed("id", idc)
+
+    pairs = cand.join(sets(lt, "left_id"), "left_id").join(
+        sets(rt, "right_id"), "right_id"
+    )
+    inter = F.size(F.array_intersect("left_id_set", "right_id_set")).cast("long")
+    return (
+        pairs.withColumn("inter", inter)
+        .withColumn("u", F.col("left_id_n") + F.col("right_id_n") - F.col("inter"))
+        .filter(F.col("inter") * F.lit(den) >= F.lit(num) * F.col("u"))
+        .select(
+            "left_id",
+            "right_id",
             (F.col("inter").cast("double") / F.col("u").cast("double")).alias(
                 "jaccard"
             ),

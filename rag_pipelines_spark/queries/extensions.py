@@ -2010,3 +2010,55 @@ def q_ann_ivf_exact(spark, sf_dir):
     return ivf_topk_exact(
         e, q, "vec_id", "embedding", k_seeds=32, nprobe=2, k=5
     )
+
+
+@register(
+    "q_fuzzy_decontaminate",
+    oracle="""
+    WITH ctoks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id % 10 = 0)
+        WHERE tok <> ''
+    ),
+    btoks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id % 7 = 0)
+        WHERE tok <> ''
+    ),
+    csz AS (SELECT doc_id, COUNT(*) AS n FROM ctoks GROUP BY doc_id),
+    bsz AS (SELECT doc_id, COUNT(*) AS n FROM btoks GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS i
+        FROM ctoks c JOIN btoks b ON c.tok = b.tok AND c.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT left_id, right_id,
+           CAST(i AS DOUBLE) / CAST(cs.n + bs.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN csz cs ON cs.doc_id = inter.left_id
+    JOIN bsz bs ON bs.doc_id = inter.right_id
+    WHERE i * 5 >= 4 * (cs.n + bs.n - i)
+    """,
+    doc="fuzzy benchmark decontamination: ALL corpus x benchmark pairs "
+    "with token-set Jaccard >= 0.8 via the BIPARTITE prefix-filtering "
+    "join (operators/setjoin.py jaccard_prefix_join_bipartite — one "
+    "total token order shared by both corpora, candidates only from the "
+    "left-prefix x right-prefix equi-join, exact integer verification). "
+    "The near-dup complement of q_decontaminate's exact n-gram "
+    "containment; self-pairs excluded (the exact tier already owns "
+    "identity). Oracle = brute-force shared-token join",
+)
+def q_fuzzy_decontaminate(spark, sf_dir):
+    from rag_pipelines_spark.operators.setjoin import (
+        jaccard_prefix_join_bipartite,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 == 0)
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    out = jaccard_prefix_join_bipartite(
+        corpus, bench, "doc_id", "text", threshold_num=4, threshold_den=5
+    )
+    return out.filter(F.col("left_id") != F.col("right_id"))

@@ -97,3 +97,56 @@ def test_prefix_prunes_candidates(spark):
     # every doc shares only the frequent token 'common' -> it never enters a
     # prefix (rarest-first order), so NO candidate pair survives
     assert jaccard_prefix_join(docs, "doc_id", "text", 1, 2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Bipartite (cross-corpus) form — fuzzy decontamination
+# ---------------------------------------------------------------------------
+
+
+def _brute_bipartite(left, right, num, den):
+    """All-pairs reference in plain Python (distinct word sets)."""
+    ls = {r.doc_id: set(t for t in r.text.split(" ") if t) for r in left.collect()}
+    rs = {r.doc_id: set(t for t in r.text.split(" ") if t) for r in right.collect()}
+    out = []
+    for li, la in ls.items():
+        for ri, rb in rs.items():
+            i = len(la & rb)
+            u = len(la | rb)
+            if u and i * den >= num * u:
+                out.append((li, ri, i / u))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("num,den", [(3, 5), (4, 5), (9, 10)])
+def test_bipartite_matches_brute_force(spark, num, den):
+    from rag_pipelines_spark.operators.setjoin import jaccard_prefix_join_bipartite
+
+    docs = _corpus(spark)
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 3 == 0)
+    got = sorted(
+        (r.left_id, r.right_id, r.jaccard)
+        for r in jaccard_prefix_join_bipartite(
+            left, right, "doc_id", "text", num, den
+        ).collect()
+    )
+    want = _brute_bipartite(left, right, num, den)
+    assert got == want and len(want) > 0
+    # overlap docs (id % 6 == 0) self-match at J = 1.0
+    assert all((i, i, 1.0) in got for i in range(0, 120, 6))
+
+
+def test_bipartite_disjoint_vocab_no_pairs(spark):
+    from rag_pipelines_spark.operators.setjoin import jaccard_prefix_join_bipartite
+
+    left = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )
+    right = spark.createDataFrame(
+        [(10, "x y z"), (11, "u v w")], "doc_id long, text string"
+    )
+    assert (
+        jaccard_prefix_join_bipartite(left, right, "doc_id", "text", 1, 2).count()
+        == 0
+    )
