@@ -2024,7 +2024,7 @@ def q_ann_ivf_exact(spark, sf_dir):
     btoks AS (
         SELECT DISTINCT doc_id, tok
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-              FROM documents WHERE doc_id % 7 = 0)
+              FROM documents WHERE doc_id % 97 = 0)
         WHERE tok <> ''
     ),
     csz AS (SELECT doc_id, COUNT(*) AS n FROM ctoks GROUP BY doc_id),
@@ -2033,22 +2033,32 @@ def q_ann_ivf_exact(spark, sf_dir):
         SELECT c.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS i
         FROM ctoks c JOIN btoks b ON c.tok = b.tok AND c.doc_id <> b.doc_id
         GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT left_id,
+               CAST(i AS DOUBLE) / CAST(cs.n + bs.n - i AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN csz cs ON cs.doc_id = inter.left_id
+        JOIN bsz bs ON bs.doc_id = inter.right_id
+        WHERE i * 5 >= 4 * (cs.n + bs.n - i)
     )
-    SELECT left_id, right_id,
-           CAST(i AS DOUBLE) / CAST(cs.n + bs.n - i AS DOUBLE) AS jaccard
-    FROM inter
-    JOIN csz cs ON cs.doc_id = inter.left_id
-    JOIN bsz bs ON bs.doc_id = inter.right_id
-    WHERE i * 5 >= 4 * (cs.n + bs.n - i)
+    SELECT left_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MAX(jaccard) AS best_jaccard
+    FROM p GROUP BY left_id
     """,
-    doc="fuzzy benchmark decontamination: ALL corpus x benchmark pairs "
-    "with token-set Jaccard >= 0.8 via the BIPARTITE prefix-filtering "
-    "join (operators/setjoin.py jaccard_prefix_join_bipartite — one "
-    "total token order shared by both corpora, candidates only from the "
-    "left-prefix x right-prefix equi-join, exact integer verification). "
-    "The near-dup complement of q_decontaminate's exact n-gram "
-    "containment; self-pairs excluded (the exact tier already owns "
-    "identity). Oracle = brute-force shared-token join",
+    doc="fuzzy benchmark decontamination: per-corpus-doc contamination "
+    "verdict — which corpus docs have token-set Jaccard >= 0.8 to ANY "
+    "benchmark doc, with match count and best score — via the BIPARTITE "
+    "prefix-filtering join (operators/setjoin.py "
+    "jaccard_prefix_join_bipartite: one total token order shared by "
+    "both corpora, candidates only from the left-prefix x right-prefix "
+    "equi-join, exact integer verification). Benchmark = the %97 slice "
+    "(benchmarks are small vs the corpus — the realistic shape, and "
+    "what keeps candidate volume ~ |bench| x clique size, not corpus "
+    "pairs); output aggregates per corpus doc so the result is "
+    "|flagged|-sized even on the clique-heavy fixtures. The near-dup "
+    "complement of q_decontaminate's exact n-gram containment; "
+    "self-pairs excluded (the exact tier owns identity)",
 )
 def q_fuzzy_decontaminate(spark, sf_dir):
     from rag_pipelines_spark.operators.setjoin import (
@@ -2057,8 +2067,11 @@ def q_fuzzy_decontaminate(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 10 == 0)
-    bench = d.filter(F.col("doc_id") % 7 == 0)
-    out = jaccard_prefix_join_bipartite(
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    pairs = jaccard_prefix_join_bipartite(
         corpus, bench, "doc_id", "text", threshold_num=4, threshold_den=5
+    ).filter(F.col("left_id") != F.col("right_id"))
+    return pairs.groupBy("left_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.max("jaccard").alias("best_jaccard"),
     )
-    return out.filter(F.col("left_id") != F.col("right_id"))
