@@ -755,3 +755,131 @@ def q_substring_from_state(spark, sf_dir):
         F.col("span_end").cast("long").alias("span_end"),
         F.col("span_len").cast("long").alias("span_len"),
     )
+
+
+@register(
+    "q_ann_from_state",
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id, embedding,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS n2
+        FROM (SELECT vec_id, embedding, unnest(embedding) AS x FROM embeddings)
+        GROUP BY vec_id, embedding
+    ),
+    ranked AS (
+        SELECT vec_id, embedding, n2,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rh
+        FROM norms WHERE vec_id % 3 = 0
+    ),
+    seeds AS (
+        SELECT vec_id AS seed_id, embedding AS sv, n2 AS sn2
+        FROM ranked WHERE rh <= 32
+    ),
+    cp AS (
+        SELECT n.vec_id, n.embedding AS v, n.n2, s.seed_id, s.sv, s.sn2
+        FROM norms n, seeds s
+    ),
+    cdots AS (
+        SELECT vec_id, seed_id, n2, sn2,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS dot
+        FROM (SELECT vec_id, seed_id, n2, sn2,
+                     unnest(v) AS x, unnest(sv) AS y FROM cp)
+        GROUP BY vec_id, seed_id, n2, sn2
+    ),
+    cassign AS (
+        SELECT vec_id, seed_id AS cell,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY round(dot / (sqrt(n2) * sqrt(sn2)), 9)
+                            DESC NULLS LAST,
+                            seed_id
+               ) AS rk
+        FROM cdots
+    ),
+    cells AS (
+        SELECT a.vec_id AS c_id, a.cell, n.embedding AS cv, n.n2 AS cn2
+        FROM cassign a JOIN norms n USING (vec_id) WHERE a.rk = 1
+    ),
+    qassign AS (
+        SELECT vec_id AS q_id, seed_id AS cell,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY round(dot / (sqrt(n2) * sqrt(sn2)), 9)
+                            DESC NULLS LAST,
+                            seed_id
+               ) AS rk
+        FROM cdots WHERE vec_id < 10
+    ),
+    probes AS (
+        SELECT p.q_id, p.cell, n.embedding AS qv, n.n2 AS qn2
+        FROM qassign p JOIN norms n ON n.vec_id = p.q_id
+        WHERE p.rk <= 2
+    ),
+    cand AS (
+        SELECT DISTINCT p.q_id, c.c_id, p.qv, p.qn2, c.cv, c.cn2
+        FROM probes p JOIN cells c USING (cell)
+        WHERE p.q_id <> c.c_id
+    ),
+    pdots AS (
+        SELECT q_id, c_id, qn2, cn2,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS dot
+        FROM (SELECT q_id, c_id, qn2, cn2,
+                     unnest(qv) AS x, unnest(cv) AS y FROM cand)
+        GROUP BY q_id, c_id, qn2, cn2
+    ),
+    scored AS (
+        SELECT q_id, c_id,
+               round(dot / (sqrt(qn2) * sqrt(cn2)), 9) AS cosine,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY round(dot / (sqrt(qn2) * sqrt(cn2)), 9) DESC,
+                            c_id
+               ) AS rk
+        FROM pdots
+    )
+    SELECT q_id, c_id, cosine, rk FROM scored WHERE rk <= 5
+    """,
+    doc="incremental ANN (IVF) index maintenance served end-to-end "
+    "(operators/annstate.py): three embedding batches accrete into "
+    "frozen-centroid postings state (seeds = hash-min vectors of the "
+    "FIRST batch, persisted; later batches assign against the STORED "
+    "seeds — how real IVF deployments grow lists without re-training), "
+    "appends marker-committed exactly-once under the shared "
+    "manifest/lease contract; queries then probe nprobe=2 nearest "
+    "stored cells with exact decimal re-rank. The oracle replays the "
+    "whole index lifecycle (batch-1 seeds, full assignment, probe, "
+    "top-5) in SQL — state-served ANN == declarative recompute is what "
+    "the driver gate hash-checks; N-append == one-shot invariance and "
+    "replay idempotence pinned in tests/test_annstate.py",
+)
+def q_ann_from_state(spark, sf_dir):
+    import shutil
+
+    from rag_pipelines_spark.operators.annstate import (
+        ann_query_from_state,
+        merge_ann_index,
+    )
+    from rag_pipelines_spark.queries.sources import _scratch
+
+    state = _scratch("ann-serve", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)  # additive state: fresh per run
+    e = t(spark, sf_dir, "embeddings")
+    for r in range(3):
+        merge_ann_index(
+            spark,
+            e.filter(F.col("vec_id") % 3 == r),
+            state,
+            "vec_id",
+            "embedding",
+            k_seeds=32,
+            epoch=r,
+        )
+    q = e.filter(F.col("vec_id") < 10)
+    return ann_query_from_state(
+        spark, state, q, "vec_id", "embedding", nprobe=2, k=5
+    )

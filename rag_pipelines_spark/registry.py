@@ -81,6 +81,7 @@ PRIORITY: tuple[str, ...] = (
     "q_repeat_upsample",       # NEW: capped repeat-upsampling (oracle)
     "q_ann_ivf_exact",         # NEW: oracle-checked deterministic IVF top-k
     "q_fuzzy_decontaminate",   # NEW: bipartite prefix-join decontamination
+    "q_ann_from_state",        # NEW: IVF postings state served (oracle)
     "q_bloom_prefilter",     # NEW: bloom-prefiltered anti-join (oracle)
     "q_stream_join",         # NEW: stream-stream interval join (oracle)
     "q_jaccard_join",        # NEW: prefix-filtered exact Jaccard join (oracle)
@@ -123,13 +124,13 @@ PRIORITY: tuple[str, ...] = (
     "q_enrich_fetch",
     "q_funnel",
     "q_gap_fill",
-    "q_html_scan",
-    # (q_map_explode / q_minhash_neardup / q_multimodal_features /
-    # q_ngram_jaccard / q_orc_roundtrip / q_pack_sequences /
-    # q_pretraining_prep / q_repetition_score / q_salted_agg /
-    # q_session_agg / q_simhash_md5 / q_tpch_q1 / q_tpch_q10 /
-    # q_tpch_q11 / q_tpch_q12 rolled to r7 — displaced by the fifteen
-    # new round-6 oracle queries above; all green in driver_sim.)
+    # (q_html_scan / q_map_explode / q_minhash_neardup /
+    # q_multimodal_features / q_ngram_jaccard / q_orc_roundtrip /
+    # q_pack_sequences / q_pretraining_prep / q_repetition_score /
+    # q_salted_agg / q_session_agg / q_simhash_md5 / q_tpch_q1 /
+    # q_tpch_q10 / q_tpch_q11 / q_tpch_q12 rolled to r7 — displaced by
+    # the sixteen new round-6 oracle queries above; all green in
+    # driver_sim.)
 )
 
 
