@@ -57,7 +57,12 @@ from rag_pipelines_spark.operators.state import (
 )
 from rag_pipelines_spark.operators.statefs import backend_for
 
-__all__ = ["merge_ann_index", "ann_query_from_state", "read_ann_postings"]
+__all__ = [
+    "merge_ann_index",
+    "ann_query_from_state",
+    "read_ann_postings",
+    "compact_ann_postings",
+]
 
 _WHAT = "ann index state"
 
@@ -208,3 +213,49 @@ def ann_query_from_state(
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "cosine", "rk")
     )
+
+
+def compact_ann_postings(
+    spark, state_path: str, num_partitions: int | None = None
+) -> int:
+    """Rewrite the accreted postings cell-clustered; returns the row count.
+
+    Batch appends leave one small file-set per epoch; a probe reads only
+    its nprobe cells' rows, so clustering the postings by cell turns
+    that logical pruning into physical I/O pruning (min/max cell stats
+    per file skip everything else) and caps the file count. The rewrite
+    runs dropDuplicates: steady state holds one posting per vector, but
+    a crash between an append's job commit and its marker makes the
+    replay redo the append (merge_ann_index's contract) — doubled rows
+    are invisible to top-k (distinct before ranking) and reclaimed here.
+
+    Same crash-safe choreography as compact_neardup_state: new version
+    dir while the MANIFEST names the old one, atomic pointer flip,
+    newest epoch marker carried forward, predecessor retained one
+    generation for in-flight readers, orphans GC'd. Single-writer via
+    the shared lease.
+    """
+    from rag_pipelines_spark.operators.state import (
+        gc_orphans,
+        write_prev,
+    )
+
+    with writer_lease(state_path, what=_WHAT):
+        live = live_version_dir(state_path, what=_WHAT)
+        if live is None:
+            raise FileNotFoundError(f"no ann index state at {state_path}")
+        state = spark.read.parquet(live).dropDuplicates()
+        n_rows = state.count()
+        n = num_partitions or spark.sparkContext.defaultParallelism
+        new_version = f"v-{uuid.uuid4().hex[:8]}"
+        new_dir = os.path.join(state_path, new_version)
+        state.repartition(n, "cell").sortWithinPartitions("cell").write.mode(
+            "overwrite"
+        ).parquet(new_dir)
+        done_max = max_committed_epoch(live)
+        if done_max is not None:
+            mark_epoch_committed(new_dir, done_max)
+        write_prev(new_dir, os.path.basename(live))
+        write_manifest(state_path, new_version)
+        gc_orphans(state_path)
+    return n_rows

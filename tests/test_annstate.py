@@ -119,3 +119,43 @@ def test_seeds_frozen_across_batches(spark, tmp_path):
     )
     assert cells <= want_seeds  # every cell is a batch-1 seed id
     assert posts.count() == 15
+
+
+def test_compaction_preserves_serve_and_carries_marker(spark, tmp_path):
+    """Compaction changes layout only: identical serve results before and
+    after, newest epoch marker carried forward (replay still no-op),
+    predecessor version retained one generation."""
+    from rag_pipelines_spark.operators.annstate import compact_ann_postings
+    from rag_pipelines_spark.operators.state import live_version_dir
+
+    full = _emb(spark, _vectors(24))
+    s = tmp_path / "s"
+    for r in range(3):
+        merge_ann_index(
+            spark,
+            full.filter(full.vec_id % 3 == r),
+            str(s),
+            "vec_id",
+            "embedding",
+            k_seeds=4,
+            epoch=r,
+        )
+    q = full.filter(full.vec_id < 4)
+    before = _serve(spark, s, q)
+    old_live = live_version_dir(str(s), what="ann index state")
+    n = compact_ann_postings(spark, str(s), num_partitions=2)
+    assert n == 24
+    new_live = live_version_dir(str(s), what="ann index state")
+    assert new_live != old_live
+    assert _serve(spark, s, q) == before
+    # marker carried: replaying the newest epoch is still a no-op
+    merge_ann_index(
+        spark,
+        full.filter(full.vec_id % 3 == 2),
+        str(s),
+        "vec_id",
+        "embedding",
+        k_seeds=4,
+        epoch=2,
+    )
+    assert read_ann_postings(spark, str(s)).count() == 24
