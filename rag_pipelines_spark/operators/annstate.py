@@ -123,6 +123,8 @@ def merge_ann_index(
     norms = _norms(batch, id_col, vec_col).localCheckpoint(eager=True)
     with writer_lease(state_path, what=_WHAT):
         live = live_version_dir(state_path, what=_WHAT)
+        if live is None and not norms.take(1):
+            return  # nothing to freeze seeds from: state stays fresh
         if live is None:
             seeds = (
                 norms.select(

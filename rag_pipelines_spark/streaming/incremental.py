@@ -286,6 +286,7 @@ def continuous_ingest_pipeline(
     freq_m: int | None = None,
     hll_item_col: str | None = None,
     kmv_item_col: str | None = None,
+    ann_k_seeds: int | None = None,
     seen_bloom_m_bits: int | None = None,
     _crash_after: str | None = None,
 ):
@@ -344,6 +345,14 @@ def continuous_ingest_pipeline(
     skip already-applied epochs, so they slot between the rollup merge
     and the corpus write without changing the crash-recovery argument —
     the crash matrix drills them too.
+
+    `ann_k_seeds` embeds every ACCEPTED doc (hashed-BoW dense vectors,
+    operators/embedding.py — deterministic, no model download) and folds
+    the postings into the frozen-centroid ANN index state
+    (``<root>/ann``, operators/annstate.py): seeds freeze on the first
+    non-empty batch, appends are marker-committed, a replayed epoch
+    skips — accepted content becomes similarity-searchable in the same
+    exactly-once epoch that admitted it ('ann' crash point drills it).
 
     `seen_bloom_m_bits` accretes a bloom over the seen keys
     (``<root>/bloomseen``, operators/bloomfilter.py::merge_bloom) and
@@ -476,6 +485,20 @@ def continuous_ingest_pipeline(
                 epoch=epoch_id,
             )
             crash("kmv")
+        if ann_k_seeds is not None:
+            from rag_pipelines_spark.operators.annstate import merge_ann_index
+            from rag_pipelines_spark.operators.embedding import (
+                hashed_bow_embedding,
+            )
+
+            emb = hashed_bow_embedding(
+                clean, id_col=id_col, text_col=text_col, dim=64
+            )
+            merge_ann_index(
+                s, emb, os.path.join(root, "ann"), id_col, "embedding",
+                k_seeds=ann_k_seeds, epoch=epoch_id,
+            )
+            crash("ann")
         # per-epoch partition overwrite: replaying rewrites the same files
         clean.write.mode("overwrite").parquet(
             os.path.join(root, "corpus", f"epoch={epoch_id}")

@@ -53,7 +53,7 @@ def _run(spark, src, root, ckpt):
     q = continuous_ingest_pipeline(
         spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
         freq_m=100, hll_item_col="doc_id", kmv_item_col="doc_id",
-        seen_bloom_m_bits=1 << 16,
+        ann_k_seeds=2, seen_bloom_m_bits=1 << 16,
     )
     q.awaitTermination(120)
 
@@ -102,7 +102,24 @@ def _state_snapshot(spark, root):
             .collect(),
         )
     )
-    return corpus, stats, rollup, seen, freq, hll, kmv, bloom
+    # ann family: snapshot the SERVED top-k (crash-window duplicate
+    # postings rows are contract-invisible — distinct before ranking —
+    # same reason the neardup snapshot is verdicts, not raw key rows)
+    from rag_pipelines_spark.operators.annstate import ann_query_from_state
+    from rag_pipelines_spark.operators.embedding import hashed_bow_embedding
+
+    probe = hashed_bow_embedding(
+        spark.read.parquet(f"{root}/corpus"), id_col="doc_id",
+        text_col="text", dim=64,
+    )
+    ann = sorted(
+        (r.q_id, r.c_id, r.cosine, r.rk)
+        for r in ann_query_from_state(
+            spark, f"{root}/ann", probe, "doc_id", "embedding",
+            nprobe=2, k=2,
+        ).collect()
+    )
+    return corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann
 
 
 def test_continuous_ingest_all_families(spark, tmp_path):
@@ -115,7 +132,8 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
     _run(spark, src, root, ckpt)
 
-    corpus, stats, rollup, seen, freq, hll, kmv, bloom = _state_snapshot(spark, root)
+    (corpus, stats, rollup, seen, freq, hll, kmv, bloom,
+     ann) = _state_snapshot(spark, root)
 
     # front door saw every distinct key; exact dup (doc 1 again) blocked
     assert seen == {1, 2, 3, 4, 5}
@@ -206,7 +224,7 @@ def test_continuous_ingest_all_families(spark, tmp_path):
 
     # full replay: fresh checkpoint over the same source files — the
     # front door anti-join makes every batch a no-op for every family
-    before = (corpus, stats, rollup, seen, freq, hll, kmv, bloom)
+    before = (corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann)
     _run(spark, src, root, str(tmp_path / "ckpt2"))
     assert _state_snapshot(spark, root) == before
 
@@ -257,7 +275,8 @@ def test_epoch_guards_make_merges_idempotent(spark, tmp_path):
 
 
 CRASH_POINTS = [
-    "delta", "neardup", "stats", "rollup", "freq", "hll", "kmv", "corpus",
+    "delta", "neardup", "stats", "rollup", "freq", "hll", "kmv", "ann",
+    "corpus",
     "seen_keys", "seen_bloom", "seen_marker",
 ]
 
@@ -305,7 +324,7 @@ def test_crash_matrix_every_step_replays_to_identical_state(
     q = continuous_ingest_pipeline(
         spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
         freq_m=100, hll_item_col="doc_id", kmv_item_col="doc_id",
-        seen_bloom_m_bits=1 << 16,
+        ann_k_seeds=2, seen_bloom_m_bits=1 << 16,
         _crash_after=crash_after,
     )
     with pytest.raises(Exception, match="injected crash"):
