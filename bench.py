@@ -93,6 +93,9 @@ EXTRAS = [
     "q_semantic_dedup",
     # round 6: linear quality-classifier inference (map-only, zero shuffle)
     "q_quality_model",
+    # round 6 late: CCNet-style bigram-LM familiarity (model train +
+    # vocab-keyed scoring join in one plan) — operators/lm.py
+    "q_lm_score",
 ]
 
 HEADLINE = CORE + EXTRAS + CORE_R4
