@@ -141,6 +141,56 @@ def q_multimodal_features(spark, sf_dir):
 
 
 @register(
+    "q_image_resize",
+    oracle=None,  # binaryFile + stubbed resizer — rows-only
+    doc="image-resize plumbing: binary scan -> stubbed decode+resize "
+    "(1->1 mapInPandas, size-honest RGB payload) -> stubbed feature "
+    "encoder over the RESIZED bytes — the map-on-map chain a real "
+    "vision-preprocessing stage runs; swap a real PIL/opencv resizer "
+    "via the resizer param (sources/binary.py)",
+)
+def q_image_resize(spark, sf_dir):
+    from rag_pipelines_spark.sources.binary import (
+        image_features_stub,
+        read_binary_dir,
+        resize_images_stub,
+    )
+
+    binaries = read_binary_dir(spark, _FIXTURE_BIN, glob="*.binstub")
+    resized = resize_images_stub(binaries, width=32, height=32)
+    feats = image_features_stub(resized, n_features=8)
+    return resized.select("path", "width", "height", F.length("content").alias("n_bytes")).join(
+        feats, "path"
+    )
+
+
+@register(
+    "q_frame_sample",
+    oracle=None,  # binaryFile + stubbed sampler — rows-only
+    doc="video frame-sampling plumbing: binary scan -> 1->N explode-shaped "
+    "mapInPandas (n frames/video, ts_ms + frame bytes) -> per-frame stubbed "
+    "encoder; fan-out happens inside the task so a 100 TB video corpus "
+    "samples with no shuffle; swap a real ffmpeg sampler via the sampler "
+    "param (sources/binary.py)",
+)
+def q_frame_sample(spark, sf_dir):
+    from rag_pipelines_spark.sources.binary import (
+        read_binary_dir,
+        sample_frames_stub,
+    )
+
+    binaries = read_binary_dir(spark, _FIXTURE_BIN, glob="*.vidstub")
+    frames = sample_frames_stub(binaries, n_frames=4)
+    return frames.select(
+        "path",
+        "frame_idx",
+        "ts_ms",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").alias("n_bytes"),
+    )
+
+
+@register(
     "q_csv_roundtrip",
     oracle="SELECT doc_id, lang, source, n_chars, text FROM documents",
     doc="CSV sink + schema'd scan round-trip (RFC-4180 quote escaping, "

@@ -124,3 +124,105 @@ def image_features_stub(
             yield pd.DataFrame(rows, columns=["path", "features"])
 
     return binaries.mapInPandas(run, schema=schema)
+
+
+RESIZE_SCHEMA = "path string, width int, height int, content binary"
+
+# Real integration points: (bytes, path, w, h) -> resized bytes, and
+# (bytes, path, n) -> [(ts_ms, frame_bytes)].
+Resizer = Callable[[bytes, str, int, int], bytes]
+FrameSampler = Callable[[bytes, str, int], list[tuple[int, bytes]]]
+
+
+def _fake_resize(content: bytes, path: str, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: a w*h*3-byte payload
+    streamed from md5(content) — size contract matches a real RGB resize
+    so downstream batch-memory accounting is honest."""
+    out, n, i = b"", width * height * 3, 0
+    while len(out) < n:
+        out += hashlib.md5(content + i.to_bytes(4, "big")).digest()
+        i += 1
+    return out[:n]
+
+
+def resize_images_stub(
+    binaries: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    resizer: Resizer | None = None,
+) -> DataFrame:
+    """Image resize plumbing: binary row -> binary row (1->1 mapInPandas).
+
+    The stub emits a correctly-sized deterministic payload; passing a
+    real `resizer` (PIL/opencv on a real cluster) swaps in actual decode+
+    resize with the identical schema, batching, and per-partition init.
+    At 100 TB this is pure map work: parallelism = input partitions,
+    Arrow batches bound executor memory to batch_size * w * h * 3.
+    """
+    rz = resizer or _fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lib = rz  # per-partition init point (import PIL / load kernels here)
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                rows.append(
+                    {
+                        "path": path,
+                        "width": width,
+                        "height": height,
+                        "content": lib(blob, path, width, height),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["path", "width", "height", "content"])
+
+    return binaries.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "path string, frame_idx int, ts_ms bigint, frame binary"
+
+
+def _fake_frames(content: bytes, path: str, n: int) -> list[tuple[int, bytes]]:
+    """Deterministic stand-in for video frame sampling: n frames at 1 fps,
+    each frame's bytes keyed by (content, index)."""
+    return [
+        (i * 1000, hashlib.md5(content + b"frame" + i.to_bytes(4, "big")).digest())
+        for i in range(n)
+    ]
+
+
+def sample_frames_stub(
+    binaries: DataFrame,
+    n_frames: int = 4,
+    sampler: FrameSampler | None = None,
+) -> DataFrame:
+    """Video frame-sampling plumbing: binary row -> n frame rows (the
+    1->N explode-shaped mapInPandas — the batch contract a real ffmpeg
+    sampler needs, distinct from the 1->1 decode/resize shape).
+
+    Output fans out inside the task, so a 100 TB video corpus samples
+    with NO shuffle: each task turns its video rows into frame rows and
+    downstream per-frame ops (resize/encode above) chain map-on-map.
+    One giant video cannot skew a task beyond n_frames output rows.
+    """
+    smp = sampler or _fake_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lib = smp  # per-partition init point (open ffmpeg/codec handles here)
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                for idx, (ts_ms, frame) in enumerate(lib(blob, path, n_frames)):
+                    rows.append(
+                        {
+                            "path": path,
+                            "frame_idx": idx,
+                            "ts_ms": ts_ms,
+                            "frame": frame,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["path", "frame_idx", "ts_ms", "frame"])
+
+    return binaries.mapInPandas(run, schema=FRAME_SCHEMA)
