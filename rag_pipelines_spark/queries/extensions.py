@@ -192,6 +192,88 @@ def q_quality_score(spark, sf_dir):
     )
 
 
+@register(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               string_split(lower(text), ' ') AS lws,
+               text
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+               CAST(len(regexp_extract_all(text, '#')) AS BIGINT)
+                   + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+                   AS n_symbols,
+               CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS BIGINT) AS alpha_words,
+               CAST(len(list_filter(lws,
+                   x -> x IN ('{_STOPWORDS[0]}','{_STOPWORDS[1]}','{_STOPWORDS[2]}','{_STOPWORDS[3]}','{_STOPWORDS[4]}')))
+                   AS BIGINT) AS stop_hits
+        FROM toks
+    )
+    SELECT doc_id, n_words, word_chars, n_symbols, alpha_words, stop_hits,
+           CASE WHEN n_words >= 50 AND n_words <= 100000
+                     AND 3 * n_words <= word_chars
+                     AND word_chars <= 10 * n_words
+                     AND 10 * n_symbols < n_words
+                     AND 5 * alpha_words > 4 * n_words
+                     AND stop_hits >= 2
+                THEN 1 ELSE 0 END AS passes_gopher
+    FROM m
+    """,
+    doc="Gopher quality rules (Rae et al. 2021) as ONE composite gate: "
+    "word-count bounds, mean word length in [3,10], symbol-to-word ratio "
+    "< 0.1, alphabetic-word fraction > 0.8, stop-word presence >= 2. "
+    "Every threshold is evaluated in exact INTEGER cross-multiplication "
+    "(3*n <= chars <= 10*n, not chars/n vs a float) so the verdict can "
+    "never flip on a boundary between engines; pure per-row column math "
+    "— map-only, zero shuffle, scan-bandwidth-bound at 100 TB",
+)
+def q_gopher_rules(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    lws = F.split(F.lower("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS[:5]])
+    n_words = F.size(ws).cast("bigint")
+    word_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "bigint"
+    )
+    n_symbols = (
+        F.size(F.regexp_extract_all("text", F.lit("#"), 0))
+        + F.size(F.regexp_extract_all("text", F.lit(r"\.\.\."), 0))
+    ).cast("bigint")
+    alpha_words = F.size(
+        F.filter(ws, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    stop_hits = F.size(
+        F.filter(lws, lambda x: F.array_contains(stop_arr, x))
+    ).cast("bigint")
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_symbols.alias("n_symbols"),
+        alpha_words.alias("alpha_words"),
+        stop_hits.alias("stop_hits"),
+    )
+    passes = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (3 * F.col("n_words") <= F.col("word_chars"))
+        & (F.col("word_chars") <= 10 * F.col("n_words"))
+        & (10 * F.col("n_symbols") < F.col("n_words"))
+        & (5 * F.col("alpha_words") > 4 * F.col("n_words"))
+        & (F.col("stop_hits") >= 2)
+    )
+    return m.select(
+        "*", F.when(passes, 1).otherwise(0).alias("passes_gopher")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Chunking
 # ---------------------------------------------------------------------------

@@ -288,6 +288,7 @@ def continuous_ingest_pipeline(
     kmv_item_col: str | None = None,
     ann_k_seeds: int | None = None,
     seen_bloom_m_bits: int | None = None,
+    lm_gate: bool = False,
     _crash_after: str | None = None,
 ):
     """The reference's watcher as ONE streaming job maintaining EVERY
@@ -353,6 +354,20 @@ def continuous_ingest_pipeline(
     non-empty batch, appends are marker-committed, a replayed epoch
     skips — accepted content becomes similarity-searchable in the same
     exactly-once epoch that admitted it ('ann' crash point drills it).
+
+    `lm_gate` maintains the CCNet-style bigram-LM quality tier
+    (``<root>/lm`` + per-epoch scores in ``<root>/lmscore``,
+    operators/lm.py): every accepted batch is scored against the model
+    ACCRETED SO FAR (score-before-ingest — epoch 0 scores against the
+    empty model, familiarity 0), the scores land in an idempotent
+    per-epoch partition overwrite, and only then do the batch's bigram
+    counts fold into the rollup-backed model state. Replay safety needs
+    one extra rule the other families don't: scoring is NOT
+    re-executable once the merge committed (the model would then
+    contain the batch itself and produce different scores), so the
+    WHOLE block — score write + merge — is guarded by the lm state's
+    applied-epoch check; the score write precedes the merge, so a
+    skipped replay always finds the scores already on disk.
 
     `seen_bloom_m_bits` accretes a bloom over the seen keys
     (``<root>/bloomseen``, operators/bloomfilter.py::merge_bloom) and
@@ -485,6 +500,43 @@ def continuous_ingest_pipeline(
                 epoch=epoch_id,
             )
             crash("kmv")
+        if lm_gate:
+            from rag_pipelines_spark.operators.lm import bigrams, familiarity
+            from rag_pipelines_spark.operators.state import (
+                epoch_already_applied,
+            )
+
+            lm_path = os.path.join(root, "lm")
+            # one guard for the WHOLE block: once the merge committed,
+            # re-scoring would run against a model that already contains
+            # this batch and produce different numbers — so score+merge
+            # replay as a unit or not at all (see docstring)
+            if not epoch_already_applied(lm_path, "lm bigram state", epoch_id):
+                try:
+                    from rag_pipelines_spark.operators.rollup import (
+                        read_rollup,
+                    )
+
+                    model = read_rollup(s, lm_path).select(
+                        "w1", "w2", F.col(f"count_{id_col}").alias("c12")
+                    )
+                except FileNotFoundError:  # epoch 0: empty model
+                    model = s.createDataFrame(
+                        [], "w1 string, w2 string, c12 bigint"
+                    )
+                familiarity(clean, model, text_col=text_col, id_col=id_col) \
+                    .write.mode("overwrite").parquet(
+                        os.path.join(root, "lmscore", f"epoch={epoch_id}")
+                    )
+                pairs = clean.select(
+                    F.col(id_col), F.explode(bigrams(text_col)).alias("p")
+                ).select(id_col, "p.w1", "p.w2")
+                merge_rollup(
+                    s, pairs, lm_path,
+                    keys=["w1", "w2"], measures={id_col: ["count"]},
+                    epoch=epoch_id,
+                )
+            crash("lm")
         if ann_k_seeds is not None:
             from rag_pipelines_spark.operators.annstate import merge_ann_index
             from rag_pipelines_spark.operators.embedding import (

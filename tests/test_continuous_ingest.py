@@ -53,7 +53,7 @@ def _run(spark, src, root, ckpt):
     q = continuous_ingest_pipeline(
         spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
         freq_m=100, hll_item_col="doc_id", kmv_item_col="doc_id",
-        ann_k_seeds=2, seen_bloom_m_bits=1 << 16,
+        ann_k_seeds=2, seen_bloom_m_bits=1 << 16, lm_gate=True,
     )
     q.awaitTermination(120)
 
@@ -119,7 +119,17 @@ def _state_snapshot(spark, root):
             nprobe=2, k=2,
         ).collect()
     )
-    return corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann
+    # lm family: accreted bigram-count model + per-epoch score rows
+    lm_model = sorted(
+        map(tuple, read_rollup(spark, f"{root}/lm").collect())
+    )
+    lm_scores = sorted(
+        (r.epoch, r.doc_id, r.n_bigrams, r.known_bigrams, r.model_hits,
+         r.familiarity)
+        for r in spark.read.parquet(f"{root}/lmscore").collect()
+    )
+    return (corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann,
+            (lm_model, lm_scores))
 
 
 def test_continuous_ingest_all_families(spark, tmp_path):
@@ -133,7 +143,7 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     _run(spark, src, root, ckpt)
 
     (corpus, stats, rollup, seen, freq, hll, kmv, bloom,
-     ann) = _state_snapshot(spark, root)
+     ann, lm) = _state_snapshot(spark, root)
 
     # front door saw every distinct key; exact dup (doc 1 again) blocked
     assert seen == {1, 2, 3, 4, 5}
@@ -222,9 +232,47 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     )
     assert bloom == direct_bloom
 
+    # lm gate: the accreted model equals a one-shot bigram count over the
+    # accepted corpus (count is mergeable), and each epoch's scores used
+    # only the model as of the PREVIOUS epochs (score-before-ingest):
+    # epoch 0 scored against the empty model (familiarity 0.0 for docs
+    # with bigrams), epoch 1 against epoch 0's accepted bigrams
+    from rag_pipelines_spark.operators.lm import bigrams, familiarity
+
+    lm_model, lm_scores = lm
+    direct_model = sorted(
+        map(
+            tuple,
+            accepted.select(F.explode(bigrams("text")).alias("p"))
+            .select("p.w1", "p.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count("*").alias("count_doc_id"))
+            .collect(),
+        )
+    )
+    assert lm_model == direct_model
+    e0 = [r for r in lm_scores if r[0] == 0]
+    assert e0 and all(r[3] == 0 and r[4] == 0 for r in e0), (
+        "epoch 0 must score against the EMPTY model"
+    )
+    epoch0_corpus = spark.read.parquet(f"{root}/corpus/epoch=0")
+    model0 = (
+        epoch0_corpus.select(F.explode(bigrams("text")).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    epoch1_corpus = spark.read.parquet(f"{root}/corpus/epoch=1")
+    direct_e1 = sorted(
+        (1, r.doc_id, r.n_bigrams, r.known_bigrams, r.model_hits,
+         r.familiarity)
+        for r in familiarity(epoch1_corpus, model0).collect()
+    )
+    assert [r for r in lm_scores if r[0] == 1] == direct_e1
+
     # full replay: fresh checkpoint over the same source files — the
     # front door anti-join makes every batch a no-op for every family
-    before = (corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann)
+    before = (corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann, lm)
     _run(spark, src, root, str(tmp_path / "ckpt2"))
     assert _state_snapshot(spark, root) == before
 
@@ -275,8 +323,8 @@ def test_epoch_guards_make_merges_idempotent(spark, tmp_path):
 
 
 CRASH_POINTS = [
-    "delta", "neardup", "stats", "rollup", "freq", "hll", "kmv", "ann",
-    "corpus",
+    "delta", "neardup", "stats", "rollup", "freq", "hll", "kmv", "lm",
+    "ann", "corpus",
     "seen_keys", "seen_bloom", "seen_marker",
 ]
 
@@ -324,7 +372,7 @@ def test_crash_matrix_every_step_replays_to_identical_state(
     q = continuous_ingest_pipeline(
         spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
         freq_m=100, hll_item_col="doc_id", kmv_item_col="doc_id",
-        ann_k_seeds=2, seen_bloom_m_bits=1 << 16,
+        ann_k_seeds=2, seen_bloom_m_bits=1 << 16, lm_gate=True,
         _crash_after=crash_after,
     )
     with pytest.raises(Exception, match="injected crash"):
