@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rag_pipelines_spark.operators.state import (
+    applied_epoch,
     commit_version,
     epoch_already_applied,
     live_version_dir,
@@ -142,3 +143,74 @@ def read_rollup(spark, state_path: str) -> DataFrame:
     if live is None:
         raise FileNotFoundError(f"no rollup state at {state_path}")
     return spark.read.parquet(live)
+
+
+def compact_rollup_state(
+    spark,
+    state_path: str,
+    *,
+    min_count: int | None = None,
+    count_col: str | None = None,
+    cluster_by: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> tuple[int, int]:
+    """Rewrite the live rollup version into a bounded, optionally pruned
+    file set; returns (rows_before, rows_after).
+
+    Two jobs, same rewrite:
+
+    * **File-count bound** — merge_rollup rewrites whole versions, but a
+      long-lived state accretes small files when batches are small (each
+      commit inherits the previous version's partitioning ∪ the batch's).
+      The compacted copy is written at a fixed ``num_partitions``,
+      optionally hash-clustered on ``cluster_by`` so serve-side equi-joins
+      (e.g. the gram-digest probe in q_substring_from_state) shuffle-prune
+      to matching partitions.
+
+    * **min_count pruning** — the sizing knob SCALE.md names for the
+      count-shaped states (substring gram counts, LM bigram tails): drop
+      rows whose ``count_col`` is below ``min_count``. For a state whose
+      ONLY consumers filter at ``count >= min_count`` (duplicated-gram
+      serving filters at 2), pruning below that threshold preserves every
+      served verdict for grams at/above it — pinned by test. Documented
+      loss for rows BELOW it: their partial counts are forgotten, so a
+      gram with (min_count - 1) pre-compaction occurrences needs
+      min_count NEW post-compaction occurrences to cross the threshold —
+      a bounded undercount that can only delay a positive verdict, never
+      invent one (false negatives across the compaction horizon only;
+      no false positives, counts never inflate). The LM familiarity
+      analogue: pruning the singleton-bigram tail lowers hit-rates for
+      exactly those rare bigrams — the standard CCNet vocabulary cut.
+
+    Crash safety is the shared version-commit ritual (operators/state.py):
+    new version dir -> atomic manifest flip -> GC with one-generation
+    reader grace; the live version's applied epoch is carried forward so
+    a replayed micro-batch is still recognized after compaction.
+    Single-writer under the state lease, like every merge.
+    """
+    if (min_count is None) != (count_col is None):
+        raise ValueError("min_count and count_col must be passed together")
+    with writer_lease(state_path, what="rollup state"):
+        live = live_version_dir(state_path, what="rollup state")
+        if live is None:
+            raise FileNotFoundError(f"no rollup state at {state_path}")
+        state = spark.read.parquet(live)
+        n_before = state.count()
+        if min_count is not None:
+            state = state.filter(F.col(count_col) >= min_count)
+        n = num_partitions or spark.sparkContext.defaultParallelism
+        compacted = (
+            state.repartition(n, *cluster_by) if cluster_by
+            else state.repartition(n)
+        )
+        n_after = compacted.count()
+        # epoch carried forward BEFORE the flip (applied_epoch resolves the
+        # manifest, which still names the old live inside this lease)
+        epoch = applied_epoch(state_path, what="rollup state")
+        commit_version(
+            state_path,
+            lambda vdir: compacted.write.mode("overwrite").parquet(vdir),
+            epoch=epoch,
+            prev=os.path.basename(live),
+        )
+    return n_before, n_after

@@ -147,7 +147,10 @@ def q_multimodal_features(spark, sf_dir):
     "(1->1 mapInPandas, size-honest RGB payload) -> stubbed feature "
     "encoder over the RESIZED bytes — the map-on-map chain a real "
     "vision-preprocessing stage runs; swap a real PIL/opencv resizer "
-    "via the resizer param (sources/binary.py)",
+    "via the resizer param (sources/binary.py). The feature vector is "
+    "reduced to hashable scalars (feat_sum/feat_min/feat_max) before "
+    "returning — the driver canonicalizer sorts with pandas and cannot "
+    "hash a raw array column (r6 red row)",
 )
 def q_image_resize(spark, sf_dir):
     from rag_pipelines_spark.sources.binary import (
@@ -158,10 +161,17 @@ def q_image_resize(spark, sf_dir):
 
     binaries = read_binary_dir(spark, _FIXTURE_BIN, glob="*.binstub")
     resized = resize_images_stub(binaries, width=32, height=32)
-    feats = image_features_stub(resized, n_features=8)
-    return resized.select("path", "width", "height", F.length("content").alias("n_bytes")).join(
-        feats, "path"
+    feats = image_features_stub(resized, n_features=8).select(
+        "path",
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("feat_sum"),
+        F.round(F.array_min("features"), 6).alias("feat_min"),
+        F.round(F.array_max("features"), 6).alias("feat_max"),
     )
+    return resized.select(
+        "path", "width", "height", F.length("content").alias("n_bytes")
+    ).join(feats, "path")
 
 
 @register(

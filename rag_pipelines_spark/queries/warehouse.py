@@ -758,6 +758,101 @@ def q_substring_from_state(spark, sf_dir):
 
 
 @register(
+    "q_substring_compacted",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS s FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, s, unnest(range(1, len(s) - 8 + 2)) AS i
+        FROM toks WHERE len(s) >= 8
+    ),
+    g AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(s[i:i+7], ' ')) AS gh
+        FROM idx
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+    hits AS (
+        SELECT g.doc_id, g.pos AS st, g.pos + 7 AS en
+        FROM g JOIN dup USING (gh)
+        WHERE g.doc_id % 3 = 2
+    ),
+    flagged AS (
+        SELECT doc_id, st, en,
+               CASE WHEN MAX(en) OVER (
+                        PARTITION BY doc_id ORDER BY st
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR st > MAX(en) OVER (
+                        PARTITION BY doc_id ORDER BY st
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) + 1
+               THEN 1 ELSE 0 END AS nw
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, st, en,
+               SUM(nw) OVER (PARTITION BY doc_id ORDER BY st
+                             ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    )
+    SELECT doc_id, MIN(st) AS span_start, MAX(en) AS span_end,
+           MAX(en) - MIN(st) + 1 AS span_len
+    FROM isl GROUP BY doc_id, island
+    """,
+    doc="q_substring_from_state's serve run against a PRUNED state: after "
+    "the 3-batch accretion, compact_rollup_state(min_count=2) drops every "
+    "singleton gram (the dominant row class) and hash-clusters the "
+    "survivors on the digest key (operators/rollup.py). The oracle is the "
+    "full-corpus recompute — byte-identical spans from a fraction of the "
+    "state rows is the driver-gate proof that min_count pruning preserves "
+    "every served verdict, the SCALE.md sizing knob for the largest state "
+    "family made code (VERDICT r6 item 3). Below-threshold loss semantics "
+    "pinned in tests/test_rollup.py",
+)
+def q_substring_compacted(spark, sf_dir):
+    import shutil
+
+    from rag_pipelines_spark.operators.rollup import (
+        compact_rollup_state,
+        merge_rollup,
+        read_rollup,
+    )
+    from rag_pipelines_spark.operators.substrdedup import (
+        merge_covered_spans,
+        ngram_occurrences,
+    )
+    from rag_pipelines_spark.queries.sources import _scratch
+
+    state = _scratch("substr-compact", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)  # additive state: fresh per run
+    d = t(spark, sf_dir, "documents")
+    occ = ngram_occurrences(d, "doc_id", "text", 8).localCheckpoint(eager=True)
+    for r in range(3):
+        merge_rollup(
+            spark,
+            occ.filter(F.col("id") % 3 == r).select("gh", "pos"),
+            state,
+            keys=["gh"],
+            measures={"pos": ["count"]},
+            epoch=r,
+        )
+    compact_rollup_state(
+        spark, state, min_count=2, count_col="count_pos", cluster_by=["gh"]
+    )
+    dup = read_rollup(spark, state).select("gh")  # all survivors are >= 2
+    hits = occ.filter(F.col("id") % 3 == 2).join(dup, "gh")
+    s = merge_covered_spans(hits, 8, "doc_id")
+    return s.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_len").cast("long").alias("span_len"),
+    )
+
+
+@register(
     "q_ann_from_state",
     oracle="""
     WITH norms AS (
