@@ -49,6 +49,7 @@ __all__ = [
     "merge_covered_spans",
     "duplicated_ngram_spans",
     "substring_dedup",
+    "bloom_front_door",
 ]
 
 
@@ -107,6 +108,47 @@ def duplicated_ngram_spans(
     occ = ngram_occurrences(df, id_col, text_col, n)
     hits = _dup_occurrences(occ, min_count)
     return merge_covered_spans(hits, n, id_col)
+
+
+def bloom_front_door(
+    batch_occ: DataFrame,
+    dup_grams: DataFrame,
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    words: DataFrame | None = None,
+) -> DataFrame:
+    """Bloom prefilter in front of the gram-state probe join: batch gram
+    occurrences whose digest is DEFINITELY not in the duplicated-gram set
+    never enter the state equi-join.
+
+    The serve join in q_substring_from_state is
+    ``batch_occ ⋈ dup_grams on gh``; its shuffled batch side is every gram
+    occurrence of the batch, though the overwhelming majority of grams are
+    not duplicated (Zipf tail — measured ~99% singleton at sf1, SCALE.md).
+    The front door builds a Bloom digest over the dup digests
+    (operators/bloomfilter.py: (w, bits) words frame, m/8 bytes broadcast,
+    k broadcast-hash-join probes — all map-side, zero shuffle) and keeps
+    only the maybe-dup occurrences: shuffled volume drops from |batch
+    grams| to |dup hits| + fpp·|batch grams|. Bloom filters have no false
+    negatives, so the surviving join output — and every served span — is
+    EXACTLY the unfiltered join's (driver-gate hash-checked).
+
+    Pass ``words`` to serve from a PERSISTED bloom (merge_bloom sibling
+    state, rebuilt at compaction cadence when the dup set changes); by
+    default the digest is built inline — one pass over the (small) dup
+    set, amortized across every batch served against the same state
+    version. When the dup set is broadcastable AQE already plans a
+    broadcast join and the front door adds only the m/8-byte probe; its
+    regime is the 100 TB one where the dup set exceeds broadcast range
+    but its bloom does not (the bloom_anti_join tiering argument).
+    """
+    from rag_pipelines_spark.operators.bloomfilter import bloom_build, bloom_probe
+
+    if words is None:
+        words = bloom_build(dup_grams.select("gh"), "gh", m_bits, k)
+    probed = bloom_probe(batch_occ, words, "gh", m_bits, k)
+    return probed.filter(F.col("_bfmaybe")).drop("_bfmaybe")
 
 
 def merge_covered_spans(hits: DataFrame, n: int, id_col: str) -> DataFrame:

@@ -715,13 +715,18 @@ def q_kmv_serve(spark, sf_dir):
     "recompute is exactly what the driver gate hash-checks. State is "
     "O(distinct grams) — the largest state family by construction "
     "(documented in SCALE.md); the md5-digest key keeps rows at 32 "
-    "bytes + count regardless of n — operators/substrdedup.py",
+    "bytes + count regardless of n — operators/substrdedup.py. The "
+    "serve probe runs behind the bloom front door (bloom_front_door): "
+    "batch grams definitely not in the dup set skip the state join "
+    "entirely (no false negatives -> hash-identical spans; measured "
+    "shuffled-volume drop in SCALE.md)",
 )
 def q_substring_from_state(spark, sf_dir):
     import shutil
 
     from rag_pipelines_spark.operators.rollup import merge_rollup, read_rollup
     from rag_pipelines_spark.operators.substrdedup import (
+        bloom_front_door,
         merge_covered_spans,
         ngram_occurrences,
     )
@@ -747,7 +752,8 @@ def q_substring_from_state(spark, sf_dir):
         .filter(F.col("count_pos") >= 2)
         .select("gh")
     )
-    hits = occ.filter(F.col("id") % 3 == 2).join(dup, "gh")
+    batch = bloom_front_door(occ.filter(F.col("id") % 3 == 2), dup)
+    hits = batch.join(dup, "gh")
     s = merge_covered_spans(hits, 8, "doc_id")
     return s.select(
         "doc_id",

@@ -170,3 +170,41 @@ _corpus = st.lists(_doc, min_size=1, max_size=8).map(
 def test_property_matches_brute_force(spark, docs, n):
     assert _spark_spans(spark, docs, n, 2) == brute_spans(docs, n, 2)
     assert _spark_dedup(spark, docs, n, 2) == brute_dedup(docs, n, 2)
+
+
+# ---------------------------------------------------------------------------
+# Bloom front door: exactness + pruning (VERDICT r6 item 8)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_front_door_exact_and_prunes(spark):
+    """The prefiltered serve join must produce the identical hit set
+    (bloom = no false negatives) while demonstrably pruning the batch
+    side (definitely-new grams skip the state join)."""
+    from pyspark.sql import functions as F
+
+    from rag_pipelines_spark.operators.substrdedup import (
+        bloom_front_door,
+        ngram_occurrences,
+    )
+    from tests.conftest import SF_DIR
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    occ = ngram_occurrences(d, "doc_id", "text", 8)
+    dup = (
+        occ.groupBy("gh").agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2).select("gh")
+    )
+    batch = occ.filter(F.col("id") % 3 == 2)
+    n_batch = batch.count()
+    filtered = bloom_front_door(batch, dup)
+    n_filtered = filtered.count()
+    plain_hits = sorted(
+        (r.id, r.pos) for r in batch.join(dup, "gh").collect()
+    )
+    bloom_hits = sorted(
+        (r.id, r.pos) for r in filtered.join(dup, "gh").collect()
+    )
+    assert bloom_hits == plain_hits            # exactness
+    assert n_filtered < n_batch                # real pruning
+    assert n_filtered >= len(plain_hits)       # never below the true hits
