@@ -271,6 +271,7 @@ def minhash_band_keys(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_size: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, bkey) deterministic md5 min-hash band keys.
 
@@ -280,12 +281,19 @@ def minhash_band_keys(
     `bands` keys of `n_hashes/bands` signatures each. Deterministic in
     any engine/partitioning (md5 is md5), so state written today matches
     signatures computed by any future job.
+
+    `shingles_df` lets a caller that already built the (id, shingles)
+    frame (e.g. near_dedup_pairs, which also needs the sets for exact
+    verification) share the construction instead of duplicating it.
     """
     rows_per_band = n_hashes // bands
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
-    sh = toks.select(
-        F.col(id_col), word_shingles(F.col("ws"), shingle_size).alias("shingles")
-    )
+    if shingles_df is not None:
+        sh = shingles_df
+    else:
+        toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
+        sh = toks.select(
+            F.col(id_col), word_shingles(F.col("ws"), shingle_size).alias("shingles")
+        )
     ex = sh.select(F.col(id_col), F.explode("shingles").alias("x"))
     sig = ex.groupBy(id_col).agg(
         *[
@@ -305,6 +313,105 @@ def minhash_band_keys(
     )
     return sig.select(
         F.col(id_col), F.posexplode(band_arr).alias("band", "bkey")
+    )
+
+
+def band_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (a_id, b_id) candidate pairs from an (id, band, bkey)
+    frame — ids sharing any band bucket, a_id < b_id.
+
+    Pairs come from COLLECTED buckets, not a bands self-join: the shingle
+    UDF defeats exchange-reuse canonicalization, so a self-join would
+    compute the whole signature subtree once PER SIDE (measured 2x at
+    sf10 — SCALE.md). groupBy(band,bkey) + per-bucket expansion runs
+    signatures once and shuffles once; the expansion work is output-sized
+    (LSH buckets hold a handful of near-dups each), never corpus-sized.
+
+    Expansion is TWO chained Generates — (pos, a) rows, then each row
+    explodes only its suffix slice — so per-row memory stays O(s) for a
+    bucket of size s, never the O(s^2) single-row blob a nested transform
+    would build (a degenerate bucket of identical boilerplate would hit
+    the 2 GB row limit there; here its pairs spread across rows and spill
+    like any join output).
+    """
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    step1 = buckets.select("ids", F.posexplode("ids").alias("_i", "a_id"))
+    return (
+        step1.select(
+            "a_id",
+            F.explode(
+                F.slice("ids", F.col("_i") + F.lit(2), F.size("ids"))
+            ).alias("b_id"),
+        )
+        # strict < : position-based expansion would emit (x, x) if an id
+        # ever appeared twice in a bucket (duplicate input ids); the
+        # join formulation's a_id < b_id predicate excluded those
+        .filter(F.col("a_id") < F.col("b_id"))
+        .distinct()
+    )
+
+
+def near_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Verified near-duplicate pairs: md5-minhash band candidates, then
+    EXACT set-Jaccard verification at threshold_num/threshold_den.
+
+    The full near-dedup pipeline (candidates -> verify) in one operator,
+    hash-checkable in any engine because every stage is deterministic:
+    md5 min-hashes (minhash_band_keys), bucket-collected candidate pairs
+    (band_candidate_pairs), then exact Jaccard over the distinct shingle
+    sets. The threshold compare is INTEGER cross-multiplication
+    (den*inter >= num*union) — float division would flip rows whose exact
+    Jaccard is a representable boundary like 4/5 (same rule as PPJoin in
+    operators/setjoin.py).
+
+    Scale: candidates never come from an all-pairs product; verification
+    fetches the two shingle arrays per candidate via two equi-joins on id
+    (shuffle keyed on id, candidate-sized probe side), so post-LSH work
+    is output-sized. `array_intersect` on the already-distinct shingle
+    arrays gives the exact intersection cardinality. The shingle frame
+    feeds three plan branches (band keys + both verify sides); Spark
+    recomputes the Arrow-UDF subtree per branch, so a caller running this
+    at scale should `.persist()` the input (or write shingles once) — the
+    extra cost is bounded re-shingling, never an extra shuffle.
+    """
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
+    sh = toks.select(
+        F.col(id_col), word_shingles(F.col("ws"), shingle_size).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    keys = minhash_band_keys(
+        df, id_col, text_col, n_hashes, bands, shingle_size, shingles_df=sh
+    )
+    cand = band_candidate_pairs(keys, id_col)
+    a_sh = sh.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh"))
+    b_sh = sh.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    return (
+        cand.join(a_sh, "a_id")
+        .join(b_sh, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            inter.alias("inter_size"),
+            union.alias("union_size"),
+        )
+        .filter(
+            F.lit(threshold_den) * F.col("inter_size")
+            >= F.lit(threshold_num) * F.col("union_size")
+        )
     )
 
 

@@ -573,11 +573,93 @@ def q_embed_neardup(spark, sf_dir):
 
 @register(
     "q_near_dedup",
-    oracle=None,  # MinHashLSH hash family is engine-specific — rows-only
-    doc="near-dedup candidates via MinHashLSH over word shingles "
-    "(pyspark.ml); deterministic seed, banding via approxSimilarityJoin",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000000, text || ' near dup tail'
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 1, 1)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+        FROM tok
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_aggregate(list_transform(shingles, x -> md5('0|' || x)), 'min') AS s0,
+               list_aggregate(list_transform(shingles, x -> md5('1|' || x)), 'min') AS s1,
+               list_aggregate(list_transform(shingles, x -> md5('2|' || x)), 'min') AS s2,
+               list_aggregate(list_transform(shingles, x -> md5('3|' || x)), 'min') AS s3,
+               list_aggregate(list_transform(shingles, x -> md5('4|' || x)), 'min') AS s4,
+               list_aggregate(list_transform(shingles, x -> md5('5|' || x)), 'min') AS s5,
+               list_aggregate(list_transform(shingles, x -> md5('6|' || x)), 'min') AS s6,
+               list_aggregate(list_transform(shingles, x -> md5('7|' || x)), 'min') AS s7
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(s0 || s1) AS bkey FROM sig
+        UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                    AND a.doc_id < b.doc_id
+    ),
+    v AS (
+        SELECT c.a_id, c.b_id,
+               len(list_intersect(sa.shingles, sb.shingles)) AS inter_size,
+               len(sa.shingles) + len(sb.shingles)
+                   - len(list_intersect(sa.shingles, sb.shingles)) AS union_size
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id
+    )
+    SELECT a_id, b_id, inter_size, union_size
+    FROM v
+    WHERE 5 * inter_size >= 4 * union_size
+    """,
+    doc="the FULL near-dedup pipeline, hash-checked end-to-end: md5-minhash "
+    "band candidates (same signatures as q_minhash_neardup) + EXACT "
+    "set-Jaccard verification at 0.8 via integer cross-multiplication "
+    "(5*inter >= 4*union — float division would flip boundary pairs). "
+    "Promoted from rows-only in r7: the MLlib twin q_near_dedup_mllib "
+    "keeps the production pyspark.ml path under a rows-only check. "
+    "operators/dedup.py near_dedup_pairs",
 )
 def q_near_dedup(spark, sf_dir):
+    from rag_pipelines_spark.operators.dedup import near_dedup_pairs
+
+    d = t(spark, sf_dir, "documents")
+    # planted near-dups (same scheme as q_minhash_neardup): every 10th doc
+    # re-appears with a 3-word tail at an id offset beyond any fixture
+    # range, so verification has known positives AND known sub-threshold
+    # rejects (short docs fall under 0.8)
+    mutated = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1000000000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(mutated)
+    return near_dedup_pairs(
+        corpus, id_col="doc_id", text_col="text", threshold_num=4, threshold_den=5
+    )
+
+
+@register(
+    "q_near_dedup_mllib",
+    oracle=None,  # MinHashLSH hash family is engine-specific — rows-only
+    doc="near-dedup candidates via MinHashLSH over word shingles "
+    "(pyspark.ml); deterministic seed, banding via approxSimilarityJoin. "
+    "Production rows-only twin of the oracle-checked q_near_dedup "
+    "(md5-minhash + exact-Jaccard verify)",
+)
+def q_near_dedup_mllib(spark, sf_dir):
     from rag_pipelines_spark.operators.dedup import minhash_candidates
 
     d = t(spark, sf_dir, "documents")
@@ -932,47 +1014,20 @@ def q_minhash_neardup(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
     )
     corpus = d.select("doc_id", "text").unionByName(mutated)
-    from rag_pipelines_spark.operators.dedup import minhash_band_keys
+    from rag_pipelines_spark.operators.dedup import (
+        band_candidate_pairs,
+        minhash_band_keys,
+    )
 
     # signatures are explode + codegen'd hash-agg (NOT interpreted
     # array_min(transform) per seed — see minhash_band_keys); the same
     # operator feeds incremental_neardup's persisted state, so batch and
     # incremental paths can never disagree on what counts as a dup.
-    # Pairs come from COLLECTED buckets, not a bands self-join: the
-    # shingle UDF defeats exchange-reuse canonicalization, so a self-join
-    # would compute the whole signature subtree once PER SIDE (measured
-    # 2x at sf10). groupBy(band,bkey) + per-bucket pair expansion runs
-    # signatures once and shuffles once; the transform-lambda work is
-    # output-sized (LSH buckets hold a handful of near-dups each — the
-    # same bucket^2 bound the join's output had), never corpus-sized.
+    # Pair expansion rationale (collected buckets, two chained Generates,
+    # strict <) lives on band_candidate_pairs, which q_near_dedup's
+    # verified pipeline shares.
     bands = minhash_band_keys(corpus, "doc_id", "text")
-    buckets = (
-        bands.groupBy("band", "bkey")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    # pair expansion as TWO chained Generates — (pos, a) rows, then each
-    # row explodes only its suffix slice — so per-row memory stays O(s)
-    # for a bucket of size s, never the O(s^2) single-row blob a nested
-    # transform would build (a degenerate bucket of identical boilerplate
-    # would hit the 2 GB row limit there; here its pairs spread across
-    # rows and spill like any join output)
-    step1 = buckets.select(
-        "ids", F.posexplode("ids").alias("_i", "a_id")
-    )
-    return (
-        step1.select(
-            "a_id",
-            F.explode(
-                F.slice("ids", F.col("_i") + F.lit(2), F.size("ids"))
-            ).alias("b_id"),
-        )
-        # strict < : position-based expansion would emit (x, x) if an id
-        # ever appeared twice in a bucket (duplicate input ids); the
-        # join formulation's a_id < b_id predicate excluded those
-        .filter(F.col("a_id") < F.col("b_id"))
-        .distinct()
-    )
+    return band_candidate_pairs(bands, "doc_id")
 
 
 _SIMHASH_BITS = 60  # 15 md5 hex chars -> fits a signed 64-bit long exactly

@@ -200,6 +200,57 @@ def test_minhash_neardup_finds_planted_pairs(spark):
     assert len(planted) / n_sources >= 0.8  # tail mutation rarely flips a band
 
 
+def test_near_dedup_pairs_exact_vs_brute_force(spark):
+    """near_dedup_pairs precision is EXACT by construction (verification
+    stage): every returned pair's inter/union must equal the brute-force
+    distinct-3-shingle Jaccard, and no sub-threshold pair may survive.
+    Identical duplicates (jaccard 1) agree on all bands, so recall on
+    them is guaranteed, not probabilistic."""
+    from rag_pipelines_spark.operators.dedup import near_dedup_pairs
+
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "a completely different sentence about spark shuffles and parquet"),
+        (3, "the quick brown fox jumps over the lazy dog again and again today"),
+        (4, "the quick brown fox jumps over the lazy dog again and again soon"),
+        (5, "short doc"),  # < 3 tokens of shingle room -> no signature
+        (6, "spark shuffles and parquet files compress well in practice often"),
+    ]
+    df = spark.createDataFrame(base, ["doc_id", "text"])
+    got = {
+        (r["a_id"], r["b_id"]): (r["inter_size"], r["union_size"])
+        for r in near_dedup_pairs(df, "doc_id", "text", 4, 5).collect()
+    }
+
+    def sh(text):
+        ws = text.split(" ")
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    truth = {}
+    for i, (a, ta) in enumerate(base):
+        for b, tb in base[i + 1 :]:
+            sa, sb = sh(ta), sh(tb)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            truth[(a, b)] = (inter, union)
+    # precision: every returned pair matches brute force and clears 4/5
+    for pair, (inter, union) in got.items():
+        assert truth[pair] == (inter, union)
+        assert 5 * inter >= 4 * union
+    # guaranteed recall on exact duplicates (all 4 bands equal)
+    assert (1, 3) in got
+    # near-miss (one word changed at the tail) is above 0.8 here: 10
+    # shared of 12 union shingles -> 50 >= 48; with md5 hashes fixed,
+    # band agreement is deterministic (verified: at least one of 4 agrees)
+    assert (1, 4) in got and (3, 4) in got
+    # sub-threshold pairs never survive verification
+    for pair in got:
+        assert 5 * truth[pair][0] >= 4 * truth[pair][1]
+    assert (2, 6) not in got  # jaccard well under 0.8
+
+
 def test_line_dedup_idempotent(spark):
     """Dedup of a deduped corpus is the identity: after one pass every
     line is corpus-unique, so a second pass must keep everything."""
