@@ -32,12 +32,19 @@ load-bearing operation is publishing the MANIFEST pointer):
 Lease caveat on object stores: ``create(overwrite=false)`` is a
 true atomic create-if-absent on HDFS and the local FS, but S3A
 implements the existence check client-side (HADOOP-16490 area), so two
-racing creators can both succeed within a narrow window. The lease on
-object stores is therefore advisory-grade — correct against the
-crashed-holder and serialized-cron scenarios it exists for, not against
-adversarial same-millisecond double-starts; stores with conditional
-PUT (If-None-Match) close that gap below this interface when the
-connector exposes it. The manifest/epoch machinery does NOT depend on
+racing creators can both succeed within a narrow window. Where the
+connector exposes conditional writes (Hadoop 3.4's
+``fs.option.create.conditional.overwrite`` createFile option —
+HADOOP-19256; S3A maps it to an ``If-None-Match: *`` PUT, so the
+object store itself rejects the second creator with a 412 at commit),
+``create_excl`` uses that tier and the lease is atomic end-to-end.
+Otherwise it falls back to the client-side check and the lease is
+advisory-grade — correct against the crashed-holder and
+serialized-cron scenarios it exists for, not against adversarial
+same-millisecond double-starts — and logs one loud warning per scheme
+so the downgrade is visible in operator logs. The two-racing-creators
+window for both tiers is pinned by a fake object-store drill in
+tests/test_statefs.py. The manifest/epoch machinery does NOT depend on
 the lease for crash safety — only for refusing concurrent writers.
 
 Durability: the local backend fsyncs files and parent directories; the
@@ -208,6 +215,18 @@ class LocalBackend:
 # overwrite PUT.
 _RENAME_ATOMIC_SCHEMES = {"file", "hdfs", "viewfs", "webhdfs", "ofs", "o3fs"}
 
+# createFile() builder option for Hadoop 3.4+ conditional create
+# (Options.CreateFileOptionKeys.FS_OPTION_CREATE_CONDITIONAL_OVERWRITE,
+# HADOOP-19256). Probing the same string through hasPathCapability is the
+# FileSystem-spec convention for "does this store honor the option" —
+# S3A against real S3 answers true and turns the create into an
+# If-None-Match: * PUT; stores without it answer false.
+_CONDITIONAL_CREATE_OPT = "fs.option.create.conditional.overwrite"
+
+# schemes already warned about running the advisory-grade lease tier —
+# one loud line per scheme per process, not one per acquisition
+_ADVISORY_WARNED: set[str] = set()
+
 
 class HadoopBackend:
     """Hadoop FileSystem API primitives via the active session's JVM."""
@@ -269,6 +288,11 @@ class HadoopBackend:
             "org.apache.hadoop.fs.FileAlreadyExistsException",
             "java.nio.file.FileAlreadyExistsException",
             "org.apache.hadoop.fs.PathExistsException",
+            # conditional-create race: the store rejected the PUT with 412
+            # PreconditionFailed because the key appeared between build()
+            # and close(). This module never reads with etag pinning, so
+            # here the exception can only mean "already exists".
+            "org.apache.hadoop.fs.s3a.RemoteFileChangedException",
         ):
             return FileExistsError(msg)
         return e
@@ -369,7 +393,66 @@ class HadoopBackend:
             self._write(dst, text, True)
 
     def create_excl(self, p: str, text: str) -> None:
-        self._write(self._path(p), text, False)
+        jp = self._path(p)
+        fs = self._fs(jp)
+        scheme = fs.getScheme()
+        if scheme in _RENAME_ATOMIC_SCHEMES:
+            # create(overwrite=false) is a true atomic create-if-absent
+            # on these filesystems — nothing more needed
+            self._write(jp, text, False)
+            return
+        # object store: prefer the conditional-PUT tier (server-side
+        # If-None-Match), fall back to the client-side check loudly
+        if self._conditional_create(fs, jp, text):
+            return
+        if scheme not in _ADVISORY_WARNED:
+            _ADVISORY_WARNED.add(scheme)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "scheme %r exposes no conditional-create capability "
+                "(%s): the writer lease falls back to a client-side "
+                "existence check and is ADVISORY-GRADE — two writers "
+                "racing within the check-to-commit window can both "
+                "acquire. Crash safety is unaffected (manifest/epoch "
+                "machinery); only concurrent-writer refusal weakens.",
+                scheme,
+                _CONDITIONAL_CREATE_OPT,
+            )
+        self._write(jp, text, False)
+
+    def _conditional_create(self, fs, jp, text: str) -> bool:
+        """Attempt an atomic create-if-absent via the Hadoop 3.4
+        conditional-write builder option. Returns True when the
+        conditional tier handled the create (success), False when the
+        store/builder does not support it (caller falls back), raises
+        FileExistsError when the store rejected the commit because the
+        key exists (lost the race or lease already held)."""
+        try:
+            if not fs.hasPathCapability(jp, _CONDITIONAL_CREATE_OPT):
+                return False
+        except Exception:  # noqa: BLE001 — older FS without the probe
+            return False
+        try:
+            builder = fs.createFile(jp)
+            builder.overwrite(False)
+            builder.must(_CONDITIONAL_CREATE_OPT, True)
+            out = builder.build()
+        except Exception as e:  # noqa: BLE001
+            te = self._translate(e)
+            if isinstance(te, FileExistsError):
+                raise te from None
+            # builder rejected the must() option despite the capability
+            # probe (connector drift) — advisory fallback
+            return False
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            try:
+                out.close()  # the PUT commits HERE; 412 surfaces here
+            except Exception as e:  # noqa: BLE001
+                raise self._translate(e) from None
+        return True
 
     def unlink(self, p: str, *, missing_ok: bool = False) -> None:
         jp = self._path(p)

@@ -145,6 +145,37 @@ def _fake_resize(content: bytes, path: str, width: int, height: int) -> bytes:
     return out[:n]
 
 
+def pil_resizer() -> Resizer:
+    """A REAL decode+resize resizer backed by Pillow, for clusters where
+    the imaging lib is installed. Returns raw RGB bytes (w*h*3) — the
+    same size contract as _fake_resize, so swapping it in changes only
+    the pixel content, never schema/batching/memory accounting.
+
+    Guarded import at factory-call time: the default path never touches
+    PIL (this container has no imaging libs — SURVEY §7 non-goal), and a
+    cluster that opts in fails loudly at pipeline-build time, not deep
+    inside an executor task. tests/test_multimodal.py exercises this on
+    a checked-in PNG when Pillow is available and pins the clean
+    ImportError contract when it is not.
+    """
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - exercised via tests
+        raise ImportError(
+            "pil_resizer needs Pillow (pip install pillow on the "
+            "cluster image); the deterministic stub resizer is the "
+            "default and needs nothing"
+        ) from exc
+
+    import io
+
+    def rz(content: bytes, path: str, width: int, height: int) -> bytes:
+        img = Image.open(io.BytesIO(content)).convert("RGB")
+        return img.resize((width, height)).tobytes()
+
+    return rz
+
+
 def resize_images_stub(
     binaries: DataFrame,
     width: int = 32,

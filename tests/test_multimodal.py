@@ -77,3 +77,62 @@ def test_frame_sample_deterministic_under_repartition(spark, videos):
     b = {(r.path, r.frame_idx, bytes(r.frame))
          for r in sample_frames_stub(videos.repartition(5), n_frames=3).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Real-decoder proof: the resizer seam carries REAL image bytes when an
+# imaging lib exists; without one the opt-in fails loudly at build time
+# ---------------------------------------------------------------------------
+
+FIXTURE_PNG_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_png_fixture_is_a_real_png():
+    """The checked-in fixture is a structurally valid PNG (magic +
+    chunks) — pinned independently of PIL so the real-decoder test can
+    never silently rot into decoding garbage."""
+    blob = open(os.path.join(FIXTURE_PNG_DIR, "tiny_rgb.png"), "rb").read()
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    assert b"IHDR" in blob and b"IDAT" in blob and b"IEND" in blob
+
+
+def test_pil_resizer_decodes_real_bytes(spark):
+    """With Pillow installed, pil_resizer() drives the SAME
+    resize_images_stub plumbing with an actual decode+resize: output is
+    the exact RGB buffer PIL produces for the checked-in PNG."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from rag_pipelines_spark.sources.binary import pil_resizer
+
+    images = read_binary_dir(spark, FIXTURE_PNG_DIR, glob="*.png")
+    out = resize_images_stub(
+        images, width=2, height=2, resizer=pil_resizer()
+    ).collect()
+    assert len(out) == 1
+    blob = open(os.path.join(FIXTURE_PNG_DIR, "tiny_rgb.png"), "rb").read()
+    expected = Image.open(io.BytesIO(blob)).convert("RGB").resize((2, 2)).tobytes()
+    assert bytes(out[0].content) == expected
+    assert len(out[0].content) == 2 * 2 * 3
+
+
+@pytest.mark.skipif(_pil_available(), reason="Pillow installed here")
+def test_pil_resizer_absent_fails_loudly_at_build_time():
+    """Opting into the real decoder without the lib must raise a clear
+    ImportError when the pipeline is BUILT — never deep inside an
+    executor task."""
+    from rag_pipelines_spark.sources.binary import pil_resizer
+
+    with pytest.raises(ImportError, match="Pillow"):
+        pil_resizer()

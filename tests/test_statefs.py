@@ -205,3 +205,192 @@ def test_unknown_scheme_raises_loudly(spark, tmp_path):
 
     with pytest.raises(Exception, match="(?i)no filesystem for scheme|unsupported"):
         live_version_dir("nosuchscheme://bucket/state")
+
+
+# ---------------------------------------------------------------------------
+# Conditional-PUT lease tier: two-racing-creators drill on a fake object
+# store (the connector behavior S3A exhibits with/without HADOOP-19256
+# conditional writes, scripted so the race window is deterministic)
+# ---------------------------------------------------------------------------
+
+
+class _FakeJavaException:
+    def __init__(self, name: str, msg: str):
+        self._name, self._msg = name, msg
+
+    def getClass(self):
+        return self
+
+    def getName(self):
+        return self._name
+
+    def getMessage(self):
+        return self._msg
+
+
+def _fake_java_error(name: str, msg: str):
+    """A Py4JJavaError lookalike that carries a scripted java class name
+    through HadoopBackend._translate without a JVM round trip."""
+    from py4j.protocol import Py4JJavaError
+
+    e = Py4JJavaError.__new__(Py4JJavaError)
+    Exception.__init__(e, msg)
+    e.java_exception = _FakeJavaException(name, msg)
+    e.errmsg = msg
+    return e
+
+
+class _FakeStream:
+    def __init__(self, fs, key: str, conditional: bool):
+        self._fs, self._key, self._conditional = fs, key, conditional
+        self._buf = bytearray()
+
+    def write(self, data):
+        self._buf.extend(bytes(data))
+
+    def close(self):
+        self._fs.on_commit()  # the test injects the rival's PUT here
+        if self._conditional and self._key in self._fs.store:
+            # server-side If-None-Match: the 412 surface S3A translates
+            raise _fake_java_error(
+                "org.apache.hadoop.fs.s3a.RemoteFileChangedException",
+                f"PUT {self._key}: 412 PreconditionFailed",
+            )
+        self._fs.store[self._key] = bytes(self._buf)
+
+    def hsync(self):
+        pass
+
+
+class _FakeBuilder:
+    def __init__(self, fs, key: str):
+        self._fs, self._key = fs, key
+        self._conditional = False
+
+    def overwrite(self, flag):
+        return self
+
+    def must(self, key, val):
+        if key != "fs.option.create.conditional.overwrite":
+            raise _fake_java_error(
+                "java.lang.IllegalArgumentException", f"unknown must: {key}"
+            )
+        if not self._fs.conditional:
+            raise _fake_java_error(
+                "java.lang.IllegalArgumentException",
+                "conditional create not supported",
+            )
+        self._conditional = bool(val)
+        return self
+
+    def build(self):
+        return _FakeStream(self._fs, self._key, self._conditional)
+
+
+class _FakeObjectStoreFS:
+    """Duck-typed stand-in for the py4j FileSystem handle: an object
+    store whose plain create(overwrite=false) checks existence
+    CLIENT-SIDE at create() time and commits at close() — the racy
+    S3A shape — plus an optional conditional-create capability."""
+
+    def __init__(self, conditional: bool):
+        self.conditional = conditional
+        self.store: dict[str, bytes] = {}
+        self.on_commit = lambda: None
+
+    def getScheme(self):
+        return "fakes3"
+
+    def hasPathCapability(self, jp, cap):
+        return self.conditional and cap == "fs.option.create.conditional.overwrite"
+
+    def createFile(self, jp):
+        return _FakeBuilder(self, str(jp))
+
+    def create(self, jp, overwrite):
+        key = str(jp)
+        if not overwrite and key in self.store:
+            raise _fake_java_error(
+                "org.apache.hadoop.fs.FileAlreadyExistsException", key
+            )
+        return _FakeStream(self, key, conditional=False)
+
+
+def _fake_backend(spark, fs):
+    from rag_pipelines_spark.operators.statefs import HadoopBackend
+
+    b = HadoopBackend(spark)
+    b._fs = lambda jp: fs
+    b._path = lambda p: p
+    return b
+
+
+def test_conditional_create_wins_the_race_exactly_once(spark):
+    """Conditional tier: a rival PUT landing between build() and close()
+    makes OUR commit fail with FileExistsError — the store, not a
+    client-side check, refuses the second creator. Exactly one holder."""
+    fs = _FakeObjectStoreFS(conditional=True)
+    b = _fake_backend(spark, fs)
+
+    def rival_commit():
+        fs.on_commit = lambda: None  # rival runs once
+        fs.store["fakes3://bucket/lease"] = b"rival token"
+
+    fs.on_commit = rival_commit
+    with pytest.raises(FileExistsError):
+        b.create_excl("fakes3://bucket/lease", "our token")
+    assert fs.store["fakes3://bucket/lease"] == b"rival token"
+    # and with no rival, the conditional path acquires normally...
+    fs2 = _FakeObjectStoreFS(conditional=True)
+    b2 = _fake_backend(spark, fs2)
+    b2.create_excl("fakes3://bucket/lease", "our token")
+    assert fs2.store["fakes3://bucket/lease"] == b"our token"
+    # ...and an already-held lease is refused at commit
+    with pytest.raises(FileExistsError):
+        b2.create_excl("fakes3://bucket/lease", "second writer")
+
+
+def test_advisory_fallback_double_acquires_and_warns(spark, caplog):
+    """Without the capability the SAME race silently double-acquires
+    (documented advisory-grade gap: client-side check at create(),
+    commit at close()) — and the downgrade logs one loud warning per
+    scheme so operators can see which tier they are on."""
+    import logging
+
+    from rag_pipelines_spark.operators import statefs
+
+    statefs._ADVISORY_WARNED.discard("fakes3")
+    fs = _FakeObjectStoreFS(conditional=False)
+    b = _fake_backend(spark, fs)
+
+    def rival_commit():
+        fs.on_commit = lambda: None
+        fs.store["fakes3://bucket/lease"] = b"rival token"
+
+    fs.on_commit = rival_commit
+    with caplog.at_level(logging.WARNING, logger="rag_pipelines_spark.operators.statefs"):
+        b.create_excl("fakes3://bucket/lease", "our token")  # no error!
+    # last-writer-wins: both creators "succeeded" — the advisory gap
+    assert fs.store["fakes3://bucket/lease"] == b"our token"
+    assert any("ADVISORY-GRADE" in r.message for r in caplog.records)
+    # warned once per scheme, not per acquisition
+    n = len([r for r in caplog.records if "ADVISORY-GRADE" in r.message])
+    fs.store.clear()
+    with caplog.at_level(logging.WARNING, logger="rag_pipelines_spark.operators.statefs"):
+        b.create_excl("fakes3://bucket/lease", "again")
+    assert (
+        len([r for r in caplog.records if "ADVISORY-GRADE" in r.message]) == n
+    )
+    # the plain create-if-absent REFUSAL still works outside the window
+    with pytest.raises(FileExistsError):
+        b.create_excl("fakes3://bucket/lease", "third")
+
+
+def test_capability_probe_drift_falls_back_not_crashes(spark):
+    """Capability answers true but the builder rejects must() (connector
+    drift): create_excl must fall back to the advisory path, not crash."""
+    fs = _FakeObjectStoreFS(conditional=False)
+    fs.hasPathCapability = lambda jp, cap: True  # lies
+    b = _fake_backend(spark, fs)
+    b.create_excl("fakes3://bucket/lease", "token")
+    assert fs.store["fakes3://bucket/lease"] == b"token"
