@@ -253,3 +253,83 @@ def repeat_upsample(
         .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
         .drop("_full", "_rem", "_copies")
     )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    tokens_col: str,
+    budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Admit rows per group, in deterministic md5 order, until the
+    group's cumulative token count would exceed ``budget`` — the
+    token-budget counterpart of mixture_sample's doc-count quotas
+    (training mixtures are specified in tokens, not documents).
+
+    Semantics (engine-portable, so DuckDB computes the same set): rank
+    rows within each group by ``md5(id || salt)``; a row is admitted iff
+    its INCLUSIVE running token sum is <= budget. Content-hash order
+    makes the admitted set stable under repartitioning and engine.
+
+    Scale: the naive formulation is one window over the whole corpus —
+    a full shuffle ordered by hash, with each group's running sum
+    serialized through one task (a popular source = one straggler).
+    This implementation splits the work by the md5 PREFIX byte, which
+    is order-compatible with the full hash:
+
+      1. per (group, 256-way bucket): token sums — a map-side-combinable
+         hash agg producing a tiny frame (256 x n_groups rows);
+      2. bucket-level running sums classify each bucket as fully
+         admitted (whole bucket fits), partial (the single bucket where
+         the budget line crosses — at most one per group), or rejected;
+      3. fully-admitted rows pass through via a BROADCAST semi-join
+         (no corpus shuffle at all); only the partial bucket's rows —
+         1/256th of one group — pay the row-level window, with the
+         preceding buckets' sum folded in as a constant offset.
+
+    Token counts must be >= 1 per row (space-split length is), so a
+    budget boundary can never be straddled by zero-width rows and the
+    bucket classification is exact.
+    """
+    rk = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    ranked = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(tokens_col),
+        rk.alias("_rk"),
+        F.substring(rk, 1, 2).alias("_bk"),
+    )
+    bsum = ranked.groupBy(group_col, "_bk").agg(
+        F.sum(tokens_col).alias("_btok")
+    )
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bcum = bsum.withColumn(
+        "_before", F.coalesce(F.sum("_btok").over(wb), F.lit(0))
+    )
+    full = bcum.filter(F.col("_before") + F.col("_btok") <= F.lit(budget))
+    partial = bcum.filter(
+        (F.col("_before") + F.col("_btok") > F.lit(budget))
+        & (F.col("_before") < F.lit(budget))
+    )
+    admitted_full = ranked.join(
+        F.broadcast(full.select(group_col, "_bk")), [group_col, "_bk"]
+    )
+    wr = Window.partitionBy(group_col).orderBy("_rk", id_col)
+    part_rows = ranked.join(
+        F.broadcast(partial.select(group_col, "_bk", "_before")),
+        [group_col, "_bk"],
+    )
+    part_sel = (
+        part_rows.withColumn("_cum_in", F.sum(tokens_col).over(wr))
+        .filter(F.col("_before") + F.col("_cum_in") <= F.lit(budget))
+        .drop("_before", "_cum_in")
+    )
+    return admitted_full.unionByName(part_sel).select(
+        id_col, group_col, tokens_col
+    )

@@ -652,6 +652,87 @@ def q_near_dedup(spark, sf_dir):
 
 
 @register(
+    "q_near_dedup_filter",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000000, text || ' near dup tail'
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 1, 1)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+        FROM tok
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_aggregate(list_transform(shingles, x -> md5('0|' || x)), 'min') AS s0,
+               list_aggregate(list_transform(shingles, x -> md5('1|' || x)), 'min') AS s1,
+               list_aggregate(list_transform(shingles, x -> md5('2|' || x)), 'min') AS s2,
+               list_aggregate(list_transform(shingles, x -> md5('3|' || x)), 'min') AS s3,
+               list_aggregate(list_transform(shingles, x -> md5('4|' || x)), 'min') AS s4,
+               list_aggregate(list_transform(shingles, x -> md5('5|' || x)), 'min') AS s5,
+               list_aggregate(list_transform(shingles, x -> md5('6|' || x)), 'min') AS s6,
+               list_aggregate(list_transform(shingles, x -> md5('7|' || x)), 'min') AS s7
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(s0 || s1) AS bkey FROM sig
+        UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                    AND a.doc_id < b.doc_id
+    ),
+    losers AS (
+        SELECT DISTINCT c.b_id
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id
+        WHERE 5 * len(list_intersect(sa.shingles, sb.shingles))
+              >= 4 * (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles)))
+    )
+    SELECT c.doc_id, length(c.text) AS n_chars
+    FROM corpus c
+    LEFT JOIN losers l ON l.b_id = c.doc_id
+    WHERE l.b_id IS NULL
+    """,
+    doc="corpus-level near-dedup FILTER: the production move on top of "
+    "q_near_dedup's verified pairs — drop every doc that is the larger "
+    "id of a verified pair (greedy smaller-id keeper; transitive-closure "
+    "clustering is q_dup_clusters' job), keep the rest. One broadcast-able "
+    "anti-join over the loser id set; output bounded to (id, n_chars) so "
+    "the row stays hash-comparable at every SF",
+)
+def q_near_dedup_filter(spark, sf_dir):
+    from rag_pipelines_spark.operators.dedup import near_dedup_pairs
+
+    d = t(spark, sf_dir, "documents")
+    mutated = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1000000000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(mutated)
+    losers = (
+        near_dedup_pairs(corpus, "doc_id", "text", 4, 5)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    return corpus.join(losers, "doc_id", "left_anti").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+
+@register(
     "q_near_dedup_mllib",
     oracle=None,  # MinHashLSH hash family is engine-specific — rows-only
     doc="near-dedup candidates via MinHashLSH over word shingles "
@@ -2040,6 +2121,52 @@ def q_repeat_upsample(spark, sf_dir):
     )
     return out.select(
         "doc_id", "lang", "sample_rank", F.col("copy").cast("long").alias("copy")
+    )
+
+
+@register(
+    "q_token_budget_mixture",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS rk
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY rk, doc_id
+               ) AS cum
+        FROM tok
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM c WHERE cum <= 50000
+    """,
+    doc="token-budget mixture: admit docs per source in deterministic "
+    "md5 order until the source's cumulative token count hits the budget "
+    "(training mixtures are specified in TOKENS, not documents — the "
+    "token-budget counterpart of q_mixture_weights). The oracle is the "
+    "naive full-corpus running sum; the Spark path is the two-phase "
+    "md5-prefix-bucket design (256-bucket token sums -> broadcast "
+    "bucket admission -> row window only inside the single boundary "
+    "bucket per source), provably the same set because the bucket key "
+    "is an order-compatible prefix of the rank hash. "
+    "operators/sampling.py token_budget_mixture",
+)
+def q_token_budget_mixture(spark, sf_dir):
+    from rag_pipelines_spark.operators.sampling import token_budget_mixture
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    out = token_budget_mixture(
+        tok, id_col="doc_id", group_col="source", tokens_col="n_tokens",
+        budget=50000,
+    )
+    return out.select(
+        "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens")
     )
 
 

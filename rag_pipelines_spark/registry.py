@@ -66,6 +66,8 @@ PRIORITY: tuple[str, ...] = (
     "q_image_resize",        # FIXED r7: r6 ERR row (array column) -> scalars
     "q_substring_from_state", # TOUCHED r7: bloom front door on the serve path
     "q_minhash_neardup",     # TOUCHED r7 (shared pair expansion) + r3-aged
+    "q_near_dedup_filter",   # NEW r7: corpus-level near-dedup keeper filter
+    "q_token_budget_mixture",  # NEW r7: two-phase token-budget admission
     # --- (b) r3-aged rows: whole remaining cohort ---
     "q_delta_anti_join",
     "q_downsample",
@@ -109,8 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "q_agg_summary",
     "q_approx_distinct",
     "q_batch_assign",
-    "q_bm25_from_state",
-    "q_bm25_topk",
 )
 
 

@@ -261,3 +261,49 @@ def test_repeat_upsample_zero_target_drops_group(spark):
     rows = got.collect()
     assert all(r.src == "b" for r in rows)
     assert sorted((r.doc_id, r.copy) for r in rows) == [(3, 1), (3, 2)]
+
+
+def test_token_budget_mixture_matches_naive_cumsum(spark):
+    """The two-phase bucket implementation must admit EXACTLY the naive
+    set: rank by md5(id), admit while inclusive running token sum per
+    group <= budget. Brute-forced in Python across budgets that land the
+    boundary in different buckets, plus the all-admitted and
+    nothing-admitted edges."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from rag_pipelines_spark.operators.sampling import token_budget_mixture
+
+    rows = [(i, "s" + str(i % 3), (i * 7) % 13 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+
+    def naive(budget):
+        admitted = set()
+        by_group: dict = {}
+        for i, g, n in rows:
+            by_group.setdefault(g, []).append((hashlib.md5(str(i).encode()).hexdigest(), i, n))
+        for g, lst in by_group.items():
+            cum = 0
+            for _rk, i, n in sorted(lst):
+                cum += n
+                if cum <= budget:
+                    admitted.add(i)
+        return admitted
+
+    for budget in (0, 1, 13, 97, 350, 10**6):
+        got = {
+            r["doc_id"]
+            for r in token_budget_mixture(
+                df, "doc_id", "source", "n_tokens", budget
+            ).collect()
+        }
+        assert got == naive(budget), f"budget={budget}"
+    # stability under repartitioning (the whole point of hash ranking)
+    got_a = {
+        r["doc_id"]
+        for r in token_budget_mixture(
+            df.repartition(13), "doc_id", "source", "n_tokens", 97
+        ).collect()
+    }
+    assert got_a == naive(97)

@@ -81,8 +81,16 @@ def main() -> int:
         i = args.index("--row-cap")
         row_cap = int(args[i + 1])
         del args[i : i + 2]
+    run_all = "--all" in args
+    if run_all:
+        args.remove("--all")
     sf_dir = args[0]
-    names = args[1:] or DEFAULT_SET
+    if run_all:
+        # full-registry rung (round 7): every registered query executes at
+        # this SF; oracle rows hash-compare, data-sized rows need twins
+        names = list(E.queries().keys())
+    else:
+        names = args[1:] or DEFAULT_SET
 
     from pyspark.sql import SparkSession
 
@@ -114,44 +122,51 @@ def main() -> int:
         print(f"unknown queries: {unknown}")
         return 2
 
-    n_pass = n_fail = n_big = n_rows_only = 0
+    n_pass = n_fail = n_big = n_rows_only = n_err = 0
     big_without_twin = []
     for name in names:
-        df = qs[name](spark, sf_dir)
-        n_spark = df.count()  # full distributed execution, driver sees a long
-        if name not in oracles:
-            n_rows_only += 1
-            print(f"ROWS-ONLY {name}: {n_spark} rows", flush=True)
-            continue
-        if n_spark > row_cap:
-            n_big += 1
-            twin = f"{name}_checksum"
-            has_twin = twin in names and twin in oracles
-            print(
-                f"TOO-BIG {name}: {n_spark} rows > cap {row_cap} "
-                f"({'bounded twin ' + twin + ' in run' if has_twin else 'NO TWIN'})",
-                flush=True,
-            )
-            if not has_twin:
-                big_without_twin.append(name)
-            continue
-        sdf = df.toPandas()
-        ddf = con.sql(oracles[name]).df()
-        hs, ns = vhash(sdf)
-        hd, nd = vhash(ddf)
-        ok = hs == hd and sorted(sdf.columns) == sorted(ddf.columns)
-        n_pass += ok
-        n_fail += not ok
-        print(f"{'PASS' if ok else 'FAIL'} {name}: spark={ns} duck={nd}", flush=True)
+        # per-query isolation (driver_sim convention): a full-registry
+        # sweep must record ERR and keep going, not abort at query 37
+        try:
+            df = qs[name](spark, sf_dir)
+            n_spark = df.count()  # full distributed execution
+            if name not in oracles:
+                n_rows_only += 1
+                print(f"ROWS-ONLY {name}: {n_spark} rows", flush=True)
+                continue
+            if n_spark > row_cap:
+                n_big += 1
+                twin = f"{name}_checksum"
+                has_twin = twin in names and twin in oracles
+                print(
+                    f"TOO-BIG {name}: {n_spark} rows > cap {row_cap} "
+                    f"({'bounded twin ' + twin + ' in run' if has_twin else 'NO TWIN'})",
+                    flush=True,
+                )
+                if not has_twin:
+                    big_without_twin.append(name)
+                continue
+            sdf = df.toPandas()
+            ddf = con.sql(oracles[name]).df()
+            hs, ns = vhash(sdf)
+            hd, nd = vhash(ddf)
+            ok = hs == hd and sorted(sdf.columns) == sorted(ddf.columns)
+            n_pass += ok
+            n_fail += not ok
+            print(f"{'PASS' if ok else 'FAIL'} {name}: spark={ns} duck={nd}", flush=True)
+        except Exception as exc:  # noqa: BLE001
+            n_err += 1
+            msg = str(exc).replace("\n", " ")[:200]
+            print(f"ERR {name}: {msg}", flush=True)
 
     print(
         f"TOTAL: {n_pass} pass, {n_fail} fail, {n_big} too-big, "
-        f"{n_rows_only} rows-only"
+        f"{n_rows_only} rows-only, {n_err} err"
     )
     if big_without_twin:
         print(f"FAIL: too-big queries without a bounded twin: {big_without_twin}")
         return 1
-    return 1 if n_fail else 0
+    return 1 if (n_fail or n_err) else 0
 
 
 if __name__ == "__main__":
