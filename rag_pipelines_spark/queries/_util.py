@@ -70,3 +70,16 @@ def o_dsum(expr: str, scale: int = 2, precision: int = 18) -> str:
 
 def o_davg(expr: str, scale: int = 2, precision: int = 18) -> str:
     return f"({o_dsum(expr, scale, precision)} / COUNT({expr}))"
+
+
+def md5_long_digest(*cols: Column) -> Column:
+    """60-bit row digest: first 15 md5 hex nibbles of the '|'-joined
+    string forms, as a long. Engine-portable (md5 is md5; 15 nibbles fit
+    a signed 64-bit exactly) and XOR-safe — the checksum-twin pattern
+    aggregates these with bit_xor for an order-insensitive, overflow-free
+    signature of an unbounded row set. DuckDB mirror:
+    CAST(concat('0x', substr(md5(a || '|' || b), 1, 15)) AS BIGINT).
+    """
+    return F.conv(F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10).cast(
+        "long"
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from rag_pipelines_spark.registry import register
-from rag_pipelines_spark.queries._util import t
+from rag_pipelines_spark.queries._util import md5_long_digest, t
 
 # ---------------------------------------------------------------------------
 # Text analytics
@@ -1109,6 +1109,84 @@ def q_minhash_neardup(spark, sf_dir):
     # verified pipeline shares.
     bands = minhash_band_keys(corpus, "doc_id", "text")
     return band_candidate_pairs(bands, "doc_id")
+
+
+@register(
+    "q_minhash_neardup_checksum",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000000, text || ' near dup tail'
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 1, 1)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+        FROM tok
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_aggregate(list_transform(shingles, x -> md5('0|' || x)), 'min') AS s0,
+               list_aggregate(list_transform(shingles, x -> md5('1|' || x)), 'min') AS s1,
+               list_aggregate(list_transform(shingles, x -> md5('2|' || x)), 'min') AS s2,
+               list_aggregate(list_transform(shingles, x -> md5('3|' || x)), 'min') AS s3,
+               list_aggregate(list_transform(shingles, x -> md5('4|' || x)), 'min') AS s4,
+               list_aggregate(list_transform(shingles, x -> md5('5|' || x)), 'min') AS s5,
+               list_aggregate(list_transform(shingles, x -> md5('6|' || x)), 'min') AS s6,
+               list_aggregate(list_transform(shingles, x -> md5('7|' || x)), 'min') AS s7
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(s0 || s1) AS bkey FROM sig
+        UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           bit_xor(CAST(concat('0x', substr(md5(
+               CAST(a_id AS VARCHAR) || '|' || CAST(b_id AS VARCHAR)),
+               1, 15)) AS BIGINT)) AS xor_sig
+    FROM cand
+    """,
+    doc="bounded differential form of q_minhash_neardup for the sf10 "
+    "scaling rung (SCALE.md): the candidate-pair set reduced to ONE row — "
+    "pair count plus an order-insensitive XOR of 60-bit md5 pair digests, "
+    "so any missing/extra/swapped candidate flips the signature. At sf10 "
+    "the raw pair list is 5.4M rows (template-heavy synthetic docs "
+    "bucket together); the verified q_near_dedup output stays small "
+    "because exact-Jaccard verification rejects the template collisions",
+)
+def q_minhash_neardup_checksum(spark, sf_dir):
+    from rag_pipelines_spark.operators.dedup import (
+        band_candidate_pairs,
+        minhash_band_keys,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    mutated = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1000000000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(mutated)
+    pairs = band_candidate_pairs(
+        minhash_band_keys(corpus, "doc_id", "text"), "doc_id"
+    )
+    digest = md5_long_digest(
+        F.col("a_id").cast("string"), F.col("b_id").cast("string")
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"), F.bit_xor(digest).alias("xor_sig")
+    )
 
 
 _SIMHASH_BITS = 60  # 15 md5 hex chars -> fits a signed 64-bit long exactly

@@ -29,7 +29,7 @@ from rag_pipelines_spark.functions.text import (
     url_absolutize,
 )
 from rag_pipelines_spark.registry import register
-from rag_pipelines_spark.queries._util import t
+from rag_pipelines_spark.queries._util import md5_long_digest, t
 
 
 def _sq(s: str) -> str:
@@ -669,4 +669,42 @@ def q_map_explode(spark, sf_dir):
     m = F.from_json("props", "map<string,bigint>")
     return e.select("event_id", m.alias("_m")).select(
         "event_id", F.explode("_m").alias("key", "val")
+    )
+
+
+@register(
+    "q_map_explode_checksum",
+    oracle="""
+    WITH ex AS (
+        SELECT e.event_id, k AS key,
+               CAST(json_extract(e.props::JSON, '$.' || k) AS BIGINT) AS val
+        FROM events e, unnest(json_keys(e.props::JSON)) AS t(k)
+    )
+    SELECT key,
+           COUNT(*) AS n,
+           bit_xor(CAST(concat('0x', substr(
+               md5(CAST(event_id AS VARCHAR) || '|' || CAST(val AS VARCHAR)),
+               1, 15)) AS BIGINT)) AS xor_sig
+    FROM ex GROUP BY key
+    """,
+    doc="bounded differential form of q_map_explode for the sf10 scaling "
+    "rung (SCALE.md): the same from_json->explode dataflow reduced to one "
+    "row per distinct map key — entry count plus an order-insensitive "
+    "overflow-free XOR of 60-bit md5 row digests, so a single dropped, "
+    "duplicated, or re-associated (event_id,val) entry flips the "
+    "signature. Exact integers end-to-end; no float canonicalization "
+    "needed",
+)
+def q_map_explode_checksum(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    ex = e.select("event_id", m.alias("_m")).select(
+        "event_id", F.explode("_m").alias("key", "val")
+    )
+    digest = md5_long_digest(
+        F.col("event_id").cast("string"), F.col("val").cast("string")
+    )
+    return ex.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.bit_xor(digest).alias("xor_sig"),
     )

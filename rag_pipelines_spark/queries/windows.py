@@ -11,7 +11,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from rag_pipelines_spark.registry import register
-from rag_pipelines_spark.queries._util import dec, o_dsum, t
+from rag_pipelines_spark.queries._util import dec, md5_long_digest, o_dsum, t
 
 
 @register(
@@ -369,4 +369,71 @@ def q_window_dist(spark, sf_dir):
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "q_window_dist_checksum",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderpriority, o_orderkey,
+               NTILE(4) OVER w AS quartile,
+               PERCENT_RANK() OVER w AS pr,
+               CUME_DIST() OVER w AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    ),
+    s AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               bit_xor(CAST(concat('0x', substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(quartile AS VARCHAR)), 1, 15)) AS BIGINT)) AS xor_sig,
+               SUM(CAST(pr AS DECIMAL(38,15))) AS prs,
+               SUM(CAST(cd AS DECIMAL(38,15))) AS cds
+        FROM d GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n, xor_sig,
+           CAST(FLOOR(prs) AS DOUBLE)
+               + CAST(prs - FLOOR(prs) AS DOUBLE) AS pr_sum,
+           CAST(FLOOR(cds) AS DOUBLE)
+               + CAST(cds - FLOOR(cds) AS DOUBLE) AS cd_sum
+    FROM s
+    """,
+    doc="bounded differential form of q_window_dist for the sf10 scaling "
+    "rung (SCALE.md): the per-order distribution frame reduced to one "
+    "row per priority class — row count, an XOR of (orderkey, quartile) "
+    "md5 digests, and exact decimal sums of percent_rank/cume_dist "
+    "surfaced through the floor+fraction double split (queries/_util.py "
+    "rationale: identical doubles in both engines without a cross-engine "
+    "float-sum ordering hazard)",
+)
+def q_window_dist_checksum(spark, sf_dir):
+    from rag_pipelines_spark.queries._util import dec_to_dbl
+
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    d = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    digest = md5_long_digest(
+        F.col("o_orderkey").cast("string"), F.col("quartile").cast("string")
+    )
+    agg = d.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.bit_xor(digest).alias("xor_sig"),
+        F.sum(F.col("pr").cast("decimal(38,15)")).alias("prs"),
+        F.sum(F.col("cd").cast("decimal(38,15)")).alias("cds"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        "xor_sig",
+        dec_to_dbl(F.col("prs")).alias("pr_sum"),
+        dec_to_dbl(F.col("cds")).alias("cd_sum"),
     )
