@@ -2417,3 +2417,136 @@ def q_fuzzy_decontaminate(spark, sf_dir):
         F.count("*").cast("long").alias("n_matches"),
         F.max("jaccard").alias("best_jaccard"),
     )
+
+
+@register(
+    "q_embed_generate_checksum",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+               COUNT(*) AS cnt
+        FROM toks GROUP BY doc_id, bucket
+    ),
+    weights AS (
+        SELECT doc_id, bucket,
+               CAST(cnt AS DOUBLE)
+                   / sqrt(CAST(SUM(cnt * cnt) OVER (PARTITION BY doc_id)
+                               AS DOUBLE)) AS weight
+        FROM counts
+    )
+    SELECT bucket,
+           COUNT(*) AS n,
+           bit_xor(CAST(concat('0x', substr(md5(
+               CAST(doc_id AS VARCHAR) || '|' ||
+               CAST(bucket AS VARCHAR)), 1, 15)) AS BIGINT)) AS xor_sig,
+           CAST(SUM(CAST(round(weight * 1000000000) AS BIGINT)) AS BIGINT)
+               AS weight_e9_sum
+    FROM weights GROUP BY bucket
+    """,
+    doc="bounded differential form of q_embed_generate for the sf10 "
+    "scaling rung (SCALE.md): the 10M-entry sparse-embedding frame "
+    "reduced to one row per hash bucket (64) — entry count, an XOR of "
+    "(doc_id, bucket) membership digests, and the weight mass per bucket "
+    "as an exact integer-NANOS sum (round(weight*1e9) -> BIGINT, the "
+    "round-9 move the cosine oracles use). Weights stay OUT of the md5 "
+    "digest and never touch double->decimal casts: identical doubles, "
+    "but each engine FORMATS floats and rounds double->decimal "
+    "differently (measured 1-ulp weight_sum drift with DECIMAL(38,15))",
+)
+def q_embed_generate_checksum(spark, sf_dir):
+    from rag_pipelines_spark.operators.embedding import hashed_bow_sparse
+
+    d = t(spark, sf_dir, "documents")
+    w = hashed_bow_sparse(d, id_col="doc_id", text_col="text", dim=64)
+    digest = md5_long_digest(
+        F.col("doc_id").cast("string"), F.col("bucket").cast("string")
+    )
+    return w.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.bit_xor(digest).alias("xor_sig"),
+        F.sum(F.round(F.col("weight") * 1e9).cast("long")).alias(
+            "weight_e9_sum"
+        ),
+    )
+
+
+_CHUNKING_CHECKSUM_ORACLE = """
+    WITH idx AS (
+        SELECT doc_id, text,
+               unnest(range(0, (length(text) - 1) // 80 + 1)) AS i
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               substring(text, 1 + i * 80, 100) AS chunk
+        FROM idx
+        WHERE substring(text, 1 + i * 80, 100) <> ''
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           bit_xor(CAST(concat('0x', substr(md5(
+               CAST(chunk_idx AS VARCHAR) || '|' || chunk),
+               1, 15)) AS BIGINT)) AS xor_sig
+    FROM chunks GROUP BY doc_id
+    """
+
+
+@register(
+    "q_chunking_checksum",
+    oracle=_CHUNKING_CHECKSUM_ORACLE,
+    doc="bounded differential form of q_chunking for the sf10 scaling "
+    "rung (SCALE.md): the chunk set (2.1M rows at sf10, just over the "
+    "harness row cap) reduced to one row per document — chunk count plus "
+    "an XOR of md5 digests over (chunk_idx, chunk text)",
+)
+def q_chunking_checksum(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    n_chunks = F.floor((F.length("text") - 1) / 80).cast("int")
+    chunks = (
+        d.select(
+            "doc_id", "text", F.explode(F.sequence(F.lit(0), n_chunks)).alias("i")
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("bigint").alias("chunk_idx"),
+            F.expr("substring(text, 1 + i * 80, 100)").alias("chunk"),
+        )
+        .filter(F.col("chunk") != "")
+    )
+    digest = md5_long_digest(F.col("chunk_idx").cast("string"), F.col("chunk"))
+    return chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"), F.bit_xor(digest).alias("xor_sig")
+    )
+
+
+@register(
+    "q_chunk_udtf_checksum",
+    oracle=_CHUNKING_CHECKSUM_ORACLE,
+    doc="bounded differential form of q_chunk_udtf: the SAME reduction as "
+    "q_chunking_checksum but fed by the Python UDTF chunker (Spark 4 "
+    "lateral table function) — proving the UDTF path chunk-for-chunk "
+    "equal to the column plan at the sf10 rung, not just at sf0.01",
+)
+def q_chunk_udtf_checksum(spark, sf_dir):
+    from rag_pipelines_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_for_udtf_ck")
+    chunks = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk
+        FROM _docs_for_udtf_ck d, LATERAL chunk_udtf(d.text) c
+        """
+    )
+    digest = md5_long_digest(F.col("chunk_idx").cast("string"), F.col("chunk"))
+    return chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"), F.bit_xor(digest).alias("xor_sig")
+    )

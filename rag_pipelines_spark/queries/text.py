@@ -708,3 +708,41 @@ def q_map_explode_checksum(spark, sf_dir):
         F.count("*").alias("n"),
         F.bit_xor(digest).alias("xor_sig"),
     )
+
+
+@register(
+    "q_json_get_checksum",
+    oracle="""
+    WITH j AS (
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               to_json({id: event_id, et: event_type}) AS packed
+        FROM events
+    )
+    SELECT k,
+           COUNT(*) AS n,
+           bit_xor(CAST(concat('0x', substr(md5(
+               CAST(event_id AS VARCHAR) || '|' || packed),
+               1, 15)) AS BIGINT)) AS xor_sig
+    FROM j GROUP BY k
+    """,
+    doc="bounded differential form of q_json_get for the sf10 scaling "
+    "rung (SCALE.md): the per-event decode/encode frame reduced to one "
+    "row per extracted k value — count plus an XOR of md5 digests over "
+    "(event_id, packed). The packed JSON string enters the digest "
+    "verbatim, so the twin still proves both engines SERIALIZE the "
+    "struct identically, not just that they extract the same k",
+)
+def q_json_get_checksum(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    j = e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("et"))
+        ).alias("packed"),
+    )
+    digest = md5_long_digest(F.col("event_id").cast("string"), F.col("packed"))
+    return j.groupBy("k").agg(
+        F.count("*").alias("n"), F.bit_xor(digest).alias("xor_sig")
+    )

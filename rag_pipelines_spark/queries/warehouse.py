@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rag_pipelines_spark.registry import register
-from rag_pipelines_spark.queries._util import t
+from rag_pipelines_spark.queries._util import md5_long_digest, t
 
 # ---------------------------------------------------------------------------
 # SCD2 — type-2 slowly-changing dimension from a change/event stream
@@ -983,4 +983,69 @@ def q_ann_from_state(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 10)
     return ann_query_from_state(
         spark, state, q, "vec_id", "embedding", nprobe=2, k=5
+    )
+
+
+@register(
+    "q_scd2_versions_checksum",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_attr
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE prev_attr IS NULL OR prev_attr <> event_type
+    ),
+    versions AS (
+        SELECT user_id,
+               event_type AS attr,
+               ts AS valid_from,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to,
+               CAST(CASE WHEN lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        FROM changes
+    )
+    SELECT user_id,
+           COUNT(*) AS n_versions,
+           CAST(SUM(is_current) AS BIGINT) AS n_open,
+           bit_xor(CAST(concat('0x', substr(md5(
+               attr || '|' ||
+               strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+               COALESCE(strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f'),
+                        'OPEN') || '|' ||
+               CAST(is_current AS VARCHAR)), 1, 15)) AS BIGINT)) AS xor_sig
+    FROM versions GROUP BY user_id
+    """,
+    doc="bounded differential form of q_scd2_versions for the sf10 "
+    "scaling rung (SCALE.md): the version history reduced to one row per "
+    "dimension key — version count, open-row count (the exactly-one "
+    "invariant summed), and an XOR of md5 digests over each full version "
+    "tuple. NULL valid_to (the open row) is COALESCEd to a sentinel "
+    "BEFORE the digest on both sides — concat_ws silently skips nulls in "
+    "Spark while || nulls out in DuckDB, so unhandled nulls would make "
+    "the digests structurally different",
+)
+def q_scd2_versions_checksum(spark, sf_dir):
+    from rag_pipelines_spark.operators.cdc import scd2_from_events
+
+    v = scd2_from_events(t(spark, sf_dir, "events"))
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    digest = md5_long_digest(
+        F.col("attr"),
+        F.date_format("valid_from", fmt),
+        F.coalesce(F.date_format("valid_to", fmt), F.lit("OPEN")),
+        F.col("is_current").cast("string"),
+    )
+    return v.groupBy("user_id").agg(
+        F.count("*").alias("n_versions"),
+        F.sum("is_current").alias("n_open"),
+        F.bit_xor(digest).alias("xor_sig"),
     )
