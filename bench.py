@@ -96,6 +96,15 @@ EXTRAS = [
     # round 6 late: CCNet-style bigram-LM familiarity (model train +
     # vocab-keyed scoring join in one plan) — operators/lm.py
     "q_lm_score",
+    # round 7: the FULL verified near-dedup pipeline (md5-minhash bands ->
+    # bucket-collected candidates -> exact set-Jaccard verify) — the
+    # number that matters for corpus dedup, vs q_minhash_neardup's
+    # candidates-only cost (operators/dedup.py near_dedup_pairs)
+    "q_near_dedup",
+    # round 7: token-budget mixture admission — two-phase md5-prefix
+    # bucket design, corpus never pays a full-sort window
+    # (operators/sampling.py token_budget_mixture)
+    "q_token_budget_mixture",
 ]
 
 HEADLINE = CORE + EXTRAS + CORE_R4
