@@ -90,6 +90,15 @@ QUADRATIC_VERIFY_CEILING = {
         "x 20k vecs); differential ceiling sf1, scale path q_ann_lsh/"
         "q_semantic_dedup"
     ),
+    # round-6 policy (SCALE.md "q_jaccard_join's sf10 answer"): the
+    # operator is linear-shuffled but its RESULT is clique-quadratic on
+    # this fixture (~300M exact-Jaccard pairs at sf10 from template
+    # duplicates); certified at sf1's 3,005,326-pair bitwise compare.
+    "q_jaccard_join": (
+        "result is clique-quadratic on the template-heavy fixture "
+        "(~300M pairs at sf10); certified at sf1 (3.0M-pair bitwise "
+        "compare, SCALE.md)"
+    ),
 }
 
 
