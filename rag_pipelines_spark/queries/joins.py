@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rag_pipelines_spark.registry import register
-from rag_pipelines_spark.queries._util import dsum, o_dsum, t
+from rag_pipelines_spark.queries._util import dsum, md5_long_digest, o_dsum, t
 
 # ---------------------------------------------------------------------------
 # J1 — delta anti-join: new records = scraped ∖ master (by key)
@@ -68,6 +68,45 @@ def q_checkpoint_semi(spark, sf_dir):
     return o.join(
         done, o.o_orderkey == done.l_orderkey, "left_semi"
     ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_checkpoint_semi_checksum",
+    oracle="""
+    WITH kept AS (
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+        )
+    )
+    SELECT o_orderkey % 64 AS shard,
+           COUNT(*) AS n,
+           bit_xor(CAST(concat('0x', substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)),
+               1, 15)) AS BIGINT)) AS xor_sig
+    FROM kept GROUP BY o_orderkey % 64
+    """,
+    doc="bounded differential form of q_checkpoint_semi for the sf10 "
+    "scaling rung (SCALE.md): the semi-join survivor set (4.9M orders at "
+    "sf10) reduced to 64 hash shards -- count plus an XOR of md5 digests "
+    "over (orderkey, totalprice as DECIMAL(18,2) string)",
+)
+def q_checkpoint_semi_checksum(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    done = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    kept = o.join(
+        done, o.o_orderkey == done.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+    digest = md5_long_digest(
+        F.col("o_orderkey").cast("string"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+    )
+    return kept.groupBy((F.col("o_orderkey") % 64).alias("shard")).agg(
+        F.count("*").alias("n"), F.bit_xor(digest).alias("xor_sig")
+    )
 
 
 # ---------------------------------------------------------------------------

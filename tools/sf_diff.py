@@ -155,17 +155,23 @@ def main() -> int:
         .config("spark.local.dir", _scratch)
         .getOrCreate()
     )
-    con = duckdb.connect()
-    # guard rails for big-SF oracles: bounded memory (a runaway CTE dies
-    # with an exception the per-query isolation records, instead of
-    # taking the whole sweep down) and bounded threads (Spark shares the
-    # box during the sweep)
-    con.execute("SET memory_limit='24GB'")
-    con.execute("SET threads=16")
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    def fresh_con():
+        # guard rails for big-SF oracles: bounded memory (a runaway CTE
+        # dies with an exception the per-query isolation records, instead
+        # of taking the whole box down), relaxed ordering (lets blocking
+        # operators spill instead of pinning order-preserving buffers),
+        # bounded threads (Spark shares the box during the sweep)
+        c = duckdb.connect()
+        c.execute("SET memory_limit='48GB'")
+        c.execute("SET preserve_insertion_order=false")
+        c.execute("SET threads=16")
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        return c
+
+    con = fresh_con()
 
     from tools.driver_sim_lib import vhash  # shared canonical hasher
 
@@ -215,6 +221,15 @@ def main() -> int:
             n_err += 1
             msg = str(exc).replace("\n", " ")[:200]
             print(f"ERR {name}: {msg}", flush=True)
+            # an OOM'd DuckDB connection can keep its failed allocation
+            # pinned (observed: every later query ERRs on tiny blocks) —
+            # recycle the connection so one blown oracle stays one ERR
+            if "emory" in msg or "allocat" in msg:
+                try:
+                    con.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                con = fresh_con()
 
     print(
         f"TOTAL: {n_pass} pass, {n_fail} fail, {n_big} too-big, "
