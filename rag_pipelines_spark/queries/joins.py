@@ -531,3 +531,36 @@ def q_snapshot_diff(spark, sf_dir):
         ).otherwise(F.col("text")),
     )
     return snapshot_diff(old, new, "doc_id", ["text"])
+
+
+from rag_pipelines_spark.registry import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "q_join_asof_checksum",
+    oracle=f"""
+    WITH base AS ({_REG["q_join_asof"].oracle})
+    SELECT user_id,
+           COUNT(*) AS n,
+           bit_xor(CAST(concat('0x', substr(md5(
+               CAST(event_id AS VARCHAR) || '|' ||
+               COALESCE(CAST(last_orderkey AS VARCHAR), 'NONE')),
+               1, 15)) AS BIGINT)) AS xor_sig
+    FROM base GROUP BY user_id
+    """,
+    doc="bounded differential form of q_join_asof for the sf10 scaling "
+    "rung (SCALE.md): the 10M-row as-of result reduced to one row per "
+    "user — count plus an XOR of md5 digests over (event_id, matched "
+    "order key), NULL misses coalesced to a sentinel. Wraps the original "
+    "query fn and oracle verbatim, so twin and original can never "
+    "diverge in dataflow",
+)
+def q_join_asof_checksum(spark, sf_dir):
+    base = _REG["q_join_asof"].fn(spark, sf_dir)
+    digest = md5_long_digest(
+        F.col("event_id").cast("string"),
+        F.coalesce(F.col("last_orderkey").cast("string"), F.lit("NONE")),
+    )
+    return base.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.bit_xor(digest).alias("xor_sig")
+    )

@@ -1049,3 +1049,60 @@ def q_scd2_versions_checksum(spark, sf_dir):
         F.sum("is_current").alias("n_open"),
         F.bit_xor(digest).alias("xor_sig"),
     )
+
+
+from rag_pipelines_spark.registry import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "q_zorder_key_checksum",
+    oracle=f"""
+    WITH base AS ({_REG["q_zorder_key"].oracle})
+    SELECT event_id % 64 AS shard,
+           COUNT(*) AS n,
+           bit_xor(CAST(concat('0x', substr(md5(
+               CAST(event_id AS VARCHAR) || '|' ||
+               CAST(zkey AS VARCHAR)), 1, 15)) AS BIGINT)) AS xor_sig
+    FROM base GROUP BY event_id % 64
+    """,
+    doc="bounded differential form of q_zorder_key for the sf10 scaling "
+    "rung (SCALE.md): 10M Morton keys reduced to 64 hash shards — count "
+    "plus an XOR of (event_id, zkey) md5 digests; one interleaved bit "
+    "wrong anywhere flips a shard signature. Wraps the original query fn "
+    "and oracle verbatim",
+)
+def q_zorder_key_checksum(spark, sf_dir):
+    base = _REG["q_zorder_key"].fn(spark, sf_dir)
+    digest = md5_long_digest(
+        F.col("event_id").cast("string"), F.col("zkey").cast("string")
+    )
+    return base.groupBy((F.col("event_id") % 64).alias("shard")).agg(
+        F.count("*").alias("n"), F.bit_xor(digest).alias("xor_sig")
+    )
+
+
+@register(
+    "q_zorder_quantile_checksum",
+    oracle=f"""
+    WITH base AS ({_REG["q_zorder_quantile"].oracle})
+    SELECT zfile,
+           COUNT(*) AS n,
+           bit_xor(CAST(concat('0x', substr(md5(
+               CAST(event_id AS VARCHAR) || '|' ||
+               CAST(zkey AS VARCHAR)), 1, 15)) AS BIGINT)) AS xor_sig
+    FROM base GROUP BY zfile
+    """,
+    doc="bounded differential form of q_zorder_quantile for the sf10 "
+    "scaling rung (SCALE.md): reduced to one row per deterministic "
+    "z-cell FILE id (the layout the operator exists to produce), with "
+    "count + (event_id, zkey) digest XOR per file. Wraps the original "
+    "query fn and oracle verbatim",
+)
+def q_zorder_quantile_checksum(spark, sf_dir):
+    base = _REG["q_zorder_quantile"].fn(spark, sf_dir)
+    digest = md5_long_digest(
+        F.col("event_id").cast("string"), F.col("zkey").cast("string")
+    )
+    return base.groupBy("zfile").agg(
+        F.count("*").alias("n"), F.bit_xor(digest).alias("xor_sig")
+    )

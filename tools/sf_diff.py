@@ -99,6 +99,25 @@ QUADRATIC_VERIFY_CEILING = {
         "(~300M pairs at sf10); certified at sf1 (3.0M-pair bitwise "
         "compare, SCALE.md)"
     ),
+    # The Spark side aggregates candidates per corpus doc and swept fine;
+    # the ORACLE's prefix-join pair expansion is clique-quadratic on this
+    # fixture and spilled past the box's 75 GB free disk at sf10 before
+    # erroring. Certified at sf1 (33.7 s aggregated run, SCALE.md).
+    "q_fuzzy_decontaminate": (
+        "oracle's bipartite pair expansion is clique-quadratic on the "
+        "template fixture (spilled >75 GB at sf10); certified at sf1 "
+        "(SCALE.md)"
+    ),
+    # J4's deliberately simple lang blocking is the reference's own shape
+    # (pubmed_enrichment.py fuzzy matching); at sf10 it is 1e9
+    # levenshtein pairs per engine and the 0.30 floor makes the result
+    # itself data-sized. The scale path for fuzzy matching is the
+    # prefix-filtered q_jaccard_join / banded q_near_dedup family.
+    "q_fuzzy_join": (
+        "lang-blocked all-pairs levenshtein: ~1e9 candidate pairs at "
+        "sf10 (10 langs x 10k x 10k after the %5 splits); certified at "
+        "sf1"
+    ),
 }
 
 
@@ -162,7 +181,9 @@ def main() -> int:
         # operators spill instead of pinning order-preserving buffers),
         # bounded threads (Spark shares the box during the sweep)
         c = duckdb.connect()
-        c.execute("SET memory_limit='48GB'")
+        c.execute(
+            f"SET memory_limit='{os.environ.get('SF_DIFF_DUCK_MEM', '48GB')}'"
+        )
         c.execute("SET preserve_insertion_order=false")
         c.execute("SET threads=16")
         for t in TABLES:
@@ -223,13 +244,32 @@ def main() -> int:
             print(f"ERR {name}: {msg}", flush=True)
             # an OOM'd DuckDB connection can keep its failed allocation
             # pinned (observed: every later query ERRs on tiny blocks) —
-            # recycle the connection so one blown oracle stays one ERR
-            if "emory" in msg or "allocat" in msg:
+            # recycle the connection so one blown oracle stays one ERR.
+            # The recycle itself must survive the moment of pressure:
+            # close() releases lazily, so collect + brief backoff before
+            # reconnecting, and never let a failed reconnect kill the
+            # sweep (retry once, then continue with the old handle — the
+            # next memory ERR will try again)
+            if "emory" in msg or "allocat" in msg or "closed" in msg:
+                import gc
+                import time
+
                 try:
                     con.close()
                 except Exception:  # noqa: BLE001
                     pass
-                con = fresh_con()
+                gc.collect()
+                for attempt in range(2):
+                    time.sleep(5 * (attempt + 1))
+                    try:
+                        con = fresh_con()
+                        break
+                    except Exception as rexc:  # noqa: BLE001
+                        print(
+                            f"WARN: duck reconnect attempt {attempt} "
+                            f"failed: {str(rexc)[:120]}",
+                            flush=True,
+                        )
 
     print(
         f"TOTAL: {n_pass} pass, {n_fail} fail, {n_big} too-big, "
