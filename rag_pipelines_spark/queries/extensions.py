@@ -2420,6 +2420,69 @@ def q_fuzzy_decontaminate(spark, sf_dir):
 
 
 @register(
+    "q_fuzzy_decontaminate_small",
+    oracle="""
+    WITH ctoks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id % 10 = 0)
+        WHERE tok <> ''
+    ),
+    btoks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id % 970 = 0)
+        WHERE tok <> ''
+    ),
+    csz AS (SELECT doc_id, COUNT(*) AS n FROM ctoks GROUP BY doc_id),
+    bsz AS (SELECT doc_id, COUNT(*) AS n FROM btoks GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS i
+        FROM ctoks c JOIN btoks b ON c.tok = b.tok AND c.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT left_id,
+               CAST(i AS DOUBLE) / CAST(cs.n + bs.n - i AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN csz cs ON cs.doc_id = inter.left_id
+        JOIN bsz bs ON bs.doc_id = inter.right_id
+        WHERE i * 5 >= 4 * (cs.n + bs.n - i)
+    )
+    SELECT left_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MAX(jaccard) AS best_jaccard
+    FROM p GROUP BY left_id
+    """,
+    doc="q_fuzzy_decontaminate with a ~500-doc benchmark slice (%970): "
+    "the sf10-certifiable variant. The SPARK side is unchanged in shape "
+    "and keeps the FULL 50k-doc corpus side — only the benchmark shrinks "
+    "(the realistic ratio anyway). What it buys: q_fuzzy_decontaminate's "
+    "own ORACLE joins raw token equality, so its intermediate is "
+    "sum_tok df_corpus(tok) x df_bench(tok) — stopwords fan out to "
+    "~corpus x bench rows and the sf10 attempt spilled past 75 GB of "
+    "disk (tools/sf_diff.py ceiling entry). Shrinking the bench side "
+    "bounds that fan-out ~10x so the oracle fits, certifying the "
+    "bipartite prefix-join operator at sf10 row counts; the full-bench "
+    "variant stays certified at sf1",
+)
+def q_fuzzy_decontaminate_small(spark, sf_dir):
+    from rag_pipelines_spark.operators.setjoin import (
+        jaccard_prefix_join_bipartite,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 == 0)
+    bench = d.filter(F.col("doc_id") % 970 == 0)
+    pairs = jaccard_prefix_join_bipartite(
+        corpus, bench, "doc_id", "text", threshold_num=4, threshold_den=5
+    ).filter(F.col("left_id") != F.col("right_id"))
+    return pairs.groupBy("left_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+
+
+@register(
     "q_embed_generate_checksum",
     oracle="""
     WITH toks AS (

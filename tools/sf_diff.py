@@ -100,13 +100,15 @@ QUADRATIC_VERIFY_CEILING = {
         "compare, SCALE.md)"
     ),
     # The Spark side aggregates candidates per corpus doc and swept fine;
-    # the ORACLE's prefix-join pair expansion is clique-quadratic on this
-    # fixture and spilled past the box's 75 GB free disk at sf10 before
-    # erroring. Certified at sf1 (33.7 s aggregated run, SCALE.md).
+    # the ORACLE joins raw token equality, so its intermediate is
+    # sum_tok df_corpus x df_bench — stopword fan-out spilled past the
+    # box's 75 GB free disk at sf10. Certified at sf1 with the full
+    # %97 bench; q_fuzzy_decontaminate_small (same operator, full corpus
+    # side, %970 bench slice) PASSES at sf10: 33,610 verdicts hash-match.
     "q_fuzzy_decontaminate": (
-        "oracle's bipartite pair expansion is clique-quadratic on the "
-        "template fixture (spilled >75 GB at sf10); certified at sf1 "
-        "(SCALE.md)"
+        "oracle's token-equality fan-out spilled >75 GB at sf10; "
+        "certified at sf1, and at sf10 via "
+        "q_fuzzy_decontaminate_small (full corpus side, bounded bench)"
     ),
     # J4's deliberately simple lang blocking is the reference's own shape
     # (pubmed_enrichment.py fuzzy matching); at sf10 it is 1e9
