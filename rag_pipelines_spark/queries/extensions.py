@@ -2613,3 +2613,102 @@ def q_chunk_udtf_checksum(spark, sf_dir):
     return chunks.groupBy("doc_id").agg(
         F.count("*").alias("n_chunks"), F.bit_xor(digest).alias("xor_sig")
     )
+
+
+@register(
+    "q_embed_neardup_small",
+    oracle="""
+    WITH bsel AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id % 1000 = 0
+    ),
+    anorm AS (
+        SELECT vec_id, label, embedding,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS n2
+        FROM (SELECT vec_id, label, embedding, unnest(embedding) AS x
+              FROM embeddings)
+        GROUP BY vec_id, label, embedding
+    ),
+    bnorm AS (
+        SELECT vec_id, label, embedding,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS n2
+        FROM (SELECT vec_id, label, embedding, unnest(embedding) AS x
+              FROM bsel)
+        GROUP BY vec_id, label, embedding
+    ),
+    el AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.n2 AS na2, b.n2 AS nb2,
+               unnest(a.embedding) AS x, unnest(b.embedding) AS y
+        FROM anorm a JOIN bnorm b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    dots AS (
+        SELECT a_id, b_id, na2, nb2,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS dot
+        FROM el GROUP BY a_id, b_id, na2, nb2
+    ),
+    p AS (
+        SELECT a_id, round(dot / (sqrt(na2) * sqrt(nb2)), 9) AS cosine
+        FROM dots
+        WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 9) >= 0.5
+    )
+    SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MAX(cosine) AS best_cosine
+    FROM p GROUP BY a_id
+    """,
+    doc="q_embed_neardup with a 0.1%% probe side (%1000 slice) and a "
+    "per-left-vector aggregated verdict: the sf10-certifiable variant. "
+    "The LEFT side stays the FULL embedding table (200k vectors at "
+    "sf10) — only the probe side shrinks, so the label-blocked "
+    "exact-decimal cosine verify runs at real sf10 row counts on the "
+    "blocked side (~4M verified pairs instead of the full variant's "
+    "2.0e9, the sweep's documented quadratic ceiling). Same "
+    "float-prefilter-guarded exact scoring as the original (the "
+    "when()-guard keeps the interpreted decimal fold off the join "
+    "condition)",
+)
+def q_embed_neardup_small(spark, sf_dir):
+    from rag_pipelines_spark.operators.similarity import _cosine_udf
+
+    e = t(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _dot_dec(F.col("embedding"), F.col("embedding")).cast("double").alias("n2"),
+    )
+    a = norms.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+        F.col("n2").alias("na2"),
+    )
+    b = norms.filter(F.col("vec_id") % 1000 == 0).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+        F.col("n2").alias("nb2"),
+    )
+    pairs = a.join(
+        b, (a.a_label == b.b_label) & (a.a_id != b.b_id)
+    )
+    approx = _cosine_udf()(F.col("a_emb"), F.col("b_emb"))
+    exact = F.round(
+        _dot_dec(F.col("a_emb"), F.col("b_emb")).cast("double")
+        / (F.sqrt("na2") * F.sqrt("nb2")),
+        9,
+    )
+    cosine = F.when(F.col("_cos_approx") >= 0.5 - 1e-6, exact)
+    scored = (
+        pairs.withColumn("_cos_approx", approx)
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= 0.5)
+        .select("a_id", "cosine")
+    )
+    return scored.groupBy("a_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.max("cosine").alias("best_cosine"),
+    )

@@ -564,3 +564,59 @@ def q_join_asof_checksum(spark, sf_dir):
     return base.groupBy("user_id").agg(
         F.count("*").alias("n"), F.bit_xor(digest).alias("xor_sig")
     )
+
+
+@register(
+    "q_fuzzy_join_small",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id, lang, substring(text, 1, 40) AS frag FROM documents
+        WHERE doc_id % 5 = 0
+    ), b AS (
+        SELECT doc_id, lang, substring(text, 1, 40) AS frag FROM documents
+        WHERE doc_id % 500 = 1
+    ),
+    p AS (
+        SELECT a.doc_id AS a_id,
+               1.0 - CAST(levenshtein(a.frag, b.frag) AS DOUBLE)
+                   / GREATEST(length(a.frag), length(b.frag)) AS sim
+        FROM a JOIN b ON a.lang = b.lang
+        WHERE 1.0 - CAST(levenshtein(a.frag, b.frag) AS DOUBLE)
+                  / GREATEST(length(a.frag), length(b.frag)) >= 0.30
+    )
+    SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_matches, MAX(sim) AS best_sim
+    FROM p GROUP BY a_id
+    """,
+    doc="q_fuzzy_join with a ~0.2%% right side (%500 slice) and a "
+    "per-left-doc aggregated verdict: the sf10-certifiable variant. The "
+    "LEFT side stays the full %5 slice (100k docs at sf10) — only the "
+    "probe side shrinks, so the lang-blocked levenshtein join runs at "
+    "real sf10 row counts on the blocked side (~10M verified pairs "
+    "instead of the full variant's ~1e9, which is the sweep's "
+    "documented quadratic ceiling). Aggregation (n_matches, best_sim "
+    "per left doc) keeps the result left-sized even at the permissive "
+    "0.30 floor, where raw pair output would itself be data-sized",
+)
+def q_fuzzy_join_small(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, 40).alias("frag")
+    )
+    a = d.filter(F.col("doc_id") % 5 == 0)
+    b = (
+        d.filter(F.col("doc_id") % 500 == 1)
+        .withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("frag", "b_frag")
+        .withColumnRenamed("lang", "b_lang")
+    )
+    sim = 1.0 - F.levenshtein("frag", "b_frag").cast("double") / F.greatest(
+        F.length("frag"), F.length("b_frag")
+    )
+    pairs = (
+        a.join(b, a.lang == b.b_lang)
+        .where(sim >= 0.30)
+        .select(F.col("doc_id").alias("a_id"), sim.alias("sim"))
+    )
+    return pairs.groupBy("a_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.max("sim").alias("best_sim"),
+    )

@@ -87,8 +87,9 @@ TABLES = [
 QUADRATIC_VERIFY_CEILING = {
     "q_embed_neardup": (
         "label-blocked all-pairs cosine: 2.0e9 pairs at sf10 (10 labels "
-        "x 20k vecs); differential ceiling sf1, scale path q_ann_lsh/"
-        "q_semantic_dedup"
+        "x 20k vecs); certified at sf1, and at sf10 via "
+        "q_embed_neardup_small (full left side, 0.1%% probe side); "
+        "scale path q_ann_lsh/q_semantic_dedup"
     ),
     # round-6 policy (SCALE.md "q_jaccard_join's sf10 answer"): the
     # operator is linear-shuffled but its RESULT is clique-quadratic on
@@ -118,7 +119,8 @@ QUADRATIC_VERIFY_CEILING = {
     "q_fuzzy_join": (
         "lang-blocked all-pairs levenshtein: ~1e9 candidate pairs at "
         "sf10 (10 langs x 10k x 10k after the %5 splits); certified at "
-        "sf1"
+        "sf1, and at sf10 via q_fuzzy_join_small (full left side, "
+        "0.2%% probe side, per-doc aggregated verdict)"
     ),
 }
 
