@@ -204,6 +204,53 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Self-join candidate pairs with exact cosine — never all-pairs.
+
+    The corpus is sign-sketch bucketed once (`_buckets_udf`, one Arrow
+    matmul per batch), candidates are the (a_id < b_id) pairs that share a
+    (table, bucket) key in ANY table — an equi-join, so at 100 TB the
+    shuffle is keyed by bucket and volume is O(candidates), not O(n²).
+    Exact cosine scores candidate rows before dedup, so the cross-table
+    dedup (max-agg) shuffles one double per pair, never the vectors.
+    Recall is tunable via bits (bucket granularity) / tables (OR-ing);
+    an optional `threshold` filters after exact scoring.
+
+    Output: (a_id, b_id, cosine), a_id < b_id.
+    """
+    planes = _hyperplanes(dim, bits, tables, seed)
+    bucketer = _buckets_udf(planes)
+    bucketed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_emb"),
+        bucketer(F.col(vec_col)).alias("_bks"),
+    ).select("_id", "_emb", F.posexplode("_bks").alias("_table", "_bucket"))
+    a = bucketed.select(
+        F.col("_id").alias("a_id"), F.col("_emb").alias("a_emb"), "_table", "_bucket"
+    )
+    b = bucketed.select(
+        F.col("_id").alias("b_id"), F.col("_emb").alias("b_emb"), "_table", "_bucket"
+    )
+    cand = a.join(b, ["_table", "_bucket"]).filter(F.col("a_id") < F.col("b_id"))
+    scored = (
+        cand.withColumn("cosine", _cosine_udf()(F.col("a_emb"), F.col("b_emb")))
+        .groupBy("a_id", "b_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    if threshold is not None:
+        scored = scored.filter(F.col("cosine") >= threshold)
+    return scored
+
+
 def _collect_cents(cents: DataFrame):
     """Centroids to the driver as (cells, matrix). Centroid-sized —
     n_cells × dim doubles (448×64 ≈ 230 KB); the tier where this stops

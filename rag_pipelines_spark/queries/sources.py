@@ -123,21 +123,32 @@ def q_binary_ingest(spark, sf_dir):
     "q_multimodal_features",
     oracle=None,  # binaryFile + stubbed encoder — rows-only
     doc="multimodal plumbing end-to-end: binary scan -> stubbed feature "
-    "encoder (mapInPandas, array<float> out) -> pairwise cosine of the "
-    "resulting vectors (same similarity kernel as embeddings). Decode stub "
-    "is deterministic; swap a real image/audio model via the decoder param. "
+    "encoder (mapInPandas, array<float> out) -> LSH-blocked candidate "
+    "pairs + exact-cosine re-rank (cosine_pairs_lsh — the same "
+    "bucket-equi-join tier as the embeddings ANN path; candidates come "
+    "from a (table,bucket) self-join, NEVER an all-pairs cross join, so "
+    "a 10M-image corpus shuffles O(candidates)). Decode stub is "
+    "deterministic; swap a real image/audio model via the decoder param. "
+    "Fixture-scale all-pairs equality pin: tests/test_multimodal.py. "
     "ref: pdf_marker_extraction.py:104-127 (device-aware model placement)",
 )
 def q_multimodal_features(spark, sf_dir):
-    from rag_pipelines_spark.operators.similarity import with_cosine
+    from rag_pipelines_spark.operators.similarity import cosine_pairs_lsh
     from rag_pipelines_spark.sources.binary import image_features_stub, read_binary_dir
 
     binaries = read_binary_dir(spark, _FIXTURE_BIN, glob="*")
     feats = image_features_stub(binaries, n_features=16)
-    a = feats.select(F.col("path").alias("a_path"), F.col("features").alias("fa"))
-    b = feats.select(F.col("path").alias("b_path"), F.col("features").alias("fb"))
-    pairs = a.crossJoin(b).filter(F.col("a_path") < F.col("b_path"))
-    return with_cosine(pairs, "fa", "fb").select("a_path", "b_path", "cosine")
+    pairs = cosine_pairs_lsh(
+        feats, dim=16, id_col="path", vec_col="features", bits=2, tables=8
+    )
+    return (
+        pairs.select(
+            F.col("a_id").alias("a_path"),
+            F.col("b_id").alias("b_path"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .orderBy("a_path", "b_path")
+    )
 
 
 @register(

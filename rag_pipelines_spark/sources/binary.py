@@ -176,6 +176,84 @@ def pil_resizer() -> Resizer:
     return rz
 
 
+def decode_png_rgb(blob: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib PNG decode (zlib + struct): non-interlaced 8-bit RGB.
+
+    Covers the subset a vision-preprocessing smoke test needs — all five
+    scanline filters, single or split IDAT — so the REAL-decode proof in
+    tests/test_multimodal.py executes on any box, imaging libs or not.
+    Anything outside the subset (palette, alpha, 16-bit, interlaced)
+    raises ValueError: this is a test-bench decoder, production clusters
+    plug in pil_resizer()/opencv via the same ``resizer=`` seam.
+    Returns (width, height, raw RGB bytes, len == w*h*3).
+    """
+    import struct
+    import zlib
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    i, idat, w = 8, b"", None
+    while i < len(blob):
+        ln, typ = struct.unpack(">I4s", blob[i : i + 8])
+        if typ == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", blob[i + 8 : i + 21]
+            )
+            if (depth, ctype, interlace) != (8, 2, 0):
+                raise ValueError(
+                    "decode_png_rgb handles non-interlaced 8-bit RGB only"
+                )
+        elif typ == b"IDAT":
+            idat += blob[i + 8 : i + 8 + ln]
+        i += 12 + ln
+    if w is None:
+        raise ValueError("no IHDR")
+    raw, bpp = zlib.decompress(idat), 3
+    stride = w * bpp
+    out, prev = bytearray(), bytes(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        for x in range(stride):
+            a = line[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ft == 1:
+                line[x] = (line[x] + a) & 255
+            elif ft == 2:
+                line[x] = (line[x] + b) & 255
+            elif ft == 3:
+                line[x] = (line[x] + (a + b) // 2) & 255
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                line[x] = (line[x] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)) & 255
+        out += line
+        prev = bytes(line)
+    return w, h, bytes(out)
+
+
+def stdlib_png_resizer() -> Resizer:
+    """A REAL decode+resize with zero dependencies: decode_png_rgb +
+    center-sample nearest-neighbor (src = floor((i+0.5)·in/out), the
+    same mapping PIL's NEAREST uses). Same (bytes, path, w, h) -> RGB
+    contract as pil_resizer(); the fallback that keeps the real-decode
+    test executable where Pillow is absent."""
+
+    def rz(content: bytes, path: str, width: int, height: int) -> bytes:
+        sw, sh, px = decode_png_rgb(bytes(content))
+        out = bytearray()
+        for y in range(height):
+            sy = (2 * y + 1) * sh // (2 * height)
+            for x in range(width):
+                sx = (2 * x + 1) * sw // (2 * width)
+                j = (sy * sw + sx) * 3
+                out += px[j : j + 3]
+        return bytes(out)
+
+    return rz
+
+
 def resize_images_stub(
     binaries: DataFrame,
     width: int = 32,
