@@ -154,18 +154,35 @@ def main() -> None:
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = registry.get(name)
-        if q is None:
-            continue
-        start = time.time()
-        df = q.fn(spark, SF_DIR)
-        # noop sink: computes every column of every row (count() would let
-        # Catalyst prune the projections away), writes nothing
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - start, 4)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    # min-of-N protocol (tools/isolated_bench.py discipline, now the
+    # default): N round-major passes, min per query. A single shared-JVM
+    # pass carries +-0.5 s of GC/codegen noise per sub-2 s entry and one
+    # box-wide load spike skews EVERY query the same direction (the r7
+    # "+12% uniform drift" cost a diagnosis round); the min of 3 erases
+    # both. Only the FROZEN like-for-like sets (CORE, CORE_R4, watcher)
+    # pay the extra passes — they are the round-over-round and
+    # vs-baseline gates; EXTRAS stay single-sample so total bench wall
+    # stays bounded. SPARK_GRAFT_BENCH_RUNS=1 restores the old single
+    # pass everywhere.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    remeasured = set(CORE) | set(CORE_R4)
+    samples: dict[str, list[float]] = {}
+    for r in range(runs):
+        for name in HEADLINE:
+            if r > 0 and name not in remeasured:
+                continue
+            q = registry.get(name)
+            if q is None:
+                continue
+            start = time.time()
+            df = q.fn(spark, SF_DIR)
+            # noop sink: computes every column of every row (count() would
+            # let Catalyst prune the projections away), writes nothing
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - start, 4)
+            samples.setdefault(name, []).append(dt)
+            print(f"# run{r + 1} {name}: {dt:.3f}s", file=sys.stderr)
+    timings: dict[str, float] = {n: min(v) for n, v in samples.items()}
 
     # end-to-end watcher pipeline (scan -> fingerprint -> delta -> fetch):
     # the reference sustains ~0.9-1.6 rec/s on this dataflow (BASELINE.md);
@@ -192,16 +209,18 @@ def main() -> None:
         )
     )
     n_docs = docs.count()
-    start = time.time()
-    res = watcher_pipeline(pages, master=None)
-    res.new_records.write.format("noop").mode("overwrite").save()
-    dt = time.time() - start
-    timings["pipeline_watcher"] = round(dt, 4)
-    print(
-        f"# pipeline_watcher: {dt:.3f}s ({n_docs} records, "
-        f"{n_docs / dt:.0f} rec/s vs reference ~1.6 rec/s)",
-        file=sys.stderr,
-    )
+    for r in range(runs):
+        start = time.time()
+        res = watcher_pipeline(pages, master=None)
+        res.new_records.write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - start, 4)
+        samples.setdefault("pipeline_watcher", []).append(dt)
+        print(
+            f"# run{r + 1} pipeline_watcher: {dt:.3f}s ({n_docs} records, "
+            f"{n_docs / dt:.0f} rec/s vs reference ~1.6 rec/s)",
+            file=sys.stderr,
+        )
+    timings["pipeline_watcher"] = min(samples["pipeline_watcher"])
 
     total = round(sum(timings.values()), 4)
     # core = frozen round-1 set (+ pipeline_watcher, also measured since
@@ -230,6 +249,7 @@ def main() -> None:
                 "core_r4_total": core_r4_total,
                 "extras_total": extras_total,
                 "sf": sf,
+                "runs": runs,
                 "wall_total": round(time.time() - t0, 4),
             }
         )

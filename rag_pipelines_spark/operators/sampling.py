@@ -292,6 +292,15 @@ def token_budget_mixture(
     Token counts must be >= 1 per row (space-split length is), so a
     budget boundary can never be straddled by zero-width rows and the
     bucket classification is exact.
+
+    Group-cardinality bound: the broadcast bucket frames are
+    256 x n_groups rows, so "no corpus shuffle at all" holds for
+    mixture-sized group columns (sources/languages/domains — up to
+    ~10^5 groups stays comfortably under autoBroadcastJoinThreshold).
+    A high-cardinality group_col (per-user, per-url) would blow the
+    broadcast; there, replace the two broadcast joins with plain
+    shuffle joins — the bucket frame is still tiny relative to the
+    corpus, only the co-location strategy changes.
     """
     rk = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     ranked = df.select(

@@ -447,11 +447,28 @@ class HadoopBackend:
             return False
         try:
             out.write(bytearray(text.encode("utf-8")))
-        finally:
+        except Exception as write_exc:
+            # A failed write must NOT commit: close() is the PUT on
+            # object stores, so closing here would create a truncated
+            # lease object that phantom-holds the lock until
+            # crashed-holder cleanup. Abort if the stream supports it,
+            # then best-effort delete in case a partial commit landed.
             try:
-                out.close()  # the PUT commits HERE; 412 surfaces here
-            except Exception as e:  # noqa: BLE001
-                raise self._translate(e) from None
+                out.abort()  # Hadoop Abortable (S3A block output)
+            except Exception:  # noqa: BLE001 — not abortable
+                try:
+                    out.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                try:
+                    fs.delete(jp, False)
+                except Exception:  # noqa: BLE001
+                    pass
+            raise self._translate(write_exc) from None
+        try:
+            out.close()  # the PUT commits HERE; 412 surfaces here
+        except Exception as e:  # noqa: BLE001
+            raise self._translate(e) from None
         return True
 
     def unlink(self, p: str, *, missing_ok: bool = False) -> None:

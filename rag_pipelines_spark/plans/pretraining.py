@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rag_pipelines_spark.operators.dedup import line_dedup, minhash_band_keys
@@ -56,6 +56,7 @@ def pretraining_prep_pipeline(
     token_budget: int = 512,
     pack_shards: int = 32,
     persist_stages: bool = True,
+    shard_col: Column | None = None,
 ) -> PretrainingPrepResult:
     """Compose the four gates + packing over a raw document frame.
 
@@ -159,11 +160,17 @@ def pretraining_prep_pipeline(
     # packers shard the corpus), so the window shuffle is a normal hashed
     # exchange — never a single-partition global sort. A sequence is
     # identified by (pack_shard, seq_id).
+    # shard_col overrides the shard assignment expression; the default
+    # xxhash64 is Spark-only, so cross-engine checksum twins pass an
+    # md5-prefix shard both engines compute identically.
+    shard = (
+        shard_col
+        if shard_col is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(pack_shards))
+    )
     counted = decontaminated.withColumn(
         "n_tokens", whitespace_token_count(F.col(text_col)).cast("long")
-    ).withColumn(
-        "pack_shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(pack_shards))
-    )
+    ).withColumn("pack_shard", shard)
     packed = pack_sequences(
         counted, group_col="pack_shard", order_col=id_col,
         token_col="n_tokens", budget=token_budget,

@@ -1599,6 +1599,158 @@ def q_pretraining_prep(spark, sf_dir):
 
 
 @register(
+    "q_pretraining_prep_checksum",
+    oracle=r"""
+    WITH quality AS (
+        SELECT doc_id, text FROM documents
+        WHERE len(string_split_regex(trim(text), '\s+')) >= 10
+          AND CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                   AS DOUBLE) / length(text) < 0.2
+          AND CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                  x -> x IN ('the','a','of','and','to','in','is','on','for','it')))
+                   AS DOUBLE)
+              / len(string_split_regex(lower(text), '\s+')) > 0.005
+    ),
+    arrs AS (SELECT doc_id, string_split(text, '. ') AS arr FROM quality),
+    idx AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM arrs),
+    lns AS (SELECT doc_id, i - 1 AS pos, arr[i] AS line FROM idx),
+    keeper AS (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        FROM lns
+    ),
+    lined AS (
+        SELECT doc_id, string_agg(line, '. ' ORDER BY pos) AS text
+        FROM keeper WHERE rn = 1 GROUP BY doc_id
+        HAVING length(string_agg(line, '. ' ORDER BY pos)) > 0
+    ),
+    mtok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM lined),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 1, 1)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+        FROM mtok
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_aggregate(list_transform(shingles, x -> md5('0|' || x)), 'min') AS s0,
+               list_aggregate(list_transform(shingles, x -> md5('1|' || x)), 'min') AS s1,
+               list_aggregate(list_transform(shingles, x -> md5('2|' || x)), 'min') AS s2,
+               list_aggregate(list_transform(shingles, x -> md5('3|' || x)), 'min') AS s3,
+               list_aggregate(list_transform(shingles, x -> md5('4|' || x)), 'min') AS s4,
+               list_aggregate(list_transform(shingles, x -> md5('5|' || x)), 'min') AS s5,
+               list_aggregate(list_transform(shingles, x -> md5('6|' || x)), 'min') AS s6,
+               list_aggregate(list_transform(shingles, x -> md5('7|' || x)), 'min') AS s7
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(s0 || s1) AS bkey FROM sig
+        UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sig
+    ),
+    dups AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    deduped AS (
+        SELECT doc_id, text FROM lined
+        WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+    ),
+    b_tok AS (
+        SELECT string_split_regex(lower(text), '\s+') AS ws
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    bench_grams AS (
+        SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                        ws[i+3] || ' ' || ws[i+4] AS gram
+        FROM (SELECT ws, unnest(range(1, greatest(len(ws) - 4, 1) + 1)) AS i
+              FROM b_tok)
+        WHERE i <= len(ws) - 4
+    ),
+    c_tok AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM deduped
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 4, 1) + 1)) AS i
+              FROM c_tok)
+        WHERE i <= len(ws) - 4
+          AND (ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+               ws[i+3] || ' ' || ws[i+4]) IN (SELECT gram FROM bench_grams)
+    ),
+    counted AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 32 AS pack_shard
+        FROM deduped
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    laid AS (
+        SELECT doc_id, n_tokens, pack_shard,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY pack_shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS seq_start
+        FROM counted
+    )
+    SELECT pack_shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT seq_start // 512) AS BIGINT) AS n_seqs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+           bit_xor(CAST(concat('0x', substr(md5(
+               CAST(doc_id AS VARCHAR) || '|' || CAST(n_tokens AS VARCHAR) || '|' ||
+               CAST(seq_start AS VARCHAR) || '|' ||
+               CAST(seq_start // 512 AS VARCHAR)), 1, 15)) AS BIGINT)) AS xor_sig
+    FROM laid
+    GROUP BY pack_shard ORDER BY pack_shard
+    """,
+    doc="hash-certified twin of the flagship composed lifecycle "
+    "(q_pretraining_prep): the staged CTE oracle replays quality gate -> "
+    "corpus line dedup -> md5-minhash near-dedup -> 5-gram benchmark "
+    "decontamination -> per-shard prefix-sum packing, and the result is "
+    "reduced to 32 per-shard rows (doc count, sequence count, token sum, "
+    "bit_xor of per-doc layout digests) so every surviving doc's packed "
+    "position is pinned. The only semantic substitution vs the headline "
+    "query is the shard key: pmod(md5-prefix, 32) instead of "
+    "pmod(xxhash64, 32), because DuckDB has no xxhash64 — an explicit "
+    "shard_col the pipeline accepts for exactly this purpose",
+)
+def q_pretraining_prep_checksum(spark, sf_dir):
+    from rag_pipelines_spark.plans.pretraining import pretraining_prep_pipeline
+
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(32),
+    )
+    packed = pretraining_prep_pipeline(
+        d, bench, persist_stages=False, shard_col=shard
+    ).packed
+    seq_id = F.expr("seq_start div 512")
+    return (
+        packed.groupBy("pack_shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(seq_id).cast("long").alias("n_seqs"),
+            F.sum("n_tokens").alias("tok_sum"),
+            F.bit_xor(
+                md5_long_digest(
+                    F.col("doc_id"), F.col("n_tokens"), F.col("seq_start"), seq_id
+                )
+            ).alias("xor_sig"),
+        )
+        .orderBy("pack_shard")
+    )
+
+
+@register(
     "q_mixture_weights",
     oracle="""
     WITH n AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),

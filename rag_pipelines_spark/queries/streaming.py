@@ -89,9 +89,15 @@ def q_sliding_agg(spark, sf_dir):
     GROUP BY user_id, session_id
     """,
     doc="declared: 30-minute-gap session window (Spark session_window; oracle "
-    "= lag-gap-cumsum islands, the classic batch sessionization). Streaming "
-    "twin: streaming/incremental.py::session_windowed_query — watermarked "
-    "merging-state sessions, exactly-once emission + eviction pinned e2e in "
+    "= lag-gap-cumsum islands, the classic batch sessionization). Boundary "
+    "semantics, probed and pinned (tests/test_pipelines.py::"
+    "test_exact_gap_boundary_merges): an event at a gap of EXACTLY the "
+    "30-minute timeout MERGES into the running session (Spark's merge "
+    "condition is ts <= prev_end = last_ts + gap), so the oracle's island "
+    "rule is strictly 'gap > 30 minutes' — '>=' would split one session "
+    "where Spark keeps one. Streaming twin: streaming/incremental.py::"
+    "session_windowed_query — watermarked merging-state sessions, "
+    "exactly-once emission + eviction pinned e2e in "
     "tests/test_pipelines.py::TestStreamingSessionWindows (r6)",
 )
 def q_session_agg(spark, sf_dir):

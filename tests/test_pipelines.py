@@ -449,6 +449,31 @@ class TestBoundedStateDedup:
 
 
 class TestStreamingSessionWindows:
+    def test_exact_gap_boundary_merges(self, spark):
+        """Probed semantics pin: an event at a gap of EXACTLY the session
+        timeout MERGES into the running session (Spark's merge condition
+        is ts <= prev_end = last_ts + gap); one second past the timeout
+        starts a new session. The DuckDB oracles for q_session_agg /
+        q_session_agg_checksum therefore use strictly 'gap > 30 minutes'
+        — this pin keeps the two from drifting."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def n_sessions(gap_seconds):
+            rows = [(1, base), (1, base + dt.timedelta(seconds=gap_seconds))]
+            df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+            return (
+                df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+                .agg(F.count("*").alias("n"))
+                .count()
+            )
+
+        assert n_sessions(1800) == 1  # exact gap merges
+        assert n_sessions(1801) == 2  # past the gap splits
+
     def test_sessions_match_batch_oracle_and_evict(self, spark, tmp_path):
         """r5 verdict item #4: true-streaming session windows. Emitted
         sessions must equal the batch lag-gap-cumsum oracle over the

@@ -149,18 +149,31 @@ def main() -> int:
         names = args[1:] or DEFAULT_SET
     if done_log:
         # resume: skip queries already recorded in a prior (partial) log,
-        # except FAIL/ERR rows which re-run
+        # except FAIL/ERR rows which re-run. A TOO-BIG row counts as done
+        # ONLY when it recorded a bounded twin in the run — a 'NO TWIN'
+        # row re-runs so it re-flags into big_without_twin and the final
+        # gate still fails; treating it as green would let a resumed
+        # --all sweep exit 0 with a data-sized query uncovered.
         import re
 
         seen_ok = set()
         for line in open(done_log, errors="ignore"):
-            for m in re.finditer(
-                r"(PASS|TOO-BIG|ROWS-ONLY|SKIP) (q[a-z_0-9]*)", line
-            ):
-                seen_ok.add(m.group(2))
+            m = re.search(r"(PASS|TOO-BIG|ROWS-ONLY|SKIP) (q[a-z_0-9]*)", line)
+            if not m:
+                continue
+            if m.group(1) == "TOO-BIG" and "bounded twin" not in line:
+                continue
+            seen_ok.add(m.group(2))
+        # twin coverage is judged against the whole certification run
+        # (this invocation + resumed-green rows), not the filtered list —
+        # else a re-run TOO-BIG row whose twin already passed would
+        # falsely flag NO TWIN
+        covered = set(names) | seen_ok
         names = [n for n in names if n not in seen_ok]
         print(f"resume: {len(seen_ok)} already green in {done_log}, "
               f"{len(names)} to run")
+    else:
+        covered = set(names)
 
     from pyspark.sql import SparkSession
 
@@ -225,7 +238,7 @@ def main() -> int:
             if n_spark > row_cap:
                 n_big += 1
                 twin = f"{name}_checksum"
-                has_twin = twin in names and twin in oracles
+                has_twin = twin in covered and twin in oracles
                 print(
                     f"TOO-BIG {name}: {n_spark} rows > cap {row_cap} "
                     f"({'bounded twin ' + twin + ' in run' if has_twin else 'NO TWIN'})",
