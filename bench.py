@@ -105,6 +105,9 @@ EXTRAS = [
     # bucket design, corpus never pays a full-sort window
     # (operators/sampling.py token_budget_mixture)
     "q_token_budget_mixture",
+    # round 8: DSIR importance weighting — two corpus passes, 10k-row
+    # bucket-count shuffles, broadcast log-ratio table (operators/dsir.py)
+    "q_dsir_weights",
 ]
 
 HEADLINE = CORE + EXTRAS + CORE_R4

@@ -1,0 +1,165 @@
+"""DSIR-style importance weighting for training-data selection.
+
+Data Selection with Importance Resampling (Xie et al. 2023, "Data
+Selection for Language Models via Importance Resampling"): score every
+raw-corpus document by how much more likely its hashed n-gram features
+are under a TARGET distribution (a small high-quality / in-domain set)
+than under the RAW distribution, then keep the top of the ranking (the
+paper resamples with Gumbel noise; the deterministic top-k is the
+oracle-checkable tier and what production pipelines mostly run).
+
+    logw(doc) = sum over the doc's feature occurrences of
+                ln p_target(bucket) - ln p_raw(bucket)
+
+with hashed word unigram+bigram features bucketed to `n_buckets` and
+add-`smoothing` estimates on both sides.
+
+Beyond the reference surface (§2.11 north-star tier — the quality /
+mixture family: quality_model scores words against fixed weights, DSIR
+scores them against a target CORPUS).
+
+Spark-first / 100 TB posture:
+  * Feature extraction is a per-row explode (unigrams + bigrams are
+    assembled AFTER a positions-explode, the same
+    InferFiltersFromGenerate-safe pattern as q_decontaminate) — no
+    corpus shuffle.
+  * Both distributions are bucket-count hash-aggs with map-side
+    combine: the shuffle is n_buckets rows per side, never the corpus.
+  * The per-bucket log-ratio table is n_buckets rows -> broadcast; the
+    per-doc score is one partial-aggregated groupBy(doc_id).
+  * The target set is assumed small (it is: hand-curated or in-domain
+    data); its counts come from the same bucket agg.
+
+Cross-engine determinism: all counts are exact integers; each bucket's
+log-ratio is computed once from those integers and ROUNDED to 6
+decimals (well past any libm ulp divergence between the JVM and
+DuckDB), and per-doc sums fold the rounded values through an exact
+decimal — order-independent, so Spark and DuckDB produce identical
+doubles. Same scheme as queries/_util.dsum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rag_pipelines_spark.queries._util import dec_to_dbl
+
+__all__ = ["hashed_ngram_features", "dsir_logweights"]
+
+
+def _bucket(gram_col, n_buckets: int):
+    """Engine-portable stable bucket: first 15 md5 nibbles mod n_buckets
+    (DuckDB mirror: CAST(concat('0x', substr(md5(g),1,15)) AS BIGINT) %
+    n_buckets; both operands non-negative so % == pmod)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(gram_col), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """(id, bucket) rows — one per word unigram AND bigram occurrence
+    (with multiplicity: DSIR features are a bag, not a set).
+
+    Tokens are lowercased whitespace splits. The bigram is assembled
+    after a positions-explode over an int sequence (generator input
+    stays cheap; the string concat never clones into scan filters).
+    A doc with n tokens emits n unigrams + max(n-1, 0) bigrams.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_ws")
+    )
+    n = F.size("_ws")
+    pos = toks.select(
+        id_col,
+        "_ws",
+        F.explode(F.sequence(F.lit(1), F.greatest(n, F.lit(1)))).alias("_i"),
+    ).filter(F.col("_i") <= n)
+    uni = pos.select(id_col, F.element_at("_ws", F.col("_i")).alias("_g"))
+    bi = (
+        pos.filter(F.col("_i") < F.size("_ws"))
+        .select(
+            id_col,
+            F.concat_ws(
+                " ",
+                F.element_at("_ws", F.col("_i")),
+                F.element_at("_ws", F.col("_i") + 1),
+            ).alias("_g"),
+        )
+    )
+    return uni.unionByName(bi).select(
+        id_col, _bucket(F.col("_g"), n_buckets).alias("bucket")
+    )
+
+
+def dsir_logweights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 10_000,
+    smoothing: int = 1,
+) -> DataFrame:
+    """(id, n_feats, logw) for every corpus doc with >= 1 feature.
+
+    logw = sum over feature occurrences of
+           round(ln p_t(b) - ln p_r(b), 6), decimal-folded;
+    p_x(b) = (count_x(b) + smoothing) / (total_x + smoothing*n_buckets).
+
+    Higher logw = more target-like. Selection is a deterministic
+    ORDER BY (logw DESC, id) LIMIT k on the output (rank-stable under
+    any partitioning); the paper's Gumbel-perturbed resampling drops in
+    by adding noise seeded from md5(id) before the sort.
+    """
+    cf = hashed_ngram_features(corpus, id_col, text_col, n_buckets)
+    tf = hashed_ngram_features(target, id_col, text_col, n_buckets)
+
+    raw_counts = cf.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt_counts = tf.groupBy("bucket").agg(F.count("*").alias("ct"))
+    # smoothing makes every bucket's ratio defined; buckets absent from
+    # BOTH sides can't be referenced by any doc, so the outer join over
+    # observed buckets is complete for scoring
+    counts = raw_counts.join(tgt_counts, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+    )
+    # totals via an unpartitioned window over the BUCKET-SIZED counts
+    # frame (<= n_buckets rows — the allowlisted tiny-frame pattern):
+    # keeps the whole op one lazy plan with no driver-side scalar
+    # actions and no re-execution of the feature pass
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    k = n_buckets * smoothing
+    lr = counts.select(
+        "bucket",
+        F.sum("cr").over(w_all).alias("_rt"),
+        F.sum("ct").over(w_all).alias("_tt"),
+        "cr",
+        "ct",
+    ).select(
+        "bucket",
+        F.round(
+            F.log(
+                (F.col("ct") + smoothing)
+                / (F.col("_tt") + F.lit(k)).cast("double")
+            )
+            - F.log(
+                (F.col("cr") + smoothing)
+                / (F.col("_rt") + F.lit(k)).cast("double")
+            ),
+            6,
+        ).alias("lr"),
+    )
+    scored = cf.join(F.broadcast(lr), "bucket")
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_feats"),
+        dec_to_dbl(F.sum(F.col("lr").cast("decimal(28,6)"))).alias("logw"),
+    )

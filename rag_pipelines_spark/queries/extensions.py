@@ -1751,6 +1751,74 @@ def q_pretraining_prep_checksum(spark, sf_dir):
 
 
 @register(
+    "q_dsir_weights",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 1) + 1)) AS i
+        FROM tok
+    ),
+    grams AS (
+        SELECT doc_id, ws[i] AS g FROM pos WHERE i <= len(ws)
+        UNION ALL
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g FROM pos
+        WHERE i < len(ws)
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 10000
+                   AS bucket
+        FROM grams
+    ),
+    raw_counts AS (SELECT bucket, COUNT(*) AS cr FROM feats GROUP BY bucket),
+    tgt_counts AS (
+        SELECT bucket, COUNT(*) AS ct FROM feats
+        WHERE doc_id % 50 = 0 GROUP BY bucket
+    ),
+    counts AS (
+        SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+               COALESCE(cr, 0) AS cr, COALESCE(ct, 0) AS ct
+        FROM raw_counts r FULL OUTER JOIN tgt_counts t ON r.bucket = t.bucket
+    ),
+    lr AS (
+        SELECT bucket,
+               round(ln((ct + 1) / CAST((SELECT SUM(ct) FROM counts) + 10000
+                                        AS DOUBLE))
+                   - ln((cr + 1) / CAST((SELECT SUM(cr) FROM counts) + 10000
+                                        AS DOUBLE)), 6) AS lr
+        FROM counts
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           (CAST(FLOOR(SUM(CAST(lr AS DECIMAL(28,6)))) AS DOUBLE)
+            + CAST(SUM(CAST(lr AS DECIMAL(28,6)))
+                   - FLOOR(SUM(CAST(lr AS DECIMAL(28,6)))) AS DOUBLE)) AS logw
+    FROM feats f JOIN lr USING (bucket)
+    GROUP BY f.doc_id
+    """,
+    doc="DSIR importance weighting (Xie et al. 2023, operators/dsir.py): "
+    "score every corpus doc by sum of ln p_target/p_raw over its hashed "
+    "word uni+bigram features (10k buckets, add-1 smoothing); every 50th "
+    "doc stands in for the curated target set. Deterministic top-k "
+    "selection = ORDER BY (logw DESC, doc_id) on this output. Both "
+    "n-gram distributions are bucket-count hash-aggs (shuffle = 10k rows, "
+    "never the corpus), the log-ratio table broadcasts, totals come from "
+    "a tiny-frame window over the 10k-row counts frame, and per-doc "
+    "scores decimal-fold round-6 log-ratios so both engines produce "
+    "identical doubles",
+)
+def q_dsir_weights(spark, sf_dir):
+    from rag_pipelines_spark.operators.dsir import dsir_logweights
+
+    d = t(spark, sf_dir, "documents")
+    target = d.filter(F.col("doc_id") % 50 == 0)
+    return dsir_logweights(d, target, "doc_id", "text", n_buckets=10_000)
+
+
+@register(
     "q_mixture_weights",
     oracle="""
     WITH n AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),

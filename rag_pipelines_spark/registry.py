@@ -54,13 +54,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (b) ALL 22 never-certified queries (the r7 sf10 checksum twins plus the
 # end-of-round bounded variants — none has any driver row yet; clearing
 # this list makes COVERAGE.md NONE-free); (c) the oldest r4-aged rows in
-# sorted order until the 50 slots fill (the 12 that don't fit roll to
+# sorted order until the 50 slots fill (the 13 that don't fit roll to
 # round 9). Displaced rows all hold green r5-r7 driver rows and stay
 # green in driver_sim.
 PRIORITY: tuple[str, ...] = (
     # --- (a) round-8 new / rewritten ---
     "q_pretraining_prep_checksum",  # NEW r8: flagship lifecycle, oracle tier
     "q_multimodal_features",  # REWRITTEN r8: crossJoin -> LSH-blocked pairs
+    "q_dsir_weights",  # NEW r8: DSIR importance weighting, oracle tier
     # --- (b) never-certified: r7 checksum twins + bounded variants ---
     "q_checkpoint_semi_checksum",
     "q_chunk_udtf_checksum",
@@ -84,7 +85,7 @@ PRIORITY: tuple[str, ...] = (
     "q_window_running_checksum",
     "q_zorder_key_checksum",
     "q_zorder_quantile_checksum",
-    # --- (c) oldest r4-aged rows, sorted order (first 26 of 38) ---
+    # --- (c) oldest r4-aged rows, sorted order (first 25 of 38) ---
     "q_bm25_from_state",
     "q_bm25_topk",
     "q_bpe_token_count",
@@ -110,7 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "q_max_by",
     "q_mixture_weights",
     "q_pack_bestfit",
-    "q_percentiles",
 )
 
 

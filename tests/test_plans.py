@@ -214,6 +214,9 @@ TINY_FRAME_WINDOW_OK = {
     # <= fanout*k = 8192 rows (phase-1 survivors), never data-sized;
     # phase 1's data-sized window partitions by the salt (kmv.py)
     "q_kmv_intersect",
+    # DSIR totals over the bucket-count frame: <= n_buckets (10k) rows
+    # by construction, never data-sized (operators/dsir.py)
+    "q_dsir_weights",
 }
 
 
