@@ -1750,9 +1750,7 @@ def q_pretraining_prep_checksum(spark, sf_dir):
     )
 
 
-@register(
-    "q_dsir_weights",
-    oracle=r"""
+_DSIR_ORACLE = r"""
     WITH tok AS (
         SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
         FROM documents
@@ -1798,7 +1796,12 @@ def q_pretraining_prep_checksum(spark, sf_dir):
                    - FLOOR(SUM(CAST(lr AS DECIMAL(28,6)))) AS DOUBLE)) AS logw
     FROM feats f JOIN lr USING (bucket)
     GROUP BY f.doc_id
-    """,
+    """
+
+
+@register(
+    "q_dsir_weights",
+    oracle=_DSIR_ORACLE,
     doc="DSIR importance weighting (Xie et al. 2023, operators/dsir.py): "
     "score every corpus doc by sum of ln p_target/p_raw over its hashed "
     "word uni+bigram features (10k buckets, add-1 smoothing); every 50th "
@@ -1816,6 +1819,54 @@ def q_dsir_weights(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     target = d.filter(F.col("doc_id") % 50 == 0)
     return dsir_logweights(d, target, "doc_id", "text", n_buckets=10_000)
+
+
+@register(
+    "q_dsir_weights_checksum",
+    oracle=f"""
+    SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 32 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_feats) AS BIGINT) AS feats_sum,
+           bit_xor(CAST(concat('0x', substr(md5(
+               CAST(doc_id AS VARCHAR) || '|' ||
+               CAST(n_feats AS VARCHAR) || '|' ||
+               CAST(CAST(round(logw * 1000000) AS BIGINT) AS VARCHAR)),
+               1, 15)) AS BIGINT)) AS xor_sig
+    FROM ({_DSIR_ORACLE}) base
+    GROUP BY bucket
+    """,
+    doc="bounded differential form of q_dsir_weights for the sf-scaling "
+    "sweeps (output is one row per corpus doc — over the harness row cap "
+    "from sf100 on): wraps the headline fn and oracle VERBATIM (shared "
+    "_DSIR_ORACLE constant — the two cannot diverge) and reduces to 32 "
+    "md5-prefix bucket rows: doc count, feature total, and an XOR of "
+    "per-doc digests over (doc_id, n_feats, round(logw*1e6)). logw is a "
+    "6-decimal decimal sum rendered to double, so logw*1e6 rounds back "
+    "to the exact integer in both engines — floats never enter the md5 "
+    "digest as formatted strings",
+)
+def q_dsir_weights_checksum(spark, sf_dir):
+    base = q_dsir_weights(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(32),
+    )
+    digest = md5_long_digest(
+        F.col("doc_id").cast("string"),
+        F.col("n_feats").cast("string"),
+        F.round(F.col("logw") * 1e6).cast("long").cast("string"),
+    )
+    return (
+        base.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_feats").alias("feats_sum"),
+            F.bit_xor(digest).alias("xor_sig"),
+        )
+    )
 
 
 @register(
