@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from rag_pipelines_spark.queries._util import dec_to_dbl
 
-__all__ = ["hashed_ngram_features", "dsir_logweights"]
+__all__ = ["hashed_ngram_features", "dsir_logweights", "dsir_gumbel_topk"]
 
 
 def _bucket(gram_col, n_buckets: int):
@@ -162,4 +162,57 @@ def dsir_logweights(
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_feats"),
         dec_to_dbl(F.sum(F.col("lr").cast("decimal(28,6)"))).alias("logw"),
+    )
+
+
+# 2^60 + 2: md5_long_digest yields h in [0, 2^60), so (h+1)/(2^60+2)
+# lies strictly inside (0,1) — both Gumbel logs are finite.
+_GUMBEL_DENOM = float((1 << 60) + 2)
+
+
+def dsir_gumbel_topk(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 100,
+    n_buckets: int = 10_000,
+    smoothing: int = 1,
+    salt: str = "gumbel",
+) -> DataFrame:
+    """DSIR's actual selection step: sample k docs WITHOUT replacement
+    with probability proportional to exp(logw), via the Gumbel-top-k
+    trick — rank by logw + Gumbel(0,1) noise and keep the top k (Xie et
+    al. 2023 resample; Kool et al. 2019 for Gumbel-top-k = sampling
+    without replacement).
+
+    The noise is seeded from content (md5 of the id + salt), not an
+    RNG: u = (md5_60bit(id|salt) + 1) / (2^60 + 2), g = -ln(-ln(u)),
+    rounded to 6 decimals before the addition — so both engines, and
+    any re-run at any partitioning, draw the identical "sample". Change
+    `salt` to redraw. Output: (id, n_feats, logw, sample_rank), the k
+    selected docs — bounded, so sf-sweeps need no checksum twin.
+
+    Scale: everything dsir_logweights does plus one md5 per doc and a
+    top-k. The rank is a single ORDER BY ... LIMIT k over the doc-level
+    score frame — Spark executes it as TakeOrderedAndProject (per-
+    partition heaps + driver merge of k rows), never a global sort.
+    """
+    from rag_pipelines_spark.queries._util import md5_long_digest
+
+    scored = dsir_logweights(
+        corpus, target, id_col, text_col, n_buckets, smoothing
+    )
+    u = (md5_long_digest(F.col(id_col).cast("string"), F.lit(salt)) + 1) / F.lit(
+        _GUMBEL_DENOM
+    )
+    g6 = F.round(-F.log(-F.log(u)), 6)
+    keyed = scored.withColumn("_key", F.col("logw") + g6)
+    top = keyed.orderBy(F.desc("_key"), F.asc(id_col)).limit(k)
+    # rank assignment over the k-row survivor frame (tiny by contract)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("_key"), F.asc(id_col))
+    return top.withColumn("sample_rank", F.row_number().over(w)).select(
+        id_col, "n_feats", "logw", "sample_rank"
     )

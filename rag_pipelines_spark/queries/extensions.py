@@ -1869,6 +1869,40 @@ def q_dsir_weights_checksum(spark, sf_dir):
     )
 
 
+def _q_dsir_select_fn(spark, sf_dir):
+    from rag_pipelines_spark.operators.dsir import dsir_gumbel_topk
+
+    d = t(spark, sf_dir, "documents")
+    target = d.filter(F.col("doc_id") % 50 == 0)
+    return dsir_gumbel_topk(
+        d, target, "doc_id", "text", k=100, n_buckets=10_000
+    )
+
+
+register(
+    "q_dsir_select",
+    oracle=f"""
+    SELECT doc_id, n_feats, logw, sample_rank FROM (
+        SELECT doc_id, n_feats, logw,
+               row_number() OVER (ORDER BY logw + round(-ln(-ln(
+                   (CAST(concat('0x', substr(md5(
+                        CAST(doc_id AS VARCHAR) || '|gumbel'), 1, 15))
+                        AS BIGINT) + 1) / 1152921504606846978.0)), 6)
+                   DESC, doc_id) AS sample_rank
+        FROM ({_DSIR_ORACLE}) base
+    ) WHERE sample_rank <= 100
+    """,
+    doc="DSIR's selection step end-to-end: sample 100 docs without "
+    "replacement with probability proportional to exp(logw) via "
+    "Gumbel-top-k (Kool et al. 2019) — noise seeded from md5(id|salt) "
+    "so both engines, and any partitioning, draw the IDENTICAL sample; "
+    "round-6 on the noise kills libm ulp divergence before the "
+    "rank-deciding addition. The top-k executes as "
+    "TakeOrderedAndProject (per-partition heaps + k-row driver merge), "
+    "never a global sort (operators/dsir.py dsir_gumbel_topk)",
+)(_q_dsir_select_fn)
+
+
 @register(
     "q_mixture_weights",
     oracle="""

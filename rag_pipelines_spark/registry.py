@@ -54,7 +54,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (b) ALL 22 never-certified queries (the r7 sf10 checksum twins plus the
 # end-of-round bounded variants — none has any driver row yet; clearing
 # this list makes COVERAGE.md NONE-free); (c) the oldest r4-aged rows in
-# sorted order until the 50 slots fill (the 13 that don't fit roll to
+# sorted order until the 50 slots fill (the 15 that don't fit roll to
 # round 9). Displaced rows all hold green r5-r7 driver rows and stay
 # green in driver_sim.
 PRIORITY: tuple[str, ...] = (
@@ -62,6 +62,8 @@ PRIORITY: tuple[str, ...] = (
     "q_pretraining_prep_checksum",  # NEW r8: flagship lifecycle, oracle tier
     "q_multimodal_features",  # REWRITTEN r8: crossJoin -> LSH-blocked pairs
     "q_dsir_weights",  # NEW r8: DSIR importance weighting, oracle tier
+    "q_dsir_weights_checksum",  # NEW r8: bounded sf-sweep twin
+    "q_dsir_select",  # NEW r8: Gumbel-top-k importance resampling
     # --- (b) never-certified: r7 checksum twins + bounded variants ---
     "q_checkpoint_semi_checksum",
     "q_chunk_udtf_checksum",
@@ -85,7 +87,7 @@ PRIORITY: tuple[str, ...] = (
     "q_window_running_checksum",
     "q_zorder_key_checksum",
     "q_zorder_quantile_checksum",
-    # --- (c) oldest r4-aged rows, sorted order (first 25 of 38) ---
+    # --- (c) oldest r4-aged rows, sorted order (first 23 of 38) ---
     "q_bm25_from_state",
     "q_bm25_topk",
     "q_bpe_token_count",
@@ -109,8 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "q_lang_id",
     "q_line_dedup",
     "q_max_by",
-    "q_mixture_weights",
-    "q_pack_bestfit",
 )
 
 
