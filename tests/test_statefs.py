@@ -386,6 +386,38 @@ def test_advisory_fallback_double_acquires_and_warns(spark, caplog):
         b.create_excl("fakes3://bucket/lease", "third")
 
 
+def test_conditional_create_failed_write_does_not_commit(spark):
+    """A write() failure inside the conditional tier must NOT commit the
+    PUT: before the r8 fix the finally-block close() committed a
+    truncated lease object, phantom-holding the lock until
+    crashed-holder cleanup. Now the stream is aborted (or closed +
+    best-effort deleted when not abortable) and the write error
+    propagates — the key must be absent afterwards."""
+    fs = _FakeObjectStoreFS(conditional=True)
+    fs.delete = lambda jp, rec: fs.store.pop(str(jp), None) is not None
+    b = _fake_backend(spark, fs)
+
+    broken = _FakeStream(fs, "fakes3://bucket/lease", conditional=True)
+
+    def bad_write(data):
+        raise _fake_java_error("java.io.IOException", "connection reset")
+
+    broken.write = bad_write
+    orig_create = fs.createFile
+
+    def create_with_broken_stream(jp):
+        builder = orig_create(jp)
+        builder.build = lambda: broken
+        return builder
+
+    fs.createFile = create_with_broken_stream
+    # the write error propagates (untranslated java errors pass through
+    # as-is); the invariant under test is the ABSENT key
+    with pytest.raises(Exception):  # noqa: B017 — fake py4j error type
+        b.create_excl("fakes3://bucket/lease", "our token")
+    assert "fakes3://bucket/lease" not in fs.store
+
+
 def test_capability_probe_drift_falls_back_not_crashes(spark):
     """Capability answers true but the builder rejects must() (connector
     drift): create_excl must fall back to the advisory path, not crash."""
