@@ -130,21 +130,18 @@ def dsir_logweights(
         F.coalesce("cr", F.lit(0)).alias("cr"),
         F.coalesce("ct", F.lit(0)).alias("ct"),
     )
-    # totals via an unpartitioned window over the BUCKET-SIZED counts
-    # frame (<= n_buckets rows — the allowlisted tiny-frame pattern):
-    # keeps the whole op one lazy plan with no driver-side scalar
-    # actions and no re-execution of the feature pass
-    from pyspark.sql import Window
-
-    w_all = Window.partitionBy()
+    # totals as a broadcast 1-row agg crossJoined back (the
+    # operators/sampling.py balance_groups pattern) — no unpartitioned
+    # window anywhere in the plan, so wrapper queries need no lint
+    # exemption. The counts subtree appears in both crossJoin branches,
+    # but its bucket-groupBy exchanges are identical on both sides and
+    # ReuseExchange dedupes them, so the corpus feature pass still runs
+    # once per side.
     k = n_buckets * smoothing
-    lr = counts.select(
-        "bucket",
-        F.sum("cr").over(w_all).alias("_rt"),
-        F.sum("ct").over(w_all).alias("_tt"),
-        "cr",
-        "ct",
-    ).select(
+    totals = F.broadcast(
+        counts.agg(F.sum("cr").alias("_rt"), F.sum("ct").alias("_tt"))
+    )  # 1 row
+    lr = counts.crossJoin(totals).select(
         "bucket",
         F.round(
             F.log(

@@ -214,9 +214,11 @@ TINY_FRAME_WINDOW_OK = {
     # <= fanout*k = 8192 rows (phase-1 survivors), never data-sized;
     # phase 1's data-sized window partitions by the salt (kmv.py)
     "q_kmv_intersect",
-    # DSIR totals over the bucket-count frame: <= n_buckets (10k) rows
-    # by construction, never data-sized (operators/dsir.py)
-    "q_dsir_weights",
+    # DSIR Gumbel-top-k sample_rank: windows over the post-.limit(k)
+    # survivor frame — k=100 rows BY CONTRACT (operators/dsir.py
+    # dsir_gumbel_topk); the bucket-totals window that used to flag
+    # q_dsir_weights is gone (broadcast 1-row agg join since r9)
+    "q_dsir_select",
 }
 
 
