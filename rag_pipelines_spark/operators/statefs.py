@@ -456,14 +456,28 @@ class HadoopBackend:
             try:
                 out.abort()  # Hadoop Abortable (S3A block output)
             except Exception:  # noqa: BLE001 — not abortable
+                # close() IS the conditional PUT. Delete ONLY when it
+                # succeeds (our truncated object demonstrably committed):
+                # a FileExistsError/412 from close() means a COMPETING
+                # writer took the key between build() and now, and
+                # deleting would remove the winner's VALID lease — a
+                # third party could then acquire while the winner still
+                # believes it holds the lock (mutual-exclusion break).
+                # Any other close() failure leaves commit state unknown:
+                # leave the key alone — if a truncated object did land,
+                # crashed-holder cleanup reclaims it (a liveness cost,
+                # never a safety break).
+                committed = False
                 try:
                     out.close()
+                    committed = True
                 except Exception:  # noqa: BLE001
                     pass
-                try:
-                    fs.delete(jp, False)
-                except Exception:  # noqa: BLE001
-                    pass
+                if committed:
+                    try:
+                        fs.delete(jp, False)
+                    except Exception:  # noqa: BLE001
+                        pass
             raise self._translate(write_exc) from None
         try:
             out.close()  # the PUT commits HERE; 412 surfaces here

@@ -418,6 +418,48 @@ def test_conditional_create_failed_write_does_not_commit(spark):
     assert "fakes3://bucket/lease" not in fs.store
 
 
+def test_failed_write_cleanup_spares_rival_lease(spark):
+    """Failed-write cleanup in the non-Abortable fallback must not
+    delete a COMPETITOR's lease: when our write() fails and the
+    fallback close() then hits 412 (a rival committed the key between
+    build() and close()), the key belongs to the rival — deleting it
+    would let a third party acquire while the rival believes it holds
+    the lock. The delete runs ONLY when our own close() committed."""
+    fs = _FakeObjectStoreFS(conditional=True)
+    deleted = []
+
+    def tracked_delete(jp, rec):
+        deleted.append(str(jp))
+        return fs.store.pop(str(jp), None) is not None
+
+    fs.delete = tracked_delete
+    b = _fake_backend(spark, fs)
+
+    broken = _FakeStream(fs, "fakes3://bucket/lease", conditional=True)
+
+    def bad_write(data):
+        raise _fake_java_error("java.io.IOException", "connection reset")
+
+    broken.write = bad_write
+    orig_create = fs.createFile
+
+    def create_with_broken_stream(jp):
+        builder = orig_create(jp)
+        builder.build = lambda: broken
+        return builder
+
+    fs.createFile = create_with_broken_stream
+    # the rival lands its PUT inside the close() commit window
+    fs.on_commit = lambda: fs.store.setdefault(
+        "fakes3://bucket/lease", b"rival token"
+    )
+    with pytest.raises(Exception):  # noqa: B017 — fake py4j error type
+        b.create_excl("fakes3://bucket/lease", "our token")
+    # the rival's lease survives, untouched by our cleanup
+    assert fs.store["fakes3://bucket/lease"] == b"rival token"
+    assert deleted == []
+
+
 def test_capability_probe_drift_falls_back_not_crashes(spark):
     """Capability answers true but the builder rejects must() (connector
     drift): create_excl must fall back to the advisory path, not crash."""
