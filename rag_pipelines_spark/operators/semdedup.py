@@ -92,26 +92,42 @@ def _cos9(dot, n2a, n2b):
 _ASSIGN_MARGIN = 1e-6
 
 
-def _margin_candidates_udf(seed_ids, seed_mat, margin=_ASSIGN_MARGIN):
-    """array<long> of seed_ids whose float64 cosine is within `margin`
-    of the row's max — the cheap Arrow-batched pre-pass that prunes the
-    n x k assignment down to ~1 exact-scored candidate per row.
+def _margin_candidates_udf(seed_mat, margin=_ASSIGN_MARGIN):
+    """array<int> of seed INDICES (positions in the caller's id-sorted
+    seed list) whose float64 cosine is within `margin` of the row's max
+    — the cheap Arrow-batched pre-pass that prunes the n x k assignment
+    down to ~1 exact-scored candidate per row.
 
-    Null / zero-norm vectors return [min seed_id]: the exact path ranks
-    their all-null/NaN scores by (nulls-last, seed_id asc), which always
+    Index-keyed on purpose: the caller maps indices back to seed ids
+    through a broadcast (index, seed_id) frame, so the id type stays
+    opaque — string / decimal ids work (the r8 form returned
+    array<long> of ids and crashed on non-integer id columns).
+
+    Null / zero-norm vectors return [0] (= the smallest seed_id, since
+    the seed list is id-sorted): the exact path ranks their
+    all-null/NaN scores by (nulls-last, seed_id asc), which always
     elects the smallest seed — the fallback reproduces that with one
-    candidate instead of k.
+    candidate instead of k. A vector whose length differs from the
+    seed dimension fails fast with a clear message (np.asarray over a
+    ragged batch would otherwise build an object array and surface an
+    opaque executor-side matmul error).
     """
     mat_t = seed_mat.T  # (d, k)
     seed_norms = np.sqrt((seed_mat * seed_mat).sum(axis=1))
-    min_seed = int(seed_ids.min())
+    dim = seed_mat.shape[1]
 
-    @pandas_udf("array<long>")
+    @pandas_udf("array<int>")
     def f(v: pd.Series) -> pd.Series:
         vals = v.tolist()
-        out = [[min_seed]] * len(vals)
+        out = [[0]] * len(vals)  # index 0 = smallest seed_id
         live = [i for i, t in enumerate(vals) if t is not None]
         if live:
+            bad = next((i for i in live if len(vals[i]) != dim), None)
+            if bad is not None:
+                raise ValueError(
+                    f"semantic_dedup: embedding length {len(vals[bad])} "
+                    f"!= seed dimension {dim} — ragged vector column"
+                )
             x = np.asarray([vals[i] for i in live], dtype=np.float64)
             xn = np.sqrt((x * x).sum(axis=1))
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -121,7 +137,7 @@ def _margin_candidates_udf(seed_ids, seed_mat, margin=_ASSIGN_MARGIN):
             for j, i in enumerate(live):
                 if mx[j] != -np.inf:
                     sel = np.nonzero(cos[j] >= mx[j] - margin)[0]
-                    out[i] = [int(seed_ids[s]) for s in sel]
+                    out[i] = [int(s) for s in sel]
         return pd.Series(out, dtype=object)
 
     return f
@@ -181,11 +197,40 @@ def semantic_dedup(
     seed_rows = sorted(
         seed_frame.select("seed_id", "sv").collect(), key=lambda r: r[0]
     )
-    seed_ids = np.asarray([r[0] for r in seed_rows], dtype=np.int64)
-    seed_mat = np.asarray([r[1] for r in seed_rows], dtype=np.float64)
-    cand_udf = _margin_candidates_udf(seed_ids, seed_mat)
+    dims = {len(r[1]) for r in seed_rows if r[1] is not None}
+    if len(dims) > 1:
+        raise ValueError(
+            f"semantic_dedup: seed vectors have mixed lengths {sorted(dims)}"
+            " — ragged vector column"
+        )
+    dim = dims.pop() if dims else 0
+    # null-vector seeds keep their index slot as a zero row: zero norm
+    # -> -inf cosine in the margin pass, so they are never emitted as a
+    # candidate — matching the exact path, where their null score sorts
+    # nulls-last and can only be elected via the [index 0] tie fallback
+    seed_mat = np.asarray(
+        [r[1] if r[1] is not None else [0.0] * dim for r in seed_rows],
+        dtype=np.float64,
+    )
+    cand_udf = _margin_candidates_udf(seed_mat)
+    # index -> seed_id mapping as a broadcast k-row frame, typed from
+    # the seed frame itself so ids of ANY orderable type survive the
+    # round trip (ints, strings, decimals — not just int64)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    seed_idx = emb.sparkSession.createDataFrame(
+        [(i, r[0]) for i, r in enumerate(seed_rows)],
+        StructType(
+            [
+                StructField("_sidx", IntegerType(), False),
+                StructField("seed_id", seed_frame.schema["seed_id"].dataType, True),
+            ]
+        ),
+    )
     scored = (
-        norms.withColumn("seed_id", F.explode(cand_udf(F.col("v"))))
+        norms.withColumn("_sidx", F.explode(cand_udf(F.col("v"))))
+        .join(F.broadcast(seed_idx), "_sidx")
+        .drop("_sidx")
         .join(F.broadcast(seed_frame), "seed_id")
         .select(
             "id",

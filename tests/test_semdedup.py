@@ -141,6 +141,41 @@ def test_property_matches_brute_force(spark, vectors, tc):
     assert _run(spark, vectors, 0.5, tc) == brute(vectors, 0.5, tc)
 
 
+def test_string_ids_work(spark):
+    """The margin-prune UDF is keyed by seed INDEX and mapped back
+    through a typed broadcast frame, so non-integer id columns work
+    (the r8 int64-keyed form crashed on them). Semantics must match the
+    long-id run on the same vectors under the same id ORDER."""
+    # 'd0'..'d6' sort like 0..6, so brute's min-id witness rule carries
+    named = {f"d{i}": v for i, v in PLANTED.items()}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(named.items())],
+        "vec_id: string, embedding: array<float>",
+    )
+    got = sorted(
+        (r.vec_id, r.cluster_id, r.kept)
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.95, target_cluster=4
+        ).collect()
+    )
+    # brute() is id-type generic (sorted + md5(str(id)) both work on
+    # strings), so it is the reference for the string-keyed run too
+    assert got == brute(named, 0.95, 4)
+
+
+def test_ragged_vector_fails_fast(spark):
+    """A vector whose length differs from the seed dimension must raise
+    a clear error, not an opaque executor-side object-array crash."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id: long, embedding: array<float>",
+    )
+    with pytest.raises(Exception, match="ragged vector column|seed dimension"):
+        semantic_dedup(df, "vec_id", "embedding", target_cluster=2).collect()
+
+
 # ---------------------------------------------------------------------------
 # ivf_topk_exact — deterministic IVF twin
 # ---------------------------------------------------------------------------
