@@ -162,18 +162,18 @@ def main() -> None:
     # pass carries +-0.5 s of GC/codegen noise per sub-2 s entry and one
     # box-wide load spike skews EVERY query the same direction (the r7
     # "+12% uniform drift" cost a diagnosis round); the min of 3 erases
-    # both. Only the FROZEN like-for-like sets (CORE, CORE_R4, watcher)
-    # pay the extra passes — they are the round-over-round and
-    # vs-baseline gates; EXTRAS stay single-sample so total bench wall
-    # stays bounded. SPARK_GRAFT_BENCH_RUNS=1 restores the old single
-    # pass everywhere.
+    # both. Since r9 EVERY reported query pays the N passes (r8 ran the
+    # frozen CORE/CORE_R4/watcher sets min-of-3 but extras 1-pass, so a
+    # noise adjudication landing on an extras query had no protocol).
+    # Cross-protocol caveat for readers of the history: minima from r8+
+    # compared against <=r7 single-pass numbers look systematically
+    # faster with zero code change — the "protocol" field in the output
+    # records which regime produced each file. SPARK_GRAFT_BENCH_RUNS=1
+    # restores the old single pass everywhere.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    remeasured = set(CORE) | set(CORE_R4)
     samples: dict[str, list[float]] = {}
     for r in range(runs):
         for name in HEADLINE:
-            if r > 0 and name not in remeasured:
-                continue
             q = registry.get(name)
             if q is None:
                 continue
@@ -253,6 +253,12 @@ def main() -> None:
                 "extras_total": extras_total,
                 "sf": sf,
                 "runs": runs,
+                # protocol provenance: <=r7 files are single-pass, r8 is
+                # min-of-3 on frozen sets only, r9+ is min-of-N on every
+                # reported query — compare like with like
+                "protocol": (
+                    "single-pass" if runs == 1 else f"min-of-{runs}-all"
+                ),
                 "wall_total": round(time.time() - t0, 4),
             }
         )

@@ -161,7 +161,14 @@ def main() -> int:
             m = re.search(r"(PASS|TOO-BIG|ROWS-ONLY|SKIP) (q[a-z_0-9]*)", line)
             if not m:
                 continue
-            if m.group(1) == "TOO-BIG" and "bounded twin" not in line:
+            # a TOO-BIG row resumes as done only when its twin actually
+            # PASSED ("passed", or the pre-r9 "in run" wording which
+            # r8's fix already restricted to completed rows); a twin
+            # merely "scheduled" re-runs so coverage is re-checked
+            if m.group(1) == "TOO-BIG" and not (
+                "bounded twin" in line
+                and ("passed" in line or "in run" in line)
+            ):
                 continue
             seen_ok.add(m.group(2))
         # twin coverage is judged against the whole certification run
@@ -221,6 +228,8 @@ def main() -> int:
 
     n_pass = n_fail = n_big = n_rows_only = n_err = n_skip = 0
     big_without_twin = []
+    passed_now: set[str] = set()  # PASS rows from THIS invocation
+    pending_twins: dict[str, str] = {}  # TOO-BIG name -> twin not yet run
     for name in names:
         if run_all and name in QUADRATIC_VERIFY_CEILING:
             n_skip += 1
@@ -238,14 +247,25 @@ def main() -> int:
             if n_spark > row_cap:
                 n_big += 1
                 twin = f"{name}_checksum"
-                has_twin = twin in covered and twin in oracles
+                # a twin only COVERS once it has actually passed — in a
+                # prior resumed log (seen-green) or earlier this run. A
+                # twin merely scheduled later prints as 'scheduled' and
+                # is re-checked after the loop, so a twin that then
+                # FAILs/ERRs still fails the gate (a resumed-log reader
+                # must never mistake scheduling for certification).
+                if twin not in oracles or twin not in covered:
+                    status = "NO TWIN"
+                    big_without_twin.append(name)
+                elif twin in passed_now or (done_log and twin in seen_ok):
+                    status = f"bounded twin {twin} passed"
+                else:
+                    status = f"bounded twin {twin} scheduled"
+                    pending_twins[name] = twin
                 print(
                     f"TOO-BIG {name}: {n_spark} rows > cap {row_cap} "
-                    f"({'bounded twin ' + twin + ' in run' if has_twin else 'NO TWIN'})",
+                    f"({status})",
                     flush=True,
                 )
-                if not has_twin:
-                    big_without_twin.append(name)
                 continue
             sdf = df.toPandas()
             ddf = con.sql(oracles[name]).df()
@@ -254,6 +274,8 @@ def main() -> int:
             ok = hs == hd and sorted(sdf.columns) == sorted(ddf.columns)
             n_pass += ok
             n_fail += not ok
+            if ok:
+                passed_now.add(name)
             print(f"{'PASS' if ok else 'FAIL'} {name}: spark={ns} duck={nd}", flush=True)
         except Exception as exc:  # noqa: BLE001
             n_err += 1
@@ -288,6 +310,12 @@ def main() -> int:
                             flush=True,
                         )
 
+    # settle the deferred twin coverage: a TOO-BIG row whose twin was
+    # scheduled later in this run is covered only if the twin PASSED
+    for name, twin in pending_twins.items():
+        if twin not in passed_now:
+            print(f"FAIL-TWIN {name}: scheduled twin {twin} did not pass")
+            big_without_twin.append(name)
     print(
         f"TOTAL: {n_pass} pass, {n_fail} fail, {n_big} too-big, "
         f"{n_rows_only} rows-only, {n_skip} skip, {n_err} err"
