@@ -316,7 +316,9 @@ def minhash_band_keys(
     )
 
 
-def band_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+def band_candidate_pairs(
+    bands: DataFrame, id_col: str, bucket_cap: int = 8192
+) -> DataFrame:
     """Distinct (a_id, b_id) candidate pairs from an (id, band, bkey)
     frame — ids sharing any band bucket, a_id < b_id.
 
@@ -333,20 +335,78 @@ def band_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
     would build (a degenerate bucket of identical boilerplate would hit
     the 2 GB row limit there; here its pairs spread across rows and spill
     like any join output).
+
+    HOT buckets split (r9): a bucket larger than `bucket_cap` would
+    serialize its whole s^2/2 expansion through the ONE task that owns
+    its (band, bkey) shuffle key — the q_minhash_neardup sf100
+    straggler (one dup-dense band bucket, everything else idle). Such a
+    bucket's sorted ids split into m = ceil(s/cap) chunks and every
+    chunk pair (ci <= cj) becomes its OWN row, repartitioned on
+    (band, bkey, ci, cj) so the m(m+1)/2 expansion tasks spread across
+    the cluster. The extra shuffle moves chunk-pair rows of <= 2*cap
+    ids each — s*m ids per hot bucket, a 1/cap fraction of that
+    bucket's pair OUTPUT, so the redistribution is always cheaper than
+    the work it parallelizes. Pair set is exactly the union of
+    within-chunk and cross-chunk pairs; ids are bucket-sorted, so
+    cross-chunk rows need no suffix slice (every ca element < every cb
+    element up to the final a<b filter).
     """
     buckets = (
         bands.groupBy("band", "bkey")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    step1 = buckets.select("ids", F.posexplode("ids").alias("_i", "a_id"))
+    small = buckets.filter(F.size("ids") <= bucket_cap)
+    step1 = small.select("ids", F.posexplode("ids").alias("_i", "a_id"))
+    small_pairs = step1.select(
+        "a_id",
+        F.explode(
+            F.slice("ids", F.col("_i") + F.lit(2), F.size("ids"))
+        ).alias("b_id"),
+    )
+
+    big = buckets.filter(F.size("ids") > bucket_cap).withColumn(
+        "_m", F.ceil(F.size("ids") / F.lit(bucket_cap)).cast("int")
+    )
+    by_ci = big.select(
+        "band",
+        "bkey",
+        "ids",
+        "_m",
+        F.explode(F.sequence(F.lit(0), F.col("_m") - 1)).alias("_ci"),
+    )
+    by_cj = by_ci.select(
+        "band",
+        "bkey",
+        "ids",
+        "_ci",
+        F.explode(F.sequence(F.col("_ci"), F.col("_m") - 1)).alias("_cj"),
+    )
+    chunked = by_cj.select(
+        "band",
+        "bkey",
+        "_ci",
+        "_cj",
+        F.slice("ids", F.col("_ci") * bucket_cap + 1, bucket_cap).alias("ca"),
+        F.slice("ids", F.col("_cj") * bucket_cap + 1, bucket_cap).alias("cb"),
+    ).repartition("band", "bkey", "_ci", "_cj")
+    step1b = chunked.select(
+        "cb",
+        (F.col("_ci") == F.col("_cj")).alias("_same"),
+        F.posexplode("ca").alias("_i", "a_id"),
+    )
+    big_pairs = step1b.select(
+        "a_id",
+        F.explode(
+            F.when(
+                F.col("_same"),
+                F.slice("cb", F.col("_i") + F.lit(2), F.size("cb")),
+            ).otherwise(F.col("cb"))
+        ).alias("b_id"),
+    )
+
     return (
-        step1.select(
-            "a_id",
-            F.explode(
-                F.slice("ids", F.col("_i") + F.lit(2), F.size("ids"))
-            ).alias("b_id"),
-        )
+        small_pairs.unionByName(big_pairs)
         # strict < : position-based expansion would emit (x, x) if an id
         # ever appeared twice in a bucket (duplicate input ids); the
         # join formulation's a_id < b_id predicate excluded those

@@ -251,6 +251,38 @@ def test_near_dedup_pairs_exact_vs_brute_force(spark):
     assert (2, 6) not in got  # jaccard well under 0.8
 
 
+def test_band_pair_chunk_split_equals_unsplit(spark):
+    """The hot-bucket chunk split (bucket_cap) must produce EXACTLY the
+    pair set of the unsplit expansion — within-chunk + cross-chunk pairs
+    tile the bucket's full upper triangle. Drilled at caps that force
+    1-wide, ragged, and exact-multiple chunkings, on buckets with ids
+    shared across several (band, bkey) buckets so the final distinct()
+    is exercised too."""
+    from rag_pipelines_spark.operators.dedup import band_candidate_pairs
+
+    rows = []
+    # bucket A: 11 ids (ragged at cap 3/4), bucket B overlaps A's ids,
+    # bucket C: exactly 8 ids (exact multiple at cap 4), singleton D
+    rows += [(i, 0, "A") for i in range(11)]
+    rows += [(i, 1, "B") for i in range(5, 16)]
+    rows += [(i, 0, "C") for i in range(20, 28)]
+    rows += [(99, 2, "D")]
+    bands = spark.createDataFrame(rows, ["doc_id", "band", "bkey"])
+    baseline = {
+        (r.a_id, r.b_id)
+        for r in band_candidate_pairs(bands, "doc_id", bucket_cap=10_000)
+        .collect()
+    }
+    assert baseline  # sanity: the fixture produces pairs
+    for cap in (1, 2, 3, 4, 8):
+        got = {
+            (r.a_id, r.b_id)
+            for r in band_candidate_pairs(bands, "doc_id", bucket_cap=cap)
+            .collect()
+        }
+        assert got == baseline, f"bucket_cap={cap} diverged"
+
+
 def test_line_dedup_idempotent(spark):
     """Dedup of a deduped corpus is the identity: after one pass every
     line is corpus-unique, so a second pass must keep everything."""
