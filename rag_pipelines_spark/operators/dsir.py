@@ -45,7 +45,12 @@ from pyspark.sql import functions as F
 
 from rag_pipelines_spark.queries._util import dec_to_dbl
 
-__all__ = ["hashed_ngram_features", "dsir_logweights", "dsir_gumbel_topk"]
+__all__ = [
+    "hashed_ngram_features",
+    "dsir_logweights",
+    "dsir_score_against",
+    "dsir_gumbel_topk",
+]
 
 
 def _bucket(gram_col, n_buckets: int):
@@ -122,6 +127,36 @@ def dsir_logweights(
 
     raw_counts = cf.groupBy("bucket").agg(F.count("*").alias("cr"))
     tgt_counts = tf.groupBy("bucket").agg(F.count("*").alias("ct"))
+    return dsir_score_against(
+        cf, raw_counts, tgt_counts, id_col, n_buckets, smoothing
+    )
+
+
+def dsir_score_against(
+    batch_feats: DataFrame,
+    raw_counts: DataFrame,
+    tgt_counts: DataFrame,
+    id_col: str,
+    n_buckets: int = 10_000,
+    smoothing: int = 1,
+) -> DataFrame:
+    """Score a batch of (id, bucket) feature rows against EXPLICIT
+    raw/target bucket-count distributions — the serve half of DSIR,
+    split out so the raw side can come from accreted rollup STATE
+    (q_dsir_from_state: history persists only as the n_buckets-row
+    count table, never as text) and the target side from a frozen
+    curated-set distribution.
+
+    raw_counts: (bucket, cr); tgt_counts: (bucket, ct). Same smoothing
+    / rounding / decimal-fold contract as dsir_logweights — with equal
+    inputs the two paths are bitwise-identical.
+
+    Buckets the batch references but NEITHER distribution has seen
+    (possible when scoring an incoming batch against prior state; never
+    when raw_counts covers the batch, as in dsir_logweights) score the
+    smoothed default round(ln(s/(tt+k)) - ln(s/(rt+k)), 6) — the lr
+    table's own value for a (0, 0) bucket.
+    """
     # smoothing makes every bucket's ratio defined; buckets absent from
     # BOTH sides can't be referenced by any doc, so the outer join over
     # observed buckets is complete for scoring
@@ -155,7 +190,25 @@ def dsir_logweights(
             6,
         ).alias("lr"),
     )
-    scored = cf.join(F.broadcast(lr), "bucket")
+    # default for never-seen buckets: the lr formula at (cr, ct) = (0, 0)
+    lr0 = totals.select(
+        F.round(
+            F.log(
+                F.lit(float(smoothing))
+                / (F.col("_tt") + F.lit(k)).cast("double")
+            )
+            - F.log(
+                F.lit(float(smoothing))
+                / (F.col("_rt") + F.lit(k)).cast("double")
+            ),
+            6,
+        ).alias("_lr0")
+    )
+    scored = (
+        batch_feats.join(F.broadcast(lr), "bucket", "left")
+        .crossJoin(F.broadcast(lr0))
+        .select(id_col, F.coalesce("lr", "_lr0").alias("lr"))
+    )
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_feats"),
         dec_to_dbl(F.sum(F.col("lr").cast("decimal(28,6)"))).alias("logw"),

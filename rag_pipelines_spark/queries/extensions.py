@@ -1598,12 +1598,14 @@ def q_pretraining_prep(spark, sf_dir):
     return pretraining_prep_pipeline(d, bench, persist_stages=False).packed
 
 
-@register(
-    "q_pretraining_prep_checksum",
-    oracle=r"""
+# Staged-CTE oracle of the composed lifecycle, shared by the full
+# checksum twin and the sf100-bounded variant — {corpus_pred} narrows the
+# CORPUS side only (the 5-gram/shingle CTEs that OOM DuckDB at sf100);
+# the benchmark side stays the full table in both.
+_PRETRAIN_CHECKSUM_ORACLE_TMPL = r"""
     WITH quality AS (
         SELECT doc_id, text FROM documents
-        WHERE len(string_split_regex(trim(text), '\s+')) >= 10
+        WHERE {corpus_pred} len(string_split_regex(trim(text), '\s+')) >= 10
           AND CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
                    AS DOUBLE) / length(text) < 0.2
           AND CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
@@ -1706,7 +1708,12 @@ def q_pretraining_prep(spark, sf_dir):
                CAST(seq_start // 512 AS VARCHAR)), 1, 15)) AS BIGINT)) AS xor_sig
     FROM laid
     GROUP BY pack_shard ORDER BY pack_shard
-    """,
+    """
+
+
+@register(
+    "q_pretraining_prep_checksum",
+    oracle=_PRETRAIN_CHECKSUM_ORACLE_TMPL.format(corpus_pred=""),
     doc="hash-certified twin of the flagship composed lifecycle "
     "(q_pretraining_prep): the staged CTE oracle replays quality gate -> "
     "corpus line dedup -> md5-minhash near-dedup -> 5-gram benchmark "
@@ -1732,6 +1739,55 @@ def q_pretraining_prep_checksum(spark, sf_dir):
     )
     packed = pretraining_prep_pipeline(
         d, bench, persist_stages=False, shard_col=shard
+    ).packed
+    seq_id = F.expr("seq_start div 512")
+    return (
+        packed.groupBy("pack_shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(seq_id).cast("long").alias("n_seqs"),
+            F.sum("n_tokens").alias("tok_sum"),
+            F.bit_xor(
+                md5_long_digest(
+                    F.col("doc_id"), F.col("n_tokens"), F.col("seq_start"), seq_id
+                )
+            ).alias("xor_sig"),
+        )
+        .orderBy("pack_shard")
+    )
+
+
+@register(
+    "q_pretraining_prep_checksum_small",
+    oracle=_PRETRAIN_CHECKSUM_ORACLE_TMPL.format(
+        corpus_pred="doc_id % 10 = 0 AND"
+    ),
+    doc="sf100-grade bounded twin of the flagship lifecycle (the "
+    "q_fuzzy_decontaminate_small pattern): the SAME composed pipeline "
+    "and the SAME staged-CTE oracle, with the corpus side narrowed to "
+    "the deterministic doc_id % 10 == 0 tenth — the benchmark side and "
+    "every pipeline stage stay identical. Exists because the full "
+    "twin's DuckDB oracle OOMs >52 GiB at sf100 (a VERIFY-side ceiling, "
+    "not a plan defect): at sf100 this variant still pushes 500k docs "
+    "through quality -> line dedup -> minhash -> decontaminate -> pack "
+    "while the oracle stays within DuckDB's memory, so the lifecycle "
+    "keeps a hash-certified row on the top rung of the scale ladder",
+)
+def q_pretraining_prep_checksum_small(spark, sf_dir):
+    from rag_pipelines_spark.plans.pretraining import pretraining_prep_pipeline
+
+    d = t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 == 0)
+    bench = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(32),
+    )
+    packed = pretraining_prep_pipeline(
+        corpus, bench, persist_stages=False, shard_col=shard
     ).packed
     seq_id = F.expr("seq_start div 512")
     return (
@@ -1809,7 +1865,8 @@ _DSIR_ORACLE = r"""
     "selection = ORDER BY (logw DESC, doc_id) on this output. Both "
     "n-gram distributions are bucket-count hash-aggs (shuffle = 10k rows, "
     "never the corpus), the log-ratio table broadcasts, totals come from "
-    "a tiny-frame window over the 10k-row counts frame, and per-doc "
+    "a broadcast 1-row agg over the 10k-row counts frame (r9: replaced "
+    "the tiny-frame window so no lint exemption is needed), and per-doc "
     "scores decimal-fold round-6 log-ratios so both engines produce "
     "identical doubles",
 )
@@ -1901,6 +1958,128 @@ register(
     "TakeOrderedAndProject (per-partition heaps + k-row driver merge), "
     "never a global sort (operators/dsir.py dsir_gumbel_topk)",
 )(_q_dsir_select_fn)
+
+
+@register(
+    "q_dsir_from_state",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 1) + 1)) AS i
+        FROM tok
+    ),
+    grams AS (
+        SELECT doc_id, ws[i] AS g FROM pos WHERE i <= len(ws)
+        UNION ALL
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g FROM pos
+        WHERE i < len(ws)
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 10000
+                   AS bucket
+        FROM grams
+    ),
+    raw_counts AS (
+        SELECT bucket, COUNT(*) AS cr FROM feats
+        WHERE doc_id % 3 IN (0, 1) GROUP BY bucket
+    ),
+    tgt_counts AS (
+        SELECT bucket, COUNT(*) AS ct FROM feats
+        WHERE doc_id % 50 = 0 GROUP BY bucket
+    ),
+    counts AS (
+        SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+               COALESCE(cr, 0) AS cr, COALESCE(ct, 0) AS ct
+        FROM raw_counts r FULL OUTER JOIN tgt_counts t ON r.bucket = t.bucket
+    ),
+    tot AS (SELECT SUM(cr) AS rt, SUM(ct) AS tt FROM counts),
+    lr AS (
+        SELECT bucket,
+               round(ln((ct + 1) / CAST(tt + 10000 AS DOUBLE))
+                   - ln((cr + 1) / CAST(rt + 10000 AS DOUBLE)), 6) AS lr
+        FROM counts, tot
+    ),
+    scored AS (
+        SELECT f.doc_id,
+               COALESCE(l.lr, (
+                   SELECT round(ln(1 / CAST(tt + 10000 AS DOUBLE))
+                              - ln(1 / CAST(rt + 10000 AS DOUBLE)), 6)
+                   FROM tot
+               )) AS lr
+        FROM feats f LEFT JOIN lr l USING (bucket)
+        WHERE f.doc_id % 3 = 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           (CAST(FLOOR(SUM(CAST(lr AS DECIMAL(28,6)))) AS DOUBLE)
+            + CAST(SUM(CAST(lr AS DECIMAL(28,6)))
+                   - FLOOR(SUM(CAST(lr AS DECIMAL(28,6)))) AS DOUBLE)) AS logw
+    FROM scored GROUP BY doc_id
+    """,
+    doc="score-before-ingest DSIR from ACCRETED state (the 9th "
+    "continuous-ingest family): two time-sliced corpus batches fold "
+    "their hashed-feature bucket counts into manifest/epoch/lease "
+    "rollup state (counts are mergeable, so 2 merges == one-shot agg "
+    "over both batches); the target-side distribution is computed ONCE "
+    "from the curated set and FROZEN into its own state (the annstate "
+    "frozen-seeds discipline); then the INCOMING third batch is scored "
+    "against state alone — history persists only as the <=10k-row "
+    "bucket-count table, never as text. Batch features hitting buckets "
+    "neither distribution has seen score the smoothed (0,0) default "
+    "lr. The oracle recomputes both distributions one-shot and scores "
+    "batch 2: state-served == full recompute is what the hash gate "
+    "certifies (operators/dsir.py dsir_score_against)",
+)
+def q_dsir_from_state(spark, sf_dir):
+    import os
+    import shutil
+
+    from rag_pipelines_spark.operators.dsir import (
+        dsir_score_against,
+        hashed_ngram_features,
+    )
+    from rag_pipelines_spark.operators.rollup import merge_rollup, read_rollup
+    from rag_pipelines_spark.queries.sources import _scratch
+
+    state = _scratch("dsir-serve", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)  # additive state: fresh per run
+    d = t(spark, sf_dir, "documents")
+    # gram-once discipline (in production each arriving batch is a
+    # distinct input, featurized on arrival)
+    feats = hashed_ngram_features(d, "doc_id", "text", 10_000).localCheckpoint(
+        eager=True
+    )
+    # frozen target distribution: written once at state init
+    merge_rollup(
+        spark,
+        feats.filter(F.col("doc_id") % 50 == 0),
+        os.path.join(state, "target"),
+        keys=["bucket"],
+        measures={"doc_id": ["count"]},
+        epoch=0,
+    )
+    # raw-side bucket counts accrete batch by batch
+    for r in (0, 1):
+        merge_rollup(
+            spark,
+            feats.filter(F.col("doc_id") % 3 == r),
+            os.path.join(state, "raw"),
+            keys=["bucket"],
+            measures={"doc_id": ["count"]},
+            epoch=r,
+        )
+    raw = read_rollup(spark, os.path.join(state, "raw")).select(
+        "bucket", F.col("count_doc_id").alias("cr")
+    )
+    tgt = read_rollup(spark, os.path.join(state, "target")).select(
+        "bucket", F.col("count_doc_id").alias("ct")
+    )
+    batch = feats.filter(F.col("doc_id") % 3 == 2)
+    return dsir_score_against(batch, raw, tgt, "doc_id", n_buckets=10_000)
 
 
 @register(

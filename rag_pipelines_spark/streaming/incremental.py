@@ -289,6 +289,8 @@ def continuous_ingest_pipeline(
     ann_k_seeds: int | None = None,
     seen_bloom_m_bits: int | None = None,
     lm_gate: bool = False,
+    dsir_target=None,
+    dsir_n_buckets: int = 10_000,
     _crash_after: str | None = None,
 ):
     """The reference's watcher as ONE streaming job maintaining EVERY
@@ -368,6 +370,20 @@ def continuous_ingest_pipeline(
     WHOLE block — score write + merge — is guarded by the lm state's
     applied-epoch check; the score write precedes the merge, so a
     skipped replay always finds the scores already on disk.
+
+    `dsir_target` (a static curated-docs DataFrame with `id_col` and
+    `text_col`) maintains the DSIR importance-weight tier (``<root>/
+    dsir`` raw-side bucket counts + per-epoch scores in
+    ``<root>/dsirscore``, operators/dsir.py): the target-side hashed
+    n-gram distribution is computed ONCE from `dsir_target` and FROZEN
+    into ``<root>/dsirtarget`` (the annstate frozen-seeds discipline);
+    every accepted batch is scored (logw = sum ln p_t/p_r over its
+    features) against the frozen target and the raw counts ACCRETED SO
+    FAR (score-before-ingest — epoch 0 scores against the empty raw
+    distribution), then the batch's own bucket counts fold into the
+    raw state. Same replay rule as lm_gate: score write + merge are
+    one epoch-guarded unit because re-scoring after the merge would
+    see a raw distribution that already contains the batch.
 
     `seen_bloom_m_bits` accretes a bloom over the seen keys
     (``<root>/bloomseen``, operators/bloomfilter.py::merge_bloom) and
@@ -537,6 +553,62 @@ def continuous_ingest_pipeline(
                     epoch=epoch_id,
                 )
             crash("lm")
+        if dsir_target is not None:
+            from rag_pipelines_spark.operators.dsir import (
+                dsir_score_against,
+                hashed_ngram_features,
+            )
+            from rag_pipelines_spark.operators.rollup import read_rollup
+            from rag_pipelines_spark.operators.state import (
+                epoch_already_applied,
+                live_version_dir,
+            )
+
+            dsir_path = os.path.join(root, "dsir")
+            tgt_path = os.path.join(root, "dsirtarget")
+            # frozen target distribution: written once, never accreted
+            # (live-version check, not an epoch guard — any later epoch
+            # must NOT fold more data into the curated side)
+            if live_version_dir(tgt_path, what="rollup state") is None:
+                merge_rollup(
+                    s,
+                    hashed_ngram_features(
+                        dsir_target, id_col, text_col, dsir_n_buckets
+                    ),
+                    tgt_path,
+                    keys=["bucket"],
+                    measures={id_col: ["count"]},
+                    epoch=0,
+                )
+            # same one-guard-for-the-block rule as lm_gate: once the raw
+            # merge committed, re-scoring would run against a raw
+            # distribution that already contains this batch
+            if not epoch_already_applied(
+                dsir_path, "dsir raw state", epoch_id
+            ):
+                feats = hashed_ngram_features(
+                    clean, id_col, text_col, dsir_n_buckets
+                )
+                try:
+                    raw = read_rollup(s, dsir_path).select(
+                        "bucket", F.col(f"count_{id_col}").alias("cr")
+                    )
+                except FileNotFoundError:  # epoch 0: empty raw side
+                    raw = s.createDataFrame([], "bucket bigint, cr bigint")
+                tgt = read_rollup(s, tgt_path).select(
+                    "bucket", F.col(f"count_{id_col}").alias("ct")
+                )
+                dsir_score_against(
+                    feats, raw, tgt, id_col, n_buckets=dsir_n_buckets
+                ).write.mode("overwrite").parquet(
+                    os.path.join(root, "dsirscore", f"epoch={epoch_id}")
+                )
+                merge_rollup(
+                    s, feats, dsir_path,
+                    keys=["bucket"], measures={id_col: ["count"]},
+                    epoch=epoch_id,
+                )
+            crash("dsir")
         if ann_k_seeds is not None:
             from rag_pipelines_spark.operators.annstate import merge_ann_index
             from rag_pipelines_spark.operators.embedding import (

@@ -49,11 +49,24 @@ def _rows():
     return b1, b2
 
 
+# DSIR curated target set: FIXED rows (the frozen-target discipline
+# requires the same curated frame on every pipeline build/replay)
+DSIR_TARGET_ROWS = [
+    (9001, "spark join order data quality curated", "en", 40),
+    (9002, "window agg batch quality curated text", "en", 38),
+]
+
+
+def _dsir_target(spark):
+    return spark.createDataFrame(DSIR_TARGET_ROWS, SCHEMA)
+
+
 def _run(spark, src, root, ckpt):
     q = continuous_ingest_pipeline(
         spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
         freq_m=100, hll_item_col="doc_id", kmv_item_col="doc_id",
         ann_k_seeds=2, seen_bloom_m_bits=1 << 16, lm_gate=True,
+        dsir_target=_dsir_target(spark),
     )
     q.awaitTermination(120)
 
@@ -128,8 +141,20 @@ def _state_snapshot(spark, root):
          r.familiarity)
         for r in spark.read.parquet(f"{root}/lmscore").collect()
     )
+    # dsir family: accreted raw bucket counts + frozen target counts +
+    # per-epoch score-before-ingest rows
+    dsir_raw = sorted(
+        map(tuple, read_rollup(spark, f"{root}/dsir").collect())
+    )
+    dsir_tgt = sorted(
+        map(tuple, read_rollup(spark, f"{root}/dsirtarget").collect())
+    )
+    dsir_scores = sorted(
+        (r.epoch, r.doc_id, r.n_feats, r.logw)
+        for r in spark.read.parquet(f"{root}/dsirscore").collect()
+    )
     return (corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann,
-            (lm_model, lm_scores))
+            (lm_model, lm_scores), (dsir_raw, dsir_tgt, dsir_scores))
 
 
 def test_continuous_ingest_all_families(spark, tmp_path):
@@ -143,7 +168,7 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     _run(spark, src, root, ckpt)
 
     (corpus, stats, rollup, seen, freq, hll, kmv, bloom,
-     ann, lm) = _state_snapshot(spark, root)
+     ann, lm, dsir) = _state_snapshot(spark, root)
 
     # front door saw every distinct key; exact dup (doc 1 again) blocked
     assert seen == {1, 2, 3, 4, 5}
@@ -270,9 +295,72 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     )
     assert [r for r in lm_scores if r[0] == 1] == direct_e1
 
+    # dsir gate: the accreted raw distribution equals a one-shot feature
+    # count over the accepted corpus; the frozen target equals a one-shot
+    # count over the curated frame; each epoch scored against the raw
+    # state as of the PREVIOUS epochs only (score-before-ingest)
+    from rag_pipelines_spark.operators.dsir import (
+        dsir_score_against,
+        hashed_ngram_features,
+    )
+    from rag_pipelines_spark.operators.rollup import read_rollup
+
+    dsir_raw, dsir_tgt, dsir_scores = dsir
+    direct_raw = sorted(
+        map(
+            tuple,
+            hashed_ngram_features(accepted, "doc_id", "text", 10_000)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("count_doc_id"))
+            .collect(),
+        )
+    )
+    assert dsir_raw == direct_raw
+    direct_tgt = sorted(
+        map(
+            tuple,
+            hashed_ngram_features(_dsir_target(spark), "doc_id", "text", 10_000)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("count_doc_id"))
+            .collect(),
+        )
+    )
+    assert dsir_tgt == direct_tgt
+    tgt_counts = read_rollup(spark, f"{root}/dsirtarget").select(
+        "bucket", F.col("count_doc_id").alias("ct")
+    )
+    direct_e0 = sorted(
+        (0, r.doc_id, r.n_feats, r.logw)
+        for r in dsir_score_against(
+            hashed_ngram_features(epoch0_corpus, "doc_id", "text", 10_000),
+            spark.createDataFrame([], "bucket bigint, cr bigint"),
+            tgt_counts,
+            "doc_id",
+        ).collect()
+    )
+    assert [r for r in dsir_scores if r[0] == 0] == direct_e0, (
+        "epoch 0 must score against the EMPTY raw distribution"
+    )
+    raw0 = (
+        hashed_ngram_features(epoch0_corpus, "doc_id", "text", 10_000)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cr"))
+    )
+    direct_de1 = sorted(
+        (1, r.doc_id, r.n_feats, r.logw)
+        for r in dsir_score_against(
+            hashed_ngram_features(epoch1_corpus, "doc_id", "text", 10_000),
+            raw0,
+            tgt_counts,
+            "doc_id",
+        ).collect()
+    )
+    assert [r for r in dsir_scores if r[0] == 1] == direct_de1
+
     # full replay: fresh checkpoint over the same source files — the
     # front door anti-join makes every batch a no-op for every family
-    before = (corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann, lm)
+    before = (corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann, lm,
+              dsir)
     _run(spark, src, root, str(tmp_path / "ckpt2"))
     assert _state_snapshot(spark, root) == before
 
@@ -324,7 +412,7 @@ def test_epoch_guards_make_merges_idempotent(spark, tmp_path):
 
 CRASH_POINTS = [
     "delta", "neardup", "stats", "rollup", "freq", "hll", "kmv", "lm",
-    "ann", "corpus",
+    "dsir", "ann", "corpus",
     "seen_keys", "seen_bloom", "seen_marker",
 ]
 
@@ -373,6 +461,7 @@ def test_crash_matrix_every_step_replays_to_identical_state(
         spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
         freq_m=100, hll_item_col="doc_id", kmv_item_col="doc_id",
         ann_k_seeds=2, seen_bloom_m_bits=1 << 16, lm_gate=True,
+        dsir_target=_dsir_target(spark),
         _crash_after=crash_after,
     )
     with pytest.raises(Exception, match="injected crash"):
