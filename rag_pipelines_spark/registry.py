@@ -49,68 +49,68 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # The driver's correctness harness checks the FIRST 50 entries of queries()
 # in dict order (observed in CORRECTNESS_r01.json: exactly the first 50
 # registrations). We rotate a curated priority window each round so that,
-# across rounds, every query gets a driver-verified row. The round-8
-# window: (a) queries round 8 added or rewrote — a first/fresh driver row;
-# (b) ALL 22 never-certified queries (the r7 sf10 checksum twins plus the
-# end-of-round bounded variants — none has any driver row yet; clearing
-# this list makes COVERAGE.md NONE-free); (c) the oldest r4-aged rows in
-# sorted order until the 50 slots fill (the 15 that don't fit roll to
-# round 9). Displaced rows all hold green r5-r7 driver rows and stay
-# green in driver_sim.
+# across rounds, every query gets a driver-verified row. The round-9
+# window: (a) queries round 9 added or REWROTE (a rewritten operator's
+# old driver row certifies the old plan — it needs a fresh one);
+# (b) the 15 r4-aged rows the r8 rotation could not fit (oldest
+# certification in the fleet); (c) the 25 oldest r5-aged rows in sorted
+# order until the 50 slots fill (the remaining 21 r5 rows roll to round
+# 10 — max certification age stays <= 4 rounds). Displaced rows all hold
+# green r5-r8 driver rows and stay green in driver_sim.
 PRIORITY: tuple[str, ...] = (
-    # --- (a) round-8 new / rewritten ---
-    "q_pretraining_prep_checksum",  # NEW r8: flagship lifecycle, oracle tier
-    "q_multimodal_features",  # REWRITTEN r8: crossJoin -> LSH-blocked pairs
-    "q_dsir_weights",  # NEW r8: DSIR importance weighting, oracle tier
-    "q_dsir_weights_checksum",  # NEW r8: bounded sf-sweep twin
-    "q_dsir_select",  # NEW r8: Gumbel-top-k importance resampling
-    # --- (b) never-certified: r7 checksum twins + bounded variants ---
-    "q_checkpoint_semi_checksum",
-    "q_chunk_udtf_checksum",
-    "q_chunking_checksum",
-    "q_downsample_checksum",
-    "q_embed_generate_checksum",
-    "q_embed_neardup_small",
-    "q_filter_nullkey_checksum",
-    "q_fuzzy_decontaminate_small",
-    "q_fuzzy_join_small",
-    "q_join_asof_checksum",
-    "q_json_get_checksum",
-    "q_map_explode_checksum",
+    # --- (a) round-9 new / rewritten ---
+    "q_dsir_from_state",  # NEW r9: 9th continuous-ingest state family
+    "q_pretraining_prep_checksum_small",  # NEW r9: sf100-grade lifecycle twin
+    "q_dsir_weights",  # REWRITTEN r9: window-free broadcast totals
+    "q_dsir_weights_checksum",
+    "q_dsir_select",
+    "q_semantic_dedup",  # REWRITTEN r9: index-keyed margin UDF
+    "q_minhash_neardup",  # REWRITTEN r9: hot-bucket chunk split
     "q_minhash_neardup_checksum",
-    "q_scd2_versions_checksum",
-    "q_session_agg_checksum",
-    "q_window_dist_checksum",
-    "q_window_frame_checksum",
-    "q_window_lead_checksum",
-    "q_window_rank_checksum",
-    "q_window_running_checksum",
-    "q_zorder_key_checksum",
-    "q_zorder_quantile_checksum",
-    # --- (c) oldest r4-aged rows, sorted order (first 23 of 38) ---
-    "q_bm25_from_state",
-    "q_bm25_topk",
-    "q_bpe_token_count",
-    "q_chunk_udtf",
-    "q_cohort_retention",
-    "q_count_distinct",
-    "q_deadletter_split",
-    "q_distinct",
-    "q_dq_expectations",
-    "q_dup_clusters",
-    "q_embed_generate",
-    "q_embed_neardup",
-    "q_enrich_left_join",
-    "q_fallback_join",
-    "q_fuzzy_join",
-    "q_gap_fill_checksum",
-    "q_group_count",
-    "q_histogram_quantiles",
-    "q_inverted_index",
-    "q_join_inner",
-    "q_lang_id",
-    "q_line_dedup",
-    "q_max_by",
+    "q_near_dedup",
+    "q_near_dedup_filter",
+    # --- (b) r4-aged rows (oldest certification in the fleet) ---
+    "q_mixture_weights",
+    "q_pack_bestfit",
+    "q_percentiles",
+    "q_pii_redact",
+    "q_pivot",
+    "q_quality_bins",
+    "q_quality_score",
+    "q_rag_context",
+    "q_retrieval_eval",
+    "q_rollup_serve",
+    "q_rollup_source",
+    "q_rrf_fusion",
+    "q_schema_evolution",
+    "q_simhash",
+    "q_stratified_sample",
+    # --- (c) oldest r5-aged rows, sorted order (first 25 of 46) ---
+    "q_agg_rates",
+    "q_aqp_sum",
+    "q_author_format",
+    "q_checkpoint_semi",
+    "q_chunking",
+    "q_citation_concat",
+    "q_clean_boilerplate",
+    "q_coalesce_defaults",
+    "q_cube",
+    "q_doc_fingerprint",
+    "q_doi_extract",
+    "q_doi_norm",
+    "q_except",
+    "q_filter_length",
+    "q_filter_nullkey",
+    "q_grouping_sets",
+    "q_hash_sample",
+    "q_heavy_hitters",
+    "q_intersect",
+    "q_join_asof",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_range",
+    "q_join_right",
+    "q_json_get",
 )
 
 
