@@ -108,6 +108,10 @@ EXTRAS = [
     # round 8: DSIR importance weighting — two corpus passes, 10k-row
     # bucket-count shuffles, broadcast log-ratio table (operators/dsir.py)
     "q_dsir_weights",
+    # round 9: iterative Lloyd k-means — iters+1 corpus passes, k-row
+    # update shuffles, zero-shuffle literal-centroid assignment
+    # (operators/clustering.py)
+    "q_kmeans_clusters",
 ]
 
 HEADLINE = CORE + EXTRAS + CORE_R4

@@ -1,0 +1,205 @@
+"""Distributed Lloyd k-means over embedding columns, bit-reproducible.
+
+Why it exists: cluster-structure is the backbone of several modern
+training-data curation recipes — SemDeDup prunes within clusters
+(operators/semdedup.py seeds centroids by hash but never iterates),
+SSL-prototype / density-based pruning (Sorscher et al. 2022) keeps the
+most/least prototypical members per cluster, and cluster-balanced
+sampling flattens topic skew before mixing. The reference pipeline has
+no clustering (its corpus is one domain); this is the §2.11 north-star
+tier generalized the same way DSIR generalizes its quality filter.
+
+Spark-first / 100 TB posture:
+  * Centroids are the ONLY driver-side data (k x d doubles per
+    iteration — the same centroid-sized collect precedent as
+    operators/similarity.py:254). The corpus never leaves executors
+    and is scanned once per iteration.
+  * Assignment is pure column math: the k candidate distances fold
+    LITERAL centroid arrays per row (whole-stage codegen; zero join,
+    zero shuffle, no window). argmin = array_min over (dist, cluster)
+    structs, so ties break to the lowest cluster id.
+  * The per-iteration update is ONE map-side-combinable hash agg whose
+    shuffle is k rows x d decimal sums — never the corpus. This is
+    exactly MLlib KMeans' physical shape (broadcast centers + one
+    reduce per iteration), re-expressed as a Catalyst plan.
+  * Iterations are bounded (``iters``), so a fit costs `iters+1` map
+    passes over the corpus and `iters` k-row shuffles.
+
+Cross-engine determinism (the oracle contract, queries/clustering.py):
+fp32 inputs cast to double are exact; per-dim (x - c)^2 is scalar IEEE
+math on identical inputs; sums fold through DECIMAL(30,15)
+(order-independent, the q_cosine_topk precedent); every published
+centroid coordinate is round(dec_to_dbl(sum)/n, 9) — so Spark and
+DuckDB agree bitwise at any partitioning. Empty clusters are dropped
+(standard Lloyd), identically in both engines.
+
+Reference parity anchor: beyond-reference §2.11 tier (SURVEY.md — the
+reference's closest analogue is its one-shot similarity filtering in
+match_fda_pubmed.py; clustering is the corpus-curation generalization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rag_pipelines_spark.queries._util import dec_to_dbl
+
+__all__ = [
+    "seed_centroids",
+    "assign_clusters",
+    "centroid_update",
+    "kmeans_fit",
+    "cluster_balanced_topm",
+]
+
+_DEC = "decimal(30,15)"
+
+
+def _round9(c: Column) -> Column:
+    return F.round(c, 9)
+
+
+def seed_centroids(
+    df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """k hash-seeded starting centroids: the k rows with the smallest
+    md5(id) (engine-portable, partitioning-invariant — the annstate /
+    semdedup seeding scheme), numbered 0..k-1 in that order, each
+    coordinate round-9 (the uniform centroid contract).
+
+    The pick is a TakeOrderedAndProject (top-k by the hash, never a
+    global sort); the collect is k rows.
+    """
+    rows = (
+        df.select(
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+            F.col(id_col).alias("_id"),
+            F.transform(
+                F.col(vec_col), lambda x: _round9(x.cast("double"))
+            ).alias("_v"),
+        )
+        .orderBy("_h", "_id")
+        .limit(k)
+        .collect()
+    )
+    return [(j, list(r["_v"])) for j, r in enumerate(rows)]
+
+
+def _dist_dec(vec_col: Column, centroid: list[float]) -> Column:
+    """Exact squared-L2 distance to a literal centroid: per-dim double
+    (x - c)^2 summed through DECIMAL(30,15) — order-independent."""
+    lit_arr = F.array(*[F.lit(float(c)) for c in centroid])
+    sq = F.zip_with(
+        vec_col,
+        lit_arr,
+        lambda x, y: (
+            (x.cast("double") - y) * (x.cast("double") - y)
+        ).cast(_DEC),
+    )
+    return F.aggregate(sq, F.lit(0).cast(_DEC), lambda a, s: (a + s).cast(_DEC))
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cluster, dist): nearest centroid per row, ties to the
+    lowest cluster id. Pure per-row expression — no join, no shuffle."""
+    cand = F.array(
+        *[
+            F.struct(
+                _dist_dec(F.col(vec_col), cen).alias("dist"),
+                F.lit(j).alias("cluster"),
+            )
+            for j, cen in centroids
+        ]
+    )
+    best = F.array_min(cand)
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        best["cluster"].alias("cluster"),
+        best["dist"].alias("dist"),
+    )
+
+
+def centroid_update(
+    assigned: DataFrame, d: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """(cluster, n, c_0..c_{d-1}): new round-9 centroid per non-empty
+    cluster. One hash agg — partial (map-side) sums of d decimals plus a
+    count; the shuffle is k rows."""
+    sums = [
+        F.sum(F.col(vec_col)[i].cast("double").cast(_DEC)).alias(f"_s{i}")
+        for i in range(d)
+    ]
+    agg = assigned.groupBy("cluster").agg(F.count("*").alias("n"), *sums)
+    means = [
+        _round9(dec_to_dbl(F.col(f"_s{i}")) / F.col("n")).alias(f"c_{i}")
+        for i in range(d)
+    ]
+    return agg.select("cluster", "n", *means)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    d: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Lloyd's algorithm, `iters` centroid updates from hash-seeded
+    starts. Returns (final assignment DataFrame, final centroid list).
+
+    Each iteration materializes only the k x (d+1) update frame on the
+    driver (the centroid-sized collect precedent); the returned
+    assignment is a fresh zero-shuffle plan over literal centroids.
+    """
+    cents = seed_centroids(df, k, id_col, vec_col)
+    for _ in range(iters):
+        upd = centroid_update(assign_clusters(df, cents, id_col, vec_col), d, vec_col)
+        rows = upd.collect()
+        cents = sorted(
+            (int(r["cluster"]), [r[f"c_{i}"] for i in range(d)]) for r in rows
+        )
+    return assign_clusters(df, cents, id_col, vec_col), cents
+
+
+def cluster_balanced_topm(
+    assigned: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Most-prototypical m rows per cluster (smallest distance, id
+    tie-break) — the cluster-balanced curation pick.
+
+    Two-phase so no single task ranks a whole cluster (k is small, so a
+    plain partitionBy(cluster) window funnels ~n/k rows through one
+    task at 100 TB): phase 1 ranks within (cluster, salt) where salt =
+    pmod(xxhash64(id), salt_buckets) and keeps m per salted group;
+    phase 2 ranks the <= k*salt_buckets*m survivors within cluster.
+    Output is provably identical to the single-phase rank (any global
+    top-m member is top-m within its salt bucket) — pinned by
+    tests/test_clustering.py.
+    """
+    salted = assigned.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy("cluster", "_salt").orderBy("dist", id_col)
+    survivors = (
+        salted.withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= m)
+        .drop("_rk1", "_salt")
+    )
+    w2 = Window.partitionBy("cluster").orderBy("dist", id_col)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= m)
+        .select(id_col, "cluster", "rk")
+    )

@@ -53,8 +53,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # window: (a) queries round 9 added or REWROTE (a rewritten operator's
 # old driver row certifies the old plan — it needs a fresh one);
 # (b) the 15 r4-aged rows the r8 rotation could not fit (oldest
-# certification in the fleet); (c) the 25 oldest r5-aged rows in sorted
-# order until the 50 slots fill (the remaining 21 r5 rows roll to round
+# certification in the fleet); (c) the oldest r5-aged rows in sorted
+# order until the 50 slots fill (the remaining 23 r5 rows roll to round
 # 10 — max certification age stays <= 4 rounds). Displaced rows all hold
 # green r5-r8 driver rows and stay green in driver_sim.
 PRIORITY: tuple[str, ...] = (
@@ -69,6 +69,9 @@ PRIORITY: tuple[str, ...] = (
     "q_minhash_neardup_checksum",
     "q_near_dedup",
     "q_near_dedup_filter",
+    "q_kmeans_clusters",  # NEW r9: iterative clustering family
+    "q_kmeans_centroids",
+    "q_cluster_sample_balanced",
     # --- (b) r4-aged rows (oldest certification in the fleet) ---
     "q_mixture_weights",
     "q_pack_bestfit",
@@ -109,8 +112,6 @@ PRIORITY: tuple[str, ...] = (
     "q_join_cross",
     "q_join_full",
     "q_join_range",
-    "q_join_right",
-    "q_json_get",
 )
 
 
@@ -122,6 +123,7 @@ def load_all() -> dict[str, Query]:
     """
     from rag_pipelines_spark.queries import (  # noqa: F401
         aggregates,
+        clustering,
         extensions,
         joins,
         lm,
