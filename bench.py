@@ -112,6 +112,10 @@ EXTRAS = [
     # update shuffles, zero-shuffle literal-centroid assignment
     # (operators/clustering.py)
     "q_kmeans_clusters",
+    # round 9: matrix-free PCA projection — power steps as corpus passes
+    # with d-row update shuffles, zero-shuffle final projection
+    # (operators/pca.py)
+    "q_pca_project",
 ]
 
 HEADLINE = CORE + EXTRAS + CORE_R4

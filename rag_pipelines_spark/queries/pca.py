@@ -1,0 +1,155 @@
+"""§2.11 north-star tier — embedding post-processing: PCA top component
+via distributed power iteration, projection, and linear quantization.
+
+Three oracle-checked queries over operators/pca.py:
+
+  q_pca_component   the fitted top principal direction after 3 bounded
+                    power steps (d=64 rows; matrix-free — no covariance)
+  q_pca_project     round-9 projection of every centered embedding onto
+                    that direction (the "All-but-the-top" removal score)
+  q_embed_quantize  per-dim linear [0,255] quantization codes
+
+The DuckDB oracle replays the SAME bounded power recurrence as chained
+CTEs (``_power_with``); every float crosses engines through the
+decimal-fold / round-9 contract (queries/_util.py), and power iteration
+from the uniform start is sign-deterministic, so the driver's
+value-hash compare is exact.
+"""
+
+from __future__ import annotations
+
+import math
+
+from rag_pipelines_spark.operators.pca import (
+    pca_component_frame,
+    pca_project,
+    quantize_linear,
+)
+from rag_pipelines_spark.queries._util import o_dec_to_dbl, t
+from rag_pipelines_spark.registry import register
+
+_D = 64
+_ITERS = 3
+_LEVELS = 255
+
+
+def _power_with(d: int = _D, iters: int = _ITERS) -> str:
+    """WITH-chain replaying power_iterate in DuckDB: mu = round-9
+    column means; per step i, s{i} scores every row against v{i-1}
+    (decimal-fold dots), w{i} re-aggregates the scored rows per dim,
+    and v{i} normalizes round-9 through the 1-row n2 frame."""
+    v0 = "[" + ", ".join([repr(1.0 / math.sqrt(d))] * d) + "]"
+    sum_mean = o_dec_to_dbl(
+        "SUM(CAST(CAST(e.embedding[t.dim] AS DOUBLE) AS DECIMAL(30,15)))"
+    )
+    parts = [
+        f"""mu AS (
+        SELECT t.dim AS dim, round({sum_mean} / COUNT(*), 9) AS m
+        FROM embeddings e CROSS JOIN range(1, {d + 1}) t(dim)
+        GROUP BY t.dim)""",
+        "mu_l AS (SELECT list(m ORDER BY dim) AS mu FROM mu)",
+        f"v0 AS (SELECT {v0} AS v)",
+    ]
+    sum_dot = o_dec_to_dbl(
+        "SUM(CAST((CAST(z.x AS DOUBLE) - z.m) * z.vc AS DECIMAL(30,15)))"
+    )
+    sum_w = o_dec_to_dbl(
+        "SUM(CAST(s.sc * (CAST(e.embedding[t.dim] AS DOUBLE) - l.m)"
+        " AS DECIMAL(30,15)))"
+    )
+    sum_n2 = o_dec_to_dbl("SUM(CAST(w * w AS DECIMAL(30,15)))")
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""s{i} AS (
+            SELECT z.vec_id AS vec_id, {sum_dot} AS sc
+            FROM (SELECT e.vec_id, unnest(e.embedding) AS x,
+                         unnest(l.mu) AS m, unnest(p.v) AS vc
+                  FROM embeddings e CROSS JOIN mu_l l
+                       CROSS JOIN v{i - 1} p) z
+            GROUP BY z.vec_id)"""
+        )
+        parts.append(
+            f"""w{i} AS (
+            SELECT t.dim AS dim, {sum_w} AS w
+            FROM s{i} s JOIN embeddings e USING (vec_id)
+                 CROSS JOIN range(1, {d + 1}) t(dim)
+                 JOIN mu l ON l.dim = t.dim
+            GROUP BY t.dim)"""
+        )
+        parts.append(f"n2_{i} AS (SELECT {sum_n2} AS n2 FROM w{i})")
+        parts.append(
+            f"""v{i} AS (
+            SELECT list(round(w / sqrt(n2), 9) ORDER BY dim) AS v
+            FROM w{i} CROSS JOIN n2_{i})"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+@register(
+    "q_pca_component",
+    oracle=f"""
+    {_power_with()}
+    SELECT dim, round(w / sqrt(n2), 9) AS v
+    FROM w{_ITERS} CROSS JOIN n2_{_ITERS}
+    """,
+    doc="top principal direction after 3 matrix-free power steps "
+    "(operators/pca.py): per step one zero-shuffle literal-direction "
+    "score pass + a d-row long-form agg; normalization is the broadcast "
+    "1-row-agg join; no d x d covariance is ever materialized",
+)
+def q_pca_component(spark, sf_dir):
+    return pca_component_frame(t(spark, sf_dir, "embeddings"), d=_D, iters=_ITERS)
+
+
+@register(
+    "q_pca_project",
+    oracle=f"""
+    {_power_with()}
+    SELECT z.vec_id AS vec_id,
+           round({o_dec_to_dbl(
+               "SUM(CAST((CAST(z.x AS DOUBLE) - z.m) * z.vc"
+               " AS DECIMAL(30,15)))"
+           )}, 9) AS score
+    FROM (SELECT e.vec_id, unnest(e.embedding) AS x,
+                 unnest(l.mu) AS m, unnest(p.v) AS vc
+          FROM embeddings e CROSS JOIN mu_l l CROSS JOIN v{_ITERS} p) z
+    GROUP BY z.vec_id
+    """,
+    doc="projection of every centered embedding onto the fitted top "
+    "component (All-but-the-top, Mu & Viswanath 2018) — a zero-shuffle "
+    "map over literal (means, direction)",
+)
+def q_pca_project(spark, sf_dir):
+    return pca_project(t(spark, sf_dir, "embeddings"), d=_D, iters=_ITERS)
+
+
+@register(
+    "q_embed_quantize",
+    oracle=f"""
+    WITH stats AS (
+        SELECT t.dim AS dim,
+               min(CAST(e.embedding[t.dim] AS DOUBLE)) AS lo,
+               max(CAST(e.embedding[t.dim] AS DOUBLE)) AS hi
+        FROM embeddings e CROSS JOIN range(1, {_D + 1}) t(dim)
+        GROUP BY t.dim),
+    sc AS (
+        SELECT dim, lo,
+               CASE WHEN hi > lo THEN round((hi - lo) / {_LEVELS}, 9)
+                    ELSE 0.0 END AS s
+        FROM stats)
+    SELECT e.vec_id AS vec_id, c.dim AS dim,
+           CASE WHEN c.s = 0 THEN 0
+                ELSE least({_LEVELS},
+                           CAST(floor((CAST(e.embedding[c.dim] AS DOUBLE)
+                                       - c.lo) / c.s) AS BIGINT))
+           END AS code
+    FROM embeddings e CROSS JOIN sc c
+    """,
+    doc="per-dimension linear [0,255] quantization: min/max from one "
+    "d-row long-form agg, round-9 scale embedded as a literal, "
+    "zero-shuffle floor/clamp code assignment (operators/pca.py)",
+)
+def q_embed_quantize(spark, sf_dir):
+    return quantize_linear(
+        t(spark, sf_dir, "embeddings"), d=_D, levels=_LEVELS
+    )

@@ -54,7 +54,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # old driver row certifies the old plan — it needs a fresh one);
 # (b) the 15 r4-aged rows the r8 rotation could not fit (oldest
 # certification in the fleet); (c) the oldest r5-aged rows in sorted
-# order until the 50 slots fill (the remaining 23 r5 rows roll to round
+# order until the 50 slots fill (the remaining 26 r5 rows roll to round
 # 10 — max certification age stays <= 4 rounds). Displaced rows all hold
 # green r5-r8 driver rows and stay green in driver_sim.
 PRIORITY: tuple[str, ...] = (
@@ -72,6 +72,9 @@ PRIORITY: tuple[str, ...] = (
     "q_kmeans_clusters",  # NEW r9: iterative clustering family
     "q_kmeans_centroids",
     "q_cluster_sample_balanced",
+    "q_pca_component",  # NEW r9: embedding post-processing family
+    "q_pca_project",
+    "q_embed_quantize",
     # --- (b) r4-aged rows (oldest certification in the fleet) ---
     "q_mixture_weights",
     "q_pack_bestfit",
@@ -108,10 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "q_hash_sample",
     "q_heavy_hitters",
     "q_intersect",
-    "q_join_asof",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_range",
 )
 
 
@@ -127,6 +126,7 @@ def load_all() -> dict[str, Query]:
         extensions,
         joins,
         lm,
+        pca,
         relational,
         retrieval,
         sources,
