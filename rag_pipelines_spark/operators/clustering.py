@@ -49,6 +49,7 @@ from rag_pipelines_spark.queries._util import dec_to_dbl
 __all__ = [
     "seed_centroids",
     "assign_clusters",
+    "assign_clusters_join",
     "centroid_update",
     "kmeans_fit",
     "cluster_balanced_topm",
@@ -124,6 +125,51 @@ def assign_clusters(
         F.col(vec_col),
         best["cluster"].alias("cluster"),
         best["dist"].alias("dist"),
+    )
+
+
+def assign_clusters_join(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same contract as assign_clusters, built as a broadcast-join plan.
+
+    The literal-expression path embeds k*d fold nodes in the plan —
+    ideal for small k (zero shuffle, whole-stage codegen) but plan
+    compile cost grows O(k*d). Past ~1k centroid cells the broadcast
+    nested-loop join + one map-side-combinable min(struct) agg wins:
+    the k-row seeds frame broadcasts, every (row, centroid) distance is
+    the SAME decimal fold, and the argmin is min over (dist, cluster)
+    structs — lexicographic, so ties still break to the lowest cluster
+    id and the output is row-identical to assign_clusters (pinned in
+    tests/test_clustering.py). Shuffle = one partial-aggregated n-row
+    min shuffle."""
+    spark = df.sparkSession
+    seeds = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cluster int, cen array<double>",
+    )
+    sq = F.zip_with(
+        F.col(vec_col),
+        F.col("cen"),
+        lambda x, y: ((x.cast("double") - y) * (x.cast("double") - y)).cast(
+            _DEC
+        ),
+    )
+    dist = F.aggregate(sq, F.lit(0).cast(_DEC), lambda a, s: (a + s).cast(_DEC))
+    scored = df.crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col), F.col(vec_col), F.col("cluster"), dist.alias("dist")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct("dist", "cluster", vec_col)).alias("_b")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col(f"_b.{vec_col}").alias(vec_col),
+        F.col("_b.cluster").alias("cluster"),
+        F.col("_b.dist").alias("dist"),
     )
 
 

@@ -75,6 +75,7 @@ PRIORITY: tuple[str, ...] = (
     "q_pca_component",  # NEW r9: embedding post-processing family
     "q_pca_project",
     "q_embed_quantize",
+    "q_kmeans_from_state",  # NEW r9: 10th continuous-ingest family
     # --- (b) r4-aged rows (oldest certification in the fleet) ---
     "q_mixture_weights",
     "q_pack_bestfit",
@@ -110,7 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "q_grouping_sets",
     "q_hash_sample",
     "q_heavy_hitters",
-    "q_intersect",
 )
 
 

@@ -287,6 +287,7 @@ def continuous_ingest_pipeline(
     hll_item_col: str | None = None,
     kmv_item_col: str | None = None,
     ann_k_seeds: int | None = None,
+    kmeans_k: int | None = None,
     seen_bloom_m_bits: int | None = None,
     lm_gate: bool = False,
     dsir_target=None,
@@ -384,6 +385,17 @@ def continuous_ingest_pipeline(
     raw state. Same replay rule as lm_gate: score write + merge are
     one epoch-guarded unit because re-scoring after the merge would
     see a raw distribution that already contains the batch.
+
+    `kmeans_k` maintains the incremental k-means centroid state
+    (``<root>/kmeans``, operators/kmeansstate.py): cluster identity
+    freezes with the first non-empty batch's hash-min seeds (the
+    annstate discipline), each accepted batch assigns against those
+    frozen seeds with zero-shuffle literal math and folds
+    per-(cluster, dim) decimal sums + member counts into rollup state —
+    the served centroid is the exact mean of everything ingested so
+    far, bit-identical to a one-shot recompute however history was
+    batched; replays skip via merge_rollup's epoch guard ('kmeans'
+    crash point drills it).
 
     `seen_bloom_m_bits` accretes a bloom over the seen keys
     (``<root>/bloomseen``, operators/bloomfilter.py::merge_bloom) and
@@ -623,6 +635,22 @@ def continuous_ingest_pipeline(
                 k_seeds=ann_k_seeds, epoch=epoch_id,
             )
             crash("ann")
+        if kmeans_k is not None:
+            from rag_pipelines_spark.operators.embedding import (
+                hashed_bow_embedding,
+            )
+            from rag_pipelines_spark.operators.kmeansstate import (
+                merge_kmeans_state,
+            )
+
+            emb_km = hashed_bow_embedding(
+                clean, id_col=id_col, text_col=text_col, dim=64
+            )
+            merge_kmeans_state(
+                s, emb_km, os.path.join(root, "kmeans"), id_col, "embedding",
+                k=kmeans_k, d=64, epoch=epoch_id,
+            )
+            crash("kmeans")
         # per-epoch partition overwrite: replaying rewrites the same files
         clean.write.mode("overwrite").parquet(
             os.path.join(root, "corpus", f"epoch={epoch_id}")

@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 from rag_pipelines_spark.io import table
 from rag_pipelines_spark.operators.clustering import (
     assign_clusters,
+    assign_clusters_join,
     cluster_balanced_topm,
     kmeans_fit,
     seed_centroids,
@@ -80,6 +81,23 @@ def test_assignment_plan_is_zero_shuffle(spark):
     plan = assign_clusters(_emb(spark), cents)._jdf.queryExecution().executedPlan().toString()
     for mark in ("Exchange", "Join", "Window"):
         assert mark not in plan, f"assignment plan contains {mark}:\n{plan}"
+
+
+def test_join_assignment_equals_literal_assignment(spark):
+    """The broadcast-join assignment (large-k path, used by the kmeans
+    state family) must be row-identical to the literal-expression path —
+    same decimal distances, same (dist, cluster) tie-break."""
+    emb = _emb(spark)
+    cents = seed_centroids(emb, k=8)
+    lit = sorted(
+        (r["vec_id"], r["cluster"], r["dist"])
+        for r in assign_clusters(emb, cents).collect()
+    )
+    jn = sorted(
+        (r["vec_id"], r["cluster"], r["dist"])
+        for r in assign_clusters_join(emb, cents).collect()
+    )
+    assert jn == lit
 
 
 def test_seed_centroids_partitioning_invariant(spark):

@@ -65,7 +65,7 @@ def _run(spark, src, root, ckpt):
     q = continuous_ingest_pipeline(
         spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
         freq_m=100, hll_item_col="doc_id", kmv_item_col="doc_id",
-        ann_k_seeds=2, seen_bloom_m_bits=1 << 16, lm_gate=True,
+        ann_k_seeds=2, kmeans_k=2, seen_bloom_m_bits=1 << 16, lm_gate=True,
         dsir_target=_dsir_target(spark),
     )
     q.awaitTermination(120)
@@ -153,8 +153,23 @@ def _state_snapshot(spark, root):
         (r.epoch, r.doc_id, r.n_feats, r.logw)
         for r in spark.read.parquet(f"{root}/dsirscore").collect()
     )
+    # kmeans family: frozen seeds + served accreted-mean centroids
+    from rag_pipelines_spark.operators.kmeansstate import (
+        kmeans_centroids_from_state,
+        read_kmeans_seeds,
+    )
+
+    km = (
+        [(c, tuple(v)) for c, v in read_kmeans_seeds(spark, f"{root}/kmeans")],
+        sorted(
+            map(
+                tuple,
+                kmeans_centroids_from_state(spark, f"{root}/kmeans").collect(),
+            )
+        ),
+    )
     return (corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann,
-            (lm_model, lm_scores), (dsir_raw, dsir_tgt, dsir_scores))
+            (lm_model, lm_scores), (dsir_raw, dsir_tgt, dsir_scores), km)
 
 
 def test_continuous_ingest_all_families(spark, tmp_path):
@@ -168,7 +183,7 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     _run(spark, src, root, ckpt)
 
     (corpus, stats, rollup, seen, freq, hll, kmv, bloom,
-     ann, lm, dsir) = _state_snapshot(spark, root)
+     ann, lm, dsir, km) = _state_snapshot(spark, root)
 
     # front door saw every distinct key; exact dup (doc 1 again) blocked
     assert seen == {1, 2, 3, 4, 5}
@@ -357,10 +372,47 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     )
     assert [r for r in dsir_scores if r[0] == 1] == direct_de1
 
+    # kmeans gate: the served accreted-mean centroids equal a ONE-SHOT
+    # recompute over the whole accepted corpus under the frozen seeds
+    # (N merges == direct, the rollup-state invariance applied to
+    # cluster sums)
+    from rag_pipelines_spark.operators.clustering import assign_clusters
+    from rag_pipelines_spark.operators.embedding import hashed_bow_embedding
+    from rag_pipelines_spark.queries._util import dec_to_dbl
+
+    seeds_km, served_km = km
+    assert len(seeds_km) <= 2  # k=2 hash-min seeds, frozen
+    corpus_emb = hashed_bow_embedding(
+        spark.read.parquet(f"{root}/corpus"), id_col="doc_id",
+        text_col="text", dim=64,
+    )
+    direct_km = sorted(
+        map(
+            tuple,
+            assign_clusters(corpus_emb, seeds_km, "doc_id", "embedding")
+            .select(
+                "cluster", F.posexplode("embedding").alias("pos", "_x")
+            )
+            .groupBy("cluster", (F.col("pos") + 1).alias("dim"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("_x").cast("double").cast("decimal(30,15)"))
+                .cast("decimal(30,15)")
+                .alias("_s"),
+            )
+            .select(
+                "cluster", "dim", "n",
+                F.round(dec_to_dbl(F.col("_s")) / F.col("n"), 9).alias("c"),
+            )
+            .collect(),
+        )
+    )
+    assert served_km == direct_km
+
     # full replay: fresh checkpoint over the same source files — the
     # front door anti-join makes every batch a no-op for every family
     before = (corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann, lm,
-              dsir)
+              dsir, km)
     _run(spark, src, root, str(tmp_path / "ckpt2"))
     assert _state_snapshot(spark, root) == before
 
@@ -412,7 +464,7 @@ def test_epoch_guards_make_merges_idempotent(spark, tmp_path):
 
 CRASH_POINTS = [
     "delta", "neardup", "stats", "rollup", "freq", "hll", "kmv", "lm",
-    "dsir", "ann", "corpus",
+    "dsir", "ann", "kmeans", "corpus",
     "seen_keys", "seen_bloom", "seen_marker",
 ]
 
@@ -460,7 +512,7 @@ def test_crash_matrix_every_step_replays_to_identical_state(
     q = continuous_ingest_pipeline(
         spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
         freq_m=100, hll_item_col="doc_id", kmv_item_col="doc_id",
-        ann_k_seeds=2, seen_bloom_m_bits=1 << 16, lm_gate=True,
+        ann_k_seeds=2, kmeans_k=2, seen_bloom_m_bits=1 << 16, lm_gate=True,
         dsir_target=_dsir_target(spark),
         _crash_after=crash_after,
     )
