@@ -54,9 +54,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # old driver row certifies the old plan — it needs a fresh one);
 # (b) the 15 r4-aged rows the r8 rotation could not fit (oldest
 # certification in the fleet); (c) the oldest r5-aged rows in sorted
-# order until the 50 slots fill (the remaining 26 r5 rows roll to round
-# 10 — max certification age stays <= 4 rounds). Displaced rows all hold
-# green r5-r8 driver rows and stay green in driver_sim.
+# order until the 50 slots fill (the remaining 31 r5 rows roll to round
+# 10 — never-certified queries outrank aged-but-green ones). Displaced
+# rows all hold green r5-r8 driver rows and stay green in driver_sim.
 PRIORITY: tuple[str, ...] = (
     # --- (a) round-9 new / rewritten ---
     "q_dsir_from_state",  # NEW r9: 9th continuous-ingest state family
@@ -76,6 +76,10 @@ PRIORITY: tuple[str, ...] = (
     "q_pca_project",
     "q_embed_quantize",
     "q_kmeans_from_state",  # NEW r9: 10th continuous-ingest family
+    "q_kmeans_clusters_checksum",  # NEW r9: sf-scaling twins
+    "q_kmeans_from_state_checksum",
+    "q_pca_project_checksum",
+    "q_embed_quantize_checksum",
     # --- (b) r4-aged rows (oldest certification in the fleet) ---
     "q_mixture_weights",
     "q_pack_bestfit",
@@ -92,7 +96,7 @@ PRIORITY: tuple[str, ...] = (
     "q_schema_evolution",
     "q_simhash",
     "q_stratified_sample",
-    # --- (c) oldest r5-aged rows, sorted order (first 25 of 46) ---
+    # --- (c) oldest r5-aged rows, sorted order (first 15 of 46) ---
     "q_agg_rates",
     "q_aqp_sum",
     "q_author_format",
@@ -107,10 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "q_doi_norm",
     "q_except",
     "q_filter_length",
-    "q_filter_nullkey",
-    "q_grouping_sets",
-    "q_hash_sample",
-    "q_heavy_hitters",
 )
 
 
