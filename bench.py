@@ -116,6 +116,10 @@ EXTRAS = [
     # with d-row update shuffles, zero-shuffle final projection
     # (operators/pca.py)
     "q_pca_project",
+    # round 9: BPE tokenizer training + encode — one corpus pass to the
+    # vocab, merges on the vocab-sized frame, encode joins the vocab
+    # (operators/bpe.py)
+    "q_bpe_encode",
 ]
 
 HEADLINE = CORE + EXTRAS + CORE_R4

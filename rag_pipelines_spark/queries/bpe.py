@@ -1,0 +1,138 @@
+"""§2.11 north-star tier — BPE tokenizer training over the documents
+table (operators/bpe.py).
+
+Two oracle-checked queries:
+
+  q_bpe_merges   the learned merge table after 6 iterations
+                 (rank, left, right, pair count) — exposed as a union
+                 of the per-iteration distributed argmax frames
+  q_bpe_encode   per-document token counts under those merges — the
+                 corpus joins the vocab-sized (word -> symbol count)
+                 table
+
+The DuckDB oracle replays the SAME bounded iterations as chained CTEs:
+pair counting from a positional range scan (bounded by the
+max_word_len=32 contract), the argmax with the identical
+(count DESC, pair ASC) tie-break, and the greedy left-to-right merge
+application as a recursive CTE — everything is exact integer counts and
+string compares, so no float contract is even needed.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rag_pipelines_spark.operators.bpe import (
+    bpe_encode_counts,
+    learn_bpe_merges,
+    word_vocab,
+)
+from rag_pipelines_spark.queries._util import t
+from rag_pipelines_spark.registry import register
+
+_N_MERGES = 6
+_MAX_LEN = 32
+
+
+def _bpe_with(n_merges: int = _N_MERGES, max_len: int = _MAX_LEN) -> str:
+    """WITH-chain replaying learn_bpe_merges in DuckDB. Per iteration i:
+    p{i} counts adjacent pairs positionally (range bounded by the word
+    cap), top{i} is the tie-broken argmax, appl{i} applies the merge as
+    a greedy left-to-right recursive scan, v{i} is the re-symbolized
+    vocab."""
+    parts = [
+        rf"""w0 AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(text, '\s+')) AS word
+            FROM documents) z
+        WHERE word <> '' AND length(word) <= {max_len}
+        GROUP BY word)""",
+        "v0 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS s FROM w0)",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+            SELECT s[j] AS a, s[j + 1] AS b, SUM(freq) AS cnt
+            FROM v{i - 1} CROSS JOIN range(1, {max_len + 1}) t(j)
+            WHERE j < len(s)
+            GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""top{i} AS MATERIALIZED (
+            SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1)"""
+        )
+        parts.append(
+            f"""appl{i} AS (
+            SELECT word, freq, s, 1 AS i2, CAST([] AS VARCHAR[]) AS acc
+            FROM v{i - 1}
+            UNION ALL
+            SELECT r.word, r.freq, r.s,
+                   CASE WHEN r.i2 < len(r.s) AND r.s[r.i2] = m.a
+                             AND r.s[r.i2 + 1] = m.b
+                        THEN r.i2 + 2 ELSE r.i2 + 1 END,
+                   CASE WHEN r.i2 < len(r.s) AND r.s[r.i2] = m.a
+                             AND r.s[r.i2 + 1] = m.b
+                        THEN list_append(r.acc, m.a || m.b)
+                        ELSE list_append(r.acc, r.s[r.i2]) END
+            FROM appl{i} r, top{i} m WHERE r.i2 <= len(r.s))"""
+        )
+        parts.append(
+            f"""v{i} AS MATERIALIZED (
+            SELECT word, freq, acc AS s FROM appl{i}
+            WHERE i2 = len(s) + 1)"""
+        )
+    return "WITH RECURSIVE " + ",\n".join(parts)
+
+
+_MERGES_UNION = "\nUNION ALL\n".join(
+    f"SELECT {i} AS merge_rank, a, b, CAST(cnt AS BIGINT) AS cnt FROM top{i}"
+    for i in range(1, _N_MERGES + 1)
+)
+
+
+@register(
+    "q_bpe_merges",
+    oracle=f"""
+    {_bpe_with()}
+    {_MERGES_UNION}
+    """,
+    doc="BPE merge learning (Sennrich et al. 2016), distributed: one "
+    "corpus pass builds the (word, freq) vocab, every iteration runs on "
+    "the VOCAB-sized frame — pair agg, 1-row argmax, zero-shuffle fold "
+    "(operators/bpe.py); the output union is the per-iteration argmax "
+    "frames, fully distributed",
+)
+def q_bpe_merges(spark, sf_dir):
+    vocab = word_vocab(t(spark, sf_dir, "documents"), max_word_len=_MAX_LEN)
+    merges, _, tops = learn_bpe_merges(vocab, _N_MERGES)
+    out = reduce(DataFrame.unionByName, tops)
+    return out.select(
+        "merge_rank", "a", "b", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+@register(
+    "q_bpe_encode",
+    oracle=f"""
+    {_bpe_with()}
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(v.s)) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(text, '\\s+')) AS word
+          FROM documents) z
+    JOIN v{_N_MERGES} v USING (word)
+    GROUP BY doc_id
+    """,
+    doc="per-document token counts under the learned merges: the corpus "
+    "joins the vocab-sized (word -> symbol count) table — merges are "
+    "never re-run per occurrence; words past the 32-char cap are "
+    "excluded from learning AND encoding by contract",
+)
+def q_bpe_encode(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    vocab = word_vocab(d, max_word_len=_MAX_LEN)
+    _, final_v, _ = learn_bpe_merges(vocab, _N_MERGES)
+    return bpe_encode_counts(d, final_v, "doc_id", "text", _MAX_LEN)

@@ -80,6 +80,8 @@ PRIORITY: tuple[str, ...] = (
     "q_kmeans_from_state_checksum",
     "q_pca_project_checksum",
     "q_embed_quantize_checksum",
+    "q_bpe_merges",  # NEW r9: BPE tokenizer training family
+    "q_bpe_encode",
     # --- (b) r4-aged rows (oldest certification in the fleet) ---
     "q_mixture_weights",
     "q_pack_bestfit",
@@ -96,7 +98,7 @@ PRIORITY: tuple[str, ...] = (
     "q_schema_evolution",
     "q_simhash",
     "q_stratified_sample",
-    # --- (c) oldest r5-aged rows, sorted order (first 15 of 46) ---
+    # --- (c) oldest r5-aged rows, sorted order (first 13 of 46) ---
     "q_agg_rates",
     "q_aqp_sum",
     "q_author_format",
@@ -109,8 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "q_doc_fingerprint",
     "q_doi_extract",
     "q_doi_norm",
-    "q_except",
-    "q_filter_length",
 )
 
 
@@ -122,6 +122,7 @@ def load_all() -> dict[str, Query]:
     """
     from rag_pipelines_spark.queries import (  # noqa: F401
         aggregates,
+        bpe,
         clustering,
         extensions,
         joins,
