@@ -110,6 +110,11 @@ def assign_clusters(
 ) -> DataFrame:
     """(id, vec, cluster, dist): nearest centroid per row, ties to the
     lowest cluster id. Pure per-row expression — no join, no shuffle."""
+    if not centroids:
+        raise ValueError(
+            "assign_clusters needs at least one centroid (empty input "
+            "frame? seed_centroids returns [] on one)"
+        )
     cand = F.array(
         *[
             F.struct(

@@ -49,12 +49,12 @@ def _power_with(d: int = _D, iters: int = _ITERS) -> str:
         "SUM(CAST(CAST(e.embedding[t.dim] AS DOUBLE) AS DECIMAL(30,15)))"
     )
     parts = [
-        f"""mu AS (
+        f"""mu AS MATERIALIZED (
         SELECT t.dim AS dim, round({sum_mean} / COUNT(*), 9) AS m
         FROM embeddings e CROSS JOIN range(1, {d + 1}) t(dim)
         GROUP BY t.dim)""",
-        "mu_l AS (SELECT list(m ORDER BY dim) AS mu FROM mu)",
-        f"v0 AS (SELECT {v0} AS v)",
+        "mu_l AS MATERIALIZED (SELECT list(m ORDER BY dim) AS mu FROM mu)",
+        f"v0 AS MATERIALIZED (SELECT {v0} AS v)",
     ]
     sum_dot = o_dec_to_dbl(
         "SUM(CAST((CAST(z.x AS DOUBLE) - z.m) * z.vc AS DECIMAL(30,15)))"
@@ -66,7 +66,7 @@ def _power_with(d: int = _D, iters: int = _ITERS) -> str:
     sum_n2 = o_dec_to_dbl("SUM(CAST(w * w AS DECIMAL(30,15)))")
     for i in range(1, iters + 1):
         parts.append(
-            f"""s{i} AS (
+            f"""s{i} AS MATERIALIZED (
             SELECT z.vec_id AS vec_id, {sum_dot} AS sc
             FROM (SELECT e.vec_id, unnest(e.embedding) AS x,
                          unnest(l.mu) AS m, unnest(p.v) AS vc
@@ -75,16 +75,16 @@ def _power_with(d: int = _D, iters: int = _ITERS) -> str:
             GROUP BY z.vec_id)"""
         )
         parts.append(
-            f"""w{i} AS (
+            f"""w{i} AS MATERIALIZED (
             SELECT t.dim AS dim, {sum_w} AS w
             FROM s{i} s JOIN embeddings e USING (vec_id)
                  CROSS JOIN range(1, {d + 1}) t(dim)
                  JOIN mu l ON l.dim = t.dim
             GROUP BY t.dim)"""
         )
-        parts.append(f"n2_{i} AS (SELECT {sum_n2} AS n2 FROM w{i})")
+        parts.append(f"n2_{i} AS MATERIALIZED (SELECT {sum_n2} AS n2 FROM w{i})")
         parts.append(
-            f"""v{i} AS (
+            f"""v{i} AS MATERIALIZED (
             SELECT list(round(w / sqrt(n2), 9) ORDER BY dim) AS v
             FROM w{i} CROSS JOIN n2_{i})"""
         )
