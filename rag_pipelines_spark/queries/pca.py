@@ -169,6 +169,113 @@ def q_embed_quantize(spark, sf_dir):
     )
 
 
+def _pca_state_with(d: int = _D, iters: int = _ITERS) -> str:
+    """WITH-chain replaying the incremental-PCA state lifecycle
+    (operators/pcastate.py) in DuckDB: exact decimal moments from the
+    two accreted slices, served round-9 covariance, power steps as
+    matvec aggs over the mirrored d x d frame. All CTEs MATERIALIZED
+    (chained-iteration re-evaluation is exponential otherwise)."""
+    v0 = "[" + ", ".join([repr(1.0 / math.sqrt(d))] * d) + "]"
+    parts = [
+        """hist AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 IN (0, 1))""",
+        f"""m2 AS MATERIALIZED (
+        SELECT ti.i AS i, tj.j AS j,
+               SUM(CAST(CAST(e.embedding[ti.i] AS DOUBLE)
+                        * CAST(e.embedding[tj.j] AS DOUBLE)
+                        AS DECIMAL(30,15))) AS s,
+               COUNT(*) AS n
+        FROM hist e CROSS JOIN range(1, {d + 1}) ti(i)
+             CROSS JOIN range(1, {d + 1}) tj(j)
+        WHERE tj.j >= ti.i
+        GROUP BY 1, 2)""",
+        f"""m1 AS MATERIALIZED (
+        SELECT t.dim AS i,
+               round({o_dec_to_dbl(
+                   "SUM(CAST(CAST(e.embedding[t.dim] AS DOUBLE)"
+                   " AS DECIMAL(30,15)))"
+               )} / COUNT(*), 9) AS m
+        FROM hist e CROSS JOIN range(1, {d + 1}) t(dim)
+        GROUP BY t.dim)""",
+        "mu_l AS MATERIALIZED (SELECT list(m ORDER BY i) AS mu FROM m1)",
+        f"""cov AS MATERIALIZED (
+        SELECT m2.i AS i, m2.j AS j,
+               round({o_dec_to_dbl("s")} / n - a.m * b.m, 9) AS c
+        FROM m2 JOIN m1 a ON a.i = m2.i JOIN m1 b ON b.i = m2.j)""",
+        """covf AS MATERIALIZED (
+        SELECT i, j, c FROM cov
+        UNION ALL
+        SELECT j AS i, i AS j, c FROM cov WHERE i <> j)""",
+        f"sv0 AS MATERIALIZED (SELECT {v0} AS v)",
+    ]
+    sum_n2 = o_dec_to_dbl("SUM(CAST(w * w AS DECIMAL(30,15)))")
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""sw{i} AS MATERIALIZED (
+            SELECT f.i AS i,
+                   {o_dec_to_dbl(
+                       "SUM(CAST(f.c * p.v[f.j] AS DECIMAL(30,15)))"
+                   )} AS w
+            FROM covf f CROSS JOIN sv{i - 1} p
+            GROUP BY f.i)"""
+        )
+        parts.append(
+            f"sn2_{i} AS MATERIALIZED (SELECT {sum_n2} AS n2 FROM sw{i})"
+        )
+        parts.append(
+            f"""sv{i} AS MATERIALIZED (
+            SELECT list(round(w / sqrt(n2), 9) ORDER BY i) AS v
+            FROM sw{i} CROSS JOIN sn2_{i})"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+@register(
+    "q_pca_from_state",
+    oracle=f"""
+    {_pca_state_with()}
+    SELECT z.vec_id AS vec_id,
+           round({o_dec_to_dbl(
+               "SUM(CAST((CAST(z.x AS DOUBLE) - z.m) * z.vc"
+               " AS DECIMAL(30,15)))"
+           )}, 9) AS score
+    FROM (SELECT e.vec_id, unnest(e.embedding) AS x,
+                 unnest(l.mu) AS m, unnest(p.v) AS vc
+          FROM embeddings e CROSS JOIN mu_l l CROSS JOIN sv{_ITERS} p
+          WHERE e.vec_id % 3 = 2) z
+    GROUP BY z.vec_id
+    """,
+    doc="score-before-ingest streaming PCA from ACCRETED state (the 11th "
+    "continuous-ingest family, operators/pcastate.py): two corpus slices "
+    "fold exact decimal first/second moments into rollup state (the "
+    "state is d(d+1)/2 + d rows — PCA's sufficient statistics); the "
+    "served covariance is power-iterated corpus-free (matvec = one tiny "
+    "join-agg per step) and the incoming slice is projected onto the "
+    "served component without re-reading history — state-served == "
+    "one-shot recompute is what this oracle pins",
+)
+def q_pca_from_state(spark, sf_dir):
+    import shutil
+
+    from rag_pipelines_spark.operators.pcastate import (
+        merge_pca_moments,
+        pca_project_from_state,
+    )
+    from rag_pipelines_spark.queries.sources import _scratch
+
+    state = _scratch("pca-serve", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)  # additive state: fresh per run
+    e = t(spark, sf_dir, "embeddings")
+    for epoch, sl in ((0, 0), (1, 1)):
+        merge_pca_moments(
+            spark, e.filter(F.col("vec_id") % 3 == sl), state, epoch=epoch
+        )
+    incoming = e.filter(F.col("vec_id") % 3 == 2)
+    return pca_project_from_state(
+        spark, incoming, state, d=_D, iters=_ITERS
+    )
+
+
 @register(
     "q_pca_project_checksum",
     oracle=_checksum32_sql(_PP_ORACLE, [], "score"),

@@ -82,6 +82,7 @@ PRIORITY: tuple[str, ...] = (
     "q_embed_quantize_checksum",
     "q_bpe_merges",  # NEW r9: BPE tokenizer training family
     "q_bpe_encode",
+    "q_pca_from_state",  # NEW r9: 11th continuous-ingest family
     # --- (b) r4-aged rows (oldest certification in the fleet) ---
     "q_mixture_weights",
     "q_pack_bestfit",
@@ -98,7 +99,7 @@ PRIORITY: tuple[str, ...] = (
     "q_schema_evolution",
     "q_simhash",
     "q_stratified_sample",
-    # --- (c) oldest r5-aged rows, sorted order (first 13 of 46) ---
+    # --- (c) oldest r5-aged rows, sorted order (first 12 of 46) ---
     "q_agg_rates",
     "q_aqp_sum",
     "q_author_format",
@@ -110,7 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "q_cube",
     "q_doc_fingerprint",
     "q_doi_extract",
-    "q_doi_norm",
 )
 
 

@@ -288,6 +288,7 @@ def continuous_ingest_pipeline(
     kmv_item_col: str | None = None,
     ann_k_seeds: int | None = None,
     kmeans_k: int | None = None,
+    pca_moments: bool = False,
     seen_bloom_m_bits: int | None = None,
     lm_gate: bool = False,
     dsir_target=None,
@@ -396,6 +397,13 @@ def continuous_ingest_pipeline(
     far, bit-identical to a one-shot recompute however history was
     batched; replays skip via merge_rollup's epoch guard ('kmeans'
     crash point drills it).
+
+    `pca_moments` maintains the incremental-PCA moment state
+    (``<root>/pca``, operators/pcastate.py): each accepted batch's
+    hashed-BoW embeddings fold their exact decimal first/second moments
+    into rollup state — d(d+1)/2 + d rows, PCA's sufficient statistics —
+    so the covariance, top component, and projections are servable at
+    any time without re-reading history ('pca' crash point).
 
     `seen_bloom_m_bits` accretes a bloom over the seen keys
     (``<root>/bloomseen``, operators/bloomfilter.py::merge_bloom) and
@@ -651,6 +659,21 @@ def continuous_ingest_pipeline(
                 k=kmeans_k, d=64, epoch=epoch_id,
             )
             crash("kmeans")
+        if pca_moments:
+            from rag_pipelines_spark.operators.embedding import (
+                hashed_bow_embedding,
+            )
+            from rag_pipelines_spark.operators.pcastate import (
+                merge_pca_moments,
+            )
+
+            emb_pca = hashed_bow_embedding(
+                clean, id_col=id_col, text_col=text_col, dim=64
+            )
+            merge_pca_moments(
+                s, emb_pca, os.path.join(root, "pca"), epoch=epoch_id
+            )
+            crash("pca")
         # per-epoch partition overwrite: replaying rewrites the same files
         clean.write.mode("overwrite").parquet(
             os.path.join(root, "corpus", f"epoch={epoch_id}")

@@ -65,7 +65,8 @@ def _run(spark, src, root, ckpt):
     q = continuous_ingest_pipeline(
         spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
         freq_m=100, hll_item_col="doc_id", kmv_item_col="doc_id",
-        ann_k_seeds=2, kmeans_k=2, seen_bloom_m_bits=1 << 16, lm_gate=True,
+        ann_k_seeds=2, kmeans_k=2, pca_moments=True,
+        seen_bloom_m_bits=1 << 16, lm_gate=True,
         dsir_target=_dsir_target(spark),
     )
     q.awaitTermination(120)
@@ -168,8 +169,20 @@ def _state_snapshot(spark, root):
             )
         ),
     )
+    # pca family: served round-9 covariance from the accreted moments
+    from rag_pipelines_spark.operators.pcastate import (
+        pca_covariance_from_state,
+    )
+
+    pca = sorted(
+        map(
+            tuple,
+            pca_covariance_from_state(spark, f"{root}/pca").collect(),
+        )
+    )
     return (corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann,
-            (lm_model, lm_scores), (dsir_raw, dsir_tgt, dsir_scores), km)
+            (lm_model, lm_scores), (dsir_raw, dsir_tgt, dsir_scores), km,
+            pca)
 
 
 def test_continuous_ingest_all_families(spark, tmp_path):
@@ -183,7 +196,7 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     _run(spark, src, root, ckpt)
 
     (corpus, stats, rollup, seen, freq, hll, kmv, bloom,
-     ann, lm, dsir, km) = _state_snapshot(spark, root)
+     ann, lm, dsir, km, pca) = _state_snapshot(spark, root)
 
     # front door saw every distinct key; exact dup (doc 1 again) blocked
     assert seen == {1, 2, 3, 4, 5}
@@ -409,10 +422,49 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     )
     assert served_km == direct_km
 
+    # pca gate: the served covariance equals a ONE-SHOT moment recompute
+    # over the whole accepted corpus (N merges == direct, again)
+    from rag_pipelines_spark.operators.pcastate import _moment_rows
+
+    direct_m = (
+        _moment_rows(corpus_emb, "embedding")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("p").cast("decimal(30,15)"))
+            .cast("decimal(30,15)")
+            .alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    mu_direct = direct_m.filter(F.col("j") == 0).select(
+        F.col("i").alias("mi"),
+        F.round(dec_to_dbl(F.col("s")) / F.col("n"), 9).alias("m"),
+    )
+    direct_pca = sorted(
+        map(
+            tuple,
+            direct_m.filter(F.col("j") > 0)
+            .join(mu_direct.withColumnRenamed("mi", "ik"), F.col("i") == F.col("ik"))
+            .withColumnRenamed("m", "m_i")
+            .join(mu_direct.withColumnRenamed("mi", "jk"), F.col("j") == F.col("jk"))
+            .withColumnRenamed("m", "m_j")
+            .select(
+                "i", "j",
+                F.round(
+                    dec_to_dbl(F.col("s")) / F.col("n")
+                    - F.col("m_i") * F.col("m_j"),
+                    9,
+                ).alias("c"),
+            )
+            .collect(),
+        )
+    )
+    assert pca == direct_pca
+
     # full replay: fresh checkpoint over the same source files — the
     # front door anti-join makes every batch a no-op for every family
     before = (corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann, lm,
-              dsir, km)
+              dsir, km, pca)
     _run(spark, src, root, str(tmp_path / "ckpt2"))
     assert _state_snapshot(spark, root) == before
 
@@ -464,7 +516,7 @@ def test_epoch_guards_make_merges_idempotent(spark, tmp_path):
 
 CRASH_POINTS = [
     "delta", "neardup", "stats", "rollup", "freq", "hll", "kmv", "lm",
-    "dsir", "ann", "kmeans", "corpus",
+    "dsir", "ann", "kmeans", "pca", "corpus",
     "seen_keys", "seen_bloom", "seen_marker",
 ]
 
@@ -512,7 +564,8 @@ def test_crash_matrix_every_step_replays_to_identical_state(
     q = continuous_ingest_pipeline(
         spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
         freq_m=100, hll_item_col="doc_id", kmv_item_col="doc_id",
-        ann_k_seeds=2, kmeans_k=2, seen_bloom_m_bits=1 << 16, lm_gate=True,
+        ann_k_seeds=2, kmeans_k=2, pca_moments=True,
+        seen_bloom_m_bits=1 << 16, lm_gate=True,
         dsir_target=_dsir_target(spark),
         _crash_after=crash_after,
     )

@@ -78,6 +78,46 @@ def test_projection_plan_is_zero_shuffle(spark):
         assert mark not in plan, f"projection plan contains {mark}"
 
 
+def test_pca_state_merge_invariance_and_replay(spark, tmp_path):
+    """N merges == one-shot for the moment state (decimal sums are
+    associative), replays are no-ops, and the state-served component
+    agrees with the corpus-path fit up to the round-9 covariance
+    quantization (cosine > 0.999 — they run DIFFERENT recurrences, so
+    bit-equality is not the contract; the oracle pins the state path's
+    own exactness)."""
+    from rag_pipelines_spark.operators.pcastate import (
+        merge_pca_moments,
+        pca_component_from_state,
+        pca_covariance_from_state,
+    )
+
+    emb = _emb(spark)
+    split_root = str(tmp_path / "split")
+    merge_pca_moments(spark, emb.filter(F.col("vec_id") % 2 == 0), split_root, epoch=0)
+    merge_pca_moments(spark, emb.filter(F.col("vec_id") % 2 == 1), split_root, epoch=1)
+    one_root = str(tmp_path / "one")
+    merge_pca_moments(spark, emb, one_root, epoch=0)
+    split_cov = sorted(
+        map(tuple, pca_covariance_from_state(spark, split_root).collect())
+    )
+    one_cov = sorted(
+        map(tuple, pca_covariance_from_state(spark, one_root).collect())
+    )
+    assert split_cov == one_cov
+    # replayed micro-batch (same LATEST epoch): no-op — an OLDER epoch
+    # would correctly raise the checkpoint-reset guard instead
+    merge_pca_moments(spark, emb.filter(F.col("vec_id") % 2 == 1), split_root, epoch=1)
+    assert (
+        sorted(map(tuple, pca_covariance_from_state(spark, split_root).collect()))
+        == split_cov
+    )
+    v_state, mu_state = pca_component_from_state(spark, split_root, 64, 3)
+    v_corpus = power_iterate(emb, 64, 3)
+    cos = abs(math.fsum(a * b for a, b in zip(v_state, v_corpus)))
+    assert cos > 0.999, cos
+    assert mu_state == column_means(emb, 64)
+
+
 def test_quantize_bounds_and_reconstruction(spark):
     """Codes live in [0, 255]; reconstructing lo + code*scale
     under-estimates x by at most one scale step (floor quantization)."""

@@ -7,8 +7,8 @@ consecutive disjoint batches of B documents from the sf10 fixture
 through every state family (seen-keys front door, near-dup manifest
 state, BM25 corpus stats, keyed rollup, MG freq sketch, HLL sketch,
 KMV sketch, seen-keys bloom, frozen-centroid ANN postings, DSIR
-bucket counts, k-means centroid sums — r9 completed the set), timing
-each family's merge per batch. If merges scaled with history, batch 3 (2B docs of state
+bucket counts, k-means centroid sums, PCA moment sums — r9 completed
+the set), timing each family's merge per batch. If merges scaled with history, batch 3 (2B docs of state
 behind it) would be slower than batch 1; if they track the batch,
 walls are flat across batches and grow ~ linearly in B. After the
 last batch a SERVE pass times one state-read query per family, so the
@@ -56,6 +56,7 @@ def run(spark, sf_dir: str, batch_sizes: list[int]) -> list[dict]:
     from rag_pipelines_spark.operators.hllsketch import merge_hll
     from rag_pipelines_spark.operators.kmv import merge_kmv
     from rag_pipelines_spark.operators.kmeansstate import merge_kmeans_state
+    from rag_pipelines_spark.operators.pcastate import merge_pca_moments
     from rag_pipelines_spark.operators.retrieval import merge_corpus_stats
     from rag_pipelines_spark.operators.rollup import merge_rollup, read_rollup
     from rag_pipelines_spark.streaming.incremental import incremental_merge
@@ -145,6 +146,11 @@ def run(spark, sf_dir: str, batch_sizes: list[int]) -> list[dict]:
                 "embedding", k=64, d=64, epoch=bi,
             )
             rec["kmeans_s"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            merge_pca_moments(
+                spark, emb, os.path.join(root, "pca"), epoch=bi
+            )
+            rec["pca_s"] = round(time.time() - t0, 2)
             rec["total_s"] = round(
                 sum(v for k, v in rec.items() if k.endswith("_s")), 2
             )
@@ -229,6 +235,13 @@ def run(spark, sf_dir: str, batch_sizes: list[int]) -> list[dict]:
             ), os.path.join(root, "kmeans"), "doc_id", "embedding",
         ).count()
         srec["kmeans_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        from rag_pipelines_spark.operators.pcastate import (
+            pca_covariance_from_state,
+        )
+
+        pca_covariance_from_state(spark, os.path.join(root, "pca")).count()
+        srec["pca_s"] = round(time.time() - t0, 2)
         results.append(srec)
         print(json.dumps(srec))
         shutil.rmtree(root, ignore_errors=True)
