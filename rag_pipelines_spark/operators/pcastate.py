@@ -50,6 +50,17 @@ __all__ = [
 _DEC = "decimal(30,15)"
 
 
+def _q9(c):
+    """Engine-portable 9-decimal quantizer in PURE double arithmetic:
+    floor(x*1e9 + 0.5)/1e9. Unlike round(double, 9) — where Spark rounds
+    the SHORTEST string repr while DuckDB rounds the exact binary
+    expansion, which disagree at ...0645-vs-...06449999 boundaries (hit
+    by this family's power iteration at sf10, coord 24 of step 3) —
+    every operation here is IEEE-defined on identical inputs, so both
+    engines produce identical bits for every input."""
+    return F.floor(c * 1e9 + F.lit(0.5)) / 1e9
+
+
 def _moment_rows(emb: DataFrame, vec_col: str) -> DataFrame:
     """(i, j, p): per row, the d upper-triangle-with-diagonal products
     x_i * x_j for i <= j, plus the first moments as j = 0 rows
@@ -110,7 +121,7 @@ def pca_covariance_from_state(spark, state_path: str) -> DataFrame:
     st = read_rollup(spark, state_path)
     mu = st.filter(F.col("j") == 0).select(
         F.col("i").alias("mi"),
-        F.round(dec_to_dbl(F.col("sum_p")) / F.col("count_p"), 9).alias("m"),
+        _q9(dec_to_dbl(F.col("sum_p")) / F.col("count_p")).alias("m"),
     )
     s2 = st.filter(F.col("j") > 0)
     return (
@@ -123,10 +134,9 @@ def pca_covariance_from_state(spark, state_path: str) -> DataFrame:
         .select(
             "i",
             "j",
-            F.round(
+            _q9(
                 dec_to_dbl(F.col("sum_p")) / F.col("count_p")
-                - F.col("m_i") * F.col("m_j"),
-                9,
+                - F.col("m_i") * F.col("m_j")
             ).alias("c"),
         )
     )
@@ -150,7 +160,7 @@ def pca_component_from_state(
         st.filter(F.col("j") == 0)
         .select(
             "i",
-            F.round(dec_to_dbl(F.col("sum_p")) / F.col("count_p"), 9).alias(
+            _q9(dec_to_dbl(F.col("sum_p")) / F.col("count_p")).alias(
                 "m"
             ),
         )
@@ -159,22 +169,37 @@ def pca_component_from_state(
     mu_map = {int(r["i"]): r["m"] for r in mu_rows}
     mu = [mu_map[i + 1] for i in range(d)]
     v = [1.0 / math.sqrt(d)] * d
+    # The matvec must produce BIT-IDENTICAL w in both engines or a
+    # quantize-boundary hit cascades through the remaining iterations
+    # (observed at sf10: coord 24 of step 3 differed by one cast ulp).
+    # c and vj are exact 1e-9-grid values, so recover their integer
+    # numerators (floor(x*1e9+0.5) — exact, the grid error is << 0.5)
+    # and run the whole sum in integer DECIMAL arithmetic: no
+    # data-dependent double->decimal cast ever happens, and the single
+    # decimal->double conversion of the exact integer sum is correctly
+    # rounded in both engines. Same trick for n2 on a 1e-12 grid.
+    k19 = "decimal(19,0)"
     for _ in range(iters):
         vdf = full.sparkSession.createDataFrame(
             [(j + 1, v[j]) for j in range(d)], "j int, vj double"
         )
+        kc = F.floor(F.col("c") * 1e9 + F.lit(0.5)).cast(k19)
+        kv = F.floor(F.col("vj") * 1e9 + F.lit(0.5)).cast(k19)
         w = (
             full.join(F.broadcast(vdf), "j")
             .groupBy("i")
-            .agg(F.sum((F.col("c") * F.col("vj")).cast(_DEC)).alias("_w"))
-            .select("i", dec_to_dbl(F.col("_w")).alias("w"))
+            .agg(F.sum(kc * kv).alias("_wn"))
+            .select(
+                "i", (F.col("_wn").cast("double") / F.lit(1e18)).alias("w")
+            )
         )
+        kw = F.floor(F.col("w") * 1e12 + F.lit(0.5)).cast(k19)
         n2 = w.agg(
-            dec_to_dbl(F.sum((F.col("w") * F.col("w")).cast(_DEC))).alias("n2")
+            (F.sum(kw * kw).cast("double") / F.lit(1e24)).alias("n2")
         )
         rows = (
             w.crossJoin(F.broadcast(n2))
-            .select("i", F.round(F.col("w") / F.sqrt("n2"), 9).alias("v"))
+            .select("i", _q9(F.col("w") / F.sqrt("n2")).alias("v"))
             .collect()
         )
         got = {int(r["i"]): r["v"] for r in rows}
@@ -199,5 +224,5 @@ def pca_project_from_state(
     v, mu = pca_component_from_state(spark, state_path, d, iters)
     xc = _centered(F.col(vec_col), mu)
     return df.select(
-        F.col(id_col), F.round(dec_to_dbl(_dot_dec(xc, v)), 9).alias("score")
+        F.col(id_col), _q9(dec_to_dbl(_dot_dec(xc, v))).alias("score")
     )

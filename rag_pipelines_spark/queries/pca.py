@@ -191,16 +191,17 @@ def _pca_state_with(d: int = _D, iters: int = _ITERS) -> str:
         GROUP BY 1, 2)""",
         f"""m1 AS MATERIALIZED (
         SELECT t.dim AS i,
-               round({o_dec_to_dbl(
+               floor(({o_dec_to_dbl(
                    "SUM(CAST(CAST(e.embedding[t.dim] AS DOUBLE)"
                    " AS DECIMAL(30,15)))"
-               )} / COUNT(*), 9) AS m
+               )} / COUNT(*)) * 1000000000 + 0.5) / 1000000000 AS m
         FROM hist e CROSS JOIN range(1, {d + 1}) t(dim)
         GROUP BY t.dim)""",
         "mu_l AS MATERIALIZED (SELECT list(m ORDER BY i) AS mu FROM m1)",
         f"""cov AS MATERIALIZED (
         SELECT m2.i AS i, m2.j AS j,
-               round({o_dec_to_dbl("s")} / n - a.m * b.m, 9) AS c
+               floor(({o_dec_to_dbl("s")} / n - a.m * b.m)
+                     * 1000000000 + 0.5) / 1000000000 AS c
         FROM m2 JOIN m1 a ON a.i = m2.i JOIN m1 b ON b.i = m2.j)""",
         """covf AS MATERIALIZED (
         SELECT i, j, c FROM cov
@@ -208,23 +209,35 @@ def _pca_state_with(d: int = _D, iters: int = _ITERS) -> str:
         SELECT j AS i, i AS j, c FROM cov WHERE i <> j)""",
         f"sv0 AS MATERIALIZED (SELECT {v0} AS v)",
     ]
-    sum_n2 = o_dec_to_dbl("SUM(CAST(w * w AS DECIMAL(30,15)))")
+    # integer-exact matvec (see operators/pcastate.py): c and v are
+    # 1e-9-grid values, so the products sum EXACTLY as DECIMAL(19,0)
+    # numerators — no data-dependent double->decimal cast, w and n2 are
+    # bit-identical across engines
     for i in range(1, iters + 1):
         parts.append(
             f"""sw{i} AS MATERIALIZED (
             SELECT f.i AS i,
-                   {o_dec_to_dbl(
-                       "SUM(CAST(f.c * p.v[f.j] AS DECIMAL(30,15)))"
-                   )} AS w
+                   CAST(SUM(CAST(floor(f.c * 1000000000 + 0.5)
+                                 AS DECIMAL(19,0))
+                            * CAST(floor(p.v[f.j] * 1000000000 + 0.5)
+                                   AS DECIMAL(19,0))) AS DOUBLE)
+                   / 1e18 AS w
             FROM covf f CROSS JOIN sv{i - 1} p
             GROUP BY f.i)"""
         )
         parts.append(
-            f"sn2_{i} AS MATERIALIZED (SELECT {sum_n2} AS n2 FROM sw{i})"
+            f"""sn2_{i} AS MATERIALIZED (
+            SELECT CAST(SUM(CAST(floor(w * 1000000000000 + 0.5)
+                                 AS DECIMAL(19,0))
+                            * CAST(floor(w * 1000000000000 + 0.5)
+                                   AS DECIMAL(19,0))) AS DOUBLE)
+                   / 1e24 AS n2
+            FROM sw{i})"""
         )
         parts.append(
             f"""sv{i} AS MATERIALIZED (
-            SELECT list(round(w / sqrt(n2), 9) ORDER BY i) AS v
+            SELECT list(floor((w / sqrt(n2)) * 1000000000 + 0.5)
+                        / 1000000000 ORDER BY i) AS v
             FROM sw{i} CROSS JOIN sn2_{i})"""
         )
     return "WITH " + ",\n".join(parts)
@@ -235,10 +248,10 @@ def _pca_state_with(d: int = _D, iters: int = _ITERS) -> str:
     oracle=f"""
     {_pca_state_with()}
     SELECT z.vec_id AS vec_id,
-           round({o_dec_to_dbl(
+           floor({o_dec_to_dbl(
                "SUM(CAST((CAST(z.x AS DOUBLE) - z.m) * z.vc"
                " AS DECIMAL(30,15)))"
-           )}, 9) AS score
+           )} * 1000000000 + 0.5) / 1000000000 AS score
     FROM (SELECT e.vec_id, unnest(e.embedding) AS x,
                  unnest(l.mu) AS m, unnest(p.v) AS vc
           FROM embeddings e CROSS JOIN mu_l l CROSS JOIN sv{_ITERS} p

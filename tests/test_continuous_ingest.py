@@ -424,7 +424,7 @@ def test_continuous_ingest_all_families(spark, tmp_path):
 
     # pca gate: the served covariance equals a ONE-SHOT moment recompute
     # over the whole accepted corpus (N merges == direct, again)
-    from rag_pipelines_spark.operators.pcastate import _moment_rows
+    from rag_pipelines_spark.operators.pcastate import _moment_rows, _q9
 
     direct_m = (
         _moment_rows(corpus_emb, "embedding")
@@ -438,7 +438,7 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     )
     mu_direct = direct_m.filter(F.col("j") == 0).select(
         F.col("i").alias("mi"),
-        F.round(dec_to_dbl(F.col("s")) / F.col("n"), 9).alias("m"),
+        _q9(dec_to_dbl(F.col("s")) / F.col("n")).alias("m"),
     )
     direct_pca = sorted(
         map(
@@ -450,10 +450,9 @@ def test_continuous_ingest_all_families(spark, tmp_path):
             .withColumnRenamed("m", "m_j")
             .select(
                 "i", "j",
-                F.round(
+                _q9(
                     dec_to_dbl(F.col("s")) / F.col("n")
-                    - F.col("m_i") * F.col("m_j"),
-                    9,
+                    - F.col("m_i") * F.col("m_j")
                 ).alias("c"),
             )
             .collect(),
