@@ -120,6 +120,10 @@ EXTRAS = [
     # vocab, merges on the vocab-sized frame, encode joins the vocab
     # (operators/bpe.py)
     "q_bpe_encode",
+    # round 9 (cont.): quantized-integer PageRank over the customer<->
+    # supplier graph — 8 iterations, each one |nodes|-row join shuffle +
+    # one map-side-combinable agg (operators/pagerank.py)
+    "q_pagerank",
 ]
 
 HEADLINE = CORE + EXTRAS + CORE_R4

@@ -116,6 +116,41 @@ def connected_components(
     )
 
 
+def leakage_safe_split(
+    clusters: DataFrame,
+    cluster_col: str = "cluster_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Add a train/val/test `split` column keyed on the CLUSTER id.
+
+    The standard random split leaks: near-duplicate documents land on
+    both sides of the train/test boundary and the eval set scores
+    memorization. Splitting by the dup-cluster representative instead
+    of the document id guarantees a whole near-dup cluster moves as one
+    unit — no member of a train cluster can appear in val/test.
+
+    The bucket is the first 15 md5 hex nibbles of the cluster id mod
+    100 — engine-portable, deterministic under any partitioning, and
+    stable across runs (re-splitting a grown corpus keeps every old
+    cluster's assignment unless its representative changed).
+    """
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col(cluster_col).cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return clusters.withColumn("split", split)
+
+
 def dup_clusters(
     candidates: DataFrame,
     all_ids: DataFrame,

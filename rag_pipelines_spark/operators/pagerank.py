@@ -1,0 +1,222 @@
+"""Quantized-integer PageRank — graph ranking with bit-exact,
+engine-portable iterations.
+
+Why it exists: the dedup tier already builds graphs (candidate pairs ->
+connected components, operators/graph.py); curation also needs graph
+*ranking* — picking authoritative/representative records from a linked
+corpus (citation graphs, host link graphs, user-item interaction
+graphs). PageRank is the canonical such ranking (public literature:
+Brin & Page 1998; the MapReduce formulation is the textbook iterative
+Spark workload).
+
+Determinism contract (the `_q9` lesson from SCALE.md round 9: float
+summation order and cross-engine rounding are NOT portable): every
+quantity here is a scaled BIGINT numerator, every division is integer
+floor division on non-negative operands, every aggregate is an exact
+integer SUM. Both engines therefore compute the IDENTICAL lattice
+point at every iteration — equality holds BY CONSTRUCTION, not by data
+luck. The price is a documented quantization: each `div` drops its
+remainder, so total mass decays by < N units per iteration (at the
+default total mass of 10^15 that is a ~1e-9 relative loss per step —
+far below any ranking-relevant signal).
+
+Update rule, all integer (d = damping_num/damping_den, default 85/100):
+
+    s            = total_mass div N                  (per-node seed)
+    contrib(u,v) = r(u) div outdeg(u)                (u -> v edge)
+    dangling     = sum of r(u) where outdeg(u) = 0
+    r'(v)        = ((den-num)*s) div den
+                 + (num * (dangling div N)) div den
+                 + (num * insum(v)) div den
+
+Spark-first / 100 TB posture:
+  * The edge list is the only corpus-sized frame. It is joined with its
+    out-degree table ONCE and localCheckpoint'ed; per iteration the work
+    is one |nodes|-row join shuffle (ranks into edges), one map-side-
+    combinable hash agg back to |nodes| rows, and a 1-row dangling agg
+    that broadcasts via the crossJoin(1-row) pattern
+    (operators/sampling.py precedent) — the driver never materializes
+    data.
+  * Plans stay flat across iterations via per-step localCheckpoint
+    (the operators/graph.py / operators/clustering.py discipline).
+  * Overflow headroom: with total_mass = 10^15, every intermediate is
+    <= damping_num * total_mass ~ 8.5e16 << 2^63; node count only
+    *divides* mass, so the contract holds at any graph size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "personalized_pagerank"]
+
+TOTAL_MASS = 1_000_000_000_000_000  # 10^15: shared with the oracle
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 8,
+    total_mass: int = TOTAL_MASS,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """(node, rank): quantized-integer PageRank after `iters` steps.
+
+    `nodes` must contain every vertex (isolated vertices are dangling
+    and receive teleport + dangling share only); `edges` is a DIRECTED
+    (src, dst) list — deduplicate upstream if multiplicity is not
+    intended (parallel edges weight the contribution).
+    """
+    n1 = nodes.select(F.col(node_col).alias("node")).localCheckpoint(eager=True)
+    # 1-row parameter frame: n, s — broadcast everywhere it is needed,
+    # so no driver-side count() action exists in the plan
+    params = n1.agg(
+        F.count("*").alias("n"),
+        F.expr(f"CAST({total_mass} AS BIGINT) div count(*)").alias("s"),
+    )
+
+    deg = (
+        edges.groupBy(F.col(src_col).alias("node"))
+        .agg(F.count("*").alias("outdeg"))
+    )
+    # corpus-sized frame, built once: (src, dst, outdeg)
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .join(deg.withColumnRenamed("node", "src"), "src")
+        .localCheckpoint(eager=True)
+    )
+
+    ranks = n1.crossJoin(F.broadcast(params)).select(
+        "node", F.col("s").cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+
+    base = (
+        F.expr(f"(({damping_den - damping_num}) * s) div {damping_den}")
+        + F.expr(f"({damping_num} * (dang div n)) div {damping_den}")
+    )
+    for _ in range(iters):
+        insum = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .select("dst", F.expr("r div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        dang1 = (
+            ranks.join(deg, "node", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
+        )
+        ranks = (
+            n1.crossJoin(F.broadcast(params))
+            .crossJoin(F.broadcast(dang1))
+            .join(insum, n1["node"] == insum["dst"], "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"({damping_num} * coalesce(m, CAST(0 AS BIGINT)))"
+                        f" div {damping_den}"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank"))
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    iters: int = 8,
+    total_mass: int = TOTAL_MASS,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """(node, rank): personalized PageRank — teleport and dangling mass
+    return to the SEED SET only, so rank measures proximity to a curated
+    set of nodes (curated-set expansion: 'find more records like these'
+    — the graph analog of DSIR's frozen target distribution).
+
+    Same quantized-integer contract as `pagerank`: seeds each start with
+    `total_mass div n_seeds`; non-seeds start at 0; per iteration the
+    teleport share `((den-num)*s) div den` and the dangling share
+    `(num*(dang div n_seeds)) div den` are paid to seeds alone, while
+    link mass flows to anyone. All floor divisions on non-negative
+    BIGINTs — bit-identical across engines by construction.
+    """
+    n1 = nodes.select(F.col(node_col).alias("node")).localCheckpoint(eager=True)
+    sd = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    params = sd.agg(
+        F.count("*").alias("ns"),
+        F.expr(f"CAST({total_mass} AS BIGINT) div count(*)").alias("s"),
+    )
+    deg = (
+        edges.groupBy(F.col(src_col).alias("node"))
+        .agg(F.count("*").alias("outdeg"))
+    )
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .join(deg.withColumnRenamed("node", "src"), "src")
+        .localCheckpoint(eager=True)
+    )
+    # is_seed once, reused every iteration
+    marked = n1.join(
+        sd.withColumn("_isseed", F.lit(1)), "node", "left"
+    ).select("node", F.coalesce("_isseed", F.lit(0)).alias("_isseed"))
+    ranks = marked.crossJoin(F.broadcast(params)).select(
+        "node",
+        "_isseed",
+        F.when(F.col("_isseed") == 1, F.col("s").cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("r"),
+    ).localCheckpoint(eager=True)
+
+    seed_base = (
+        F.expr(f"(({damping_den - damping_num}) * s) div {damping_den}")
+        + F.expr(f"({damping_num} * (dang div ns)) div {damping_den}")
+    )
+    for _ in range(iters):
+        insum = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .select("dst", F.expr("r div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        dang1 = (
+            ranks.join(deg, "node", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
+        )
+        ranks = (
+            marked.crossJoin(F.broadcast(params))
+            .crossJoin(F.broadcast(dang1))
+            .join(insum, marked["node"] == insum["dst"], "left")
+            .select(
+                "node",
+                "_isseed",
+                (
+                    F.when(F.col("_isseed") == 1, seed_base).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                    + F.expr(
+                        f"({damping_num} * coalesce(m, CAST(0 AS BIGINT)))"
+                        f" div {damping_den}"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

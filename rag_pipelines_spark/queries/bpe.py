@@ -136,3 +136,58 @@ def q_bpe_encode(spark, sf_dir):
     vocab = word_vocab(d, max_word_len=_MAX_LEN)
     _, final_v, _ = learn_bpe_merges(vocab, _N_MERGES)
     return bpe_encode_counts(d, final_v, "doc_id", "text", _MAX_LEN)
+
+
+@register(
+    "q_bpe_from_state",
+    oracle=f"""
+    {_bpe_with()}
+    {_MERGES_UNION}
+    """,
+    doc="BPE merges learned from ACCRETED vocabulary state (the 12th "
+    "continuous-ingest family): three time-sliced corpus batches fold "
+    "their (word, freq) counts into manifest/epoch/lease rollup state "
+    "— word frequencies are exactly mergeable, so the state-held vocab "
+    "is IDENTICAL to a one-shot corpus agg however history was sliced, "
+    "and merge learning (which only ever reads the vocabulary frame) "
+    "serves the bitwise-same merge table without touching corpus text "
+    "again. At 100 TB the corpus is featurized once per arriving batch "
+    "(map-side-combinable word count); re-training the tokenizer costs "
+    "|vocabulary|, never |history|. Oracle = the one-shot q_bpe_merges "
+    "recompute over the full corpus — state-served == direct is what "
+    "the hash gate certifies",
+)
+def q_bpe_from_state(spark, sf_dir):
+    import os
+    import shutil
+
+    from rag_pipelines_spark.operators.rollup import (
+        merge_rollup,
+        read_rollup,
+    )
+    from rag_pipelines_spark.queries.sources import _scratch
+
+    state = _scratch("bpe-serve", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)  # additive state: fresh per run
+    d = t(spark, sf_dir, "documents")
+    for r in (0, 1, 2):
+        batch = d.filter(F.col("doc_id") % 3 == r)
+        words = batch.select(
+            F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+        ).filter((F.col("word") != "") & (F.length("word") <= _MAX_LEN))
+        merge_rollup(
+            spark,
+            words,
+            os.path.join(state, "vocab"),
+            keys=["word"],
+            measures={"word": ["count"]},
+            epoch=r,
+        )
+    vocab = read_rollup(spark, os.path.join(state, "vocab")).select(
+        "word", F.col("count_word").alias("freq")
+    )
+    merges, _, tops = learn_bpe_merges(vocab, _N_MERGES)
+    out = reduce(DataFrame.unionByName, tops)
+    return out.select(
+        "merge_rank", "a", "b", F.col("cnt").cast("long").alias("cnt")
+    )

@@ -833,6 +833,67 @@ def q_dup_clusters(spark, sf_dir):
 
 
 @register(
+    "q_split_leakage_safe",
+    oracle="""
+    WITH RECURSIVE
+    e0 AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM documents a JOIN documents b
+          ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+    ),
+    edges AS (
+        SELECT a_id, b_id FROM e0
+        UNION
+        SELECT b_id, a_id FROM e0
+    ),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS r FROM documents
+        UNION
+        SELECT reach.node, edges.b_id AS r
+        FROM reach JOIN edges ON edges.a_id = reach.r
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, cluster_id,
+               CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT) % 100 AS b
+        FROM clusters) z
+    """,
+    doc="leakage-safe train/val/test split: documents are assigned by "
+    "the md5 bucket of their dup-CLUSTER representative (connected "
+    "components over verified near-dup pairs), so a whole near-dup "
+    "cluster moves as one unit and no training near-duplicate can leak "
+    "into eval — the guard a per-document random split cannot give. "
+    "Split assignment is one zero-shuffle column map after clustering "
+    "(operators/graph.py::leakage_safe_split)",
+)
+def q_split_leakage_safe(spark, sf_dir):
+    from rag_pipelines_spark.operators.graph import (
+        dup_clusters,
+        leakage_safe_split,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("lang").alias("b_lang"))
+    candidates = a.join(
+        b,
+        (F.col("b_id") == F.col("a_id") + 1)
+        & (F.col("a_lang") == F.col("b_lang")),
+    ).select("a_id", "b_id")
+    clusters = dup_clusters(
+        candidates, d.select("doc_id"), id_col="doc_id"
+    ).select("doc_id", "cluster_id")
+    return leakage_safe_split(clusters)
+
+
+@register(
     "q_embed_generate",
     oracle="""
     WITH toks AS (

@@ -54,11 +54,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # old driver row certifies the old plan — it needs a fresh one);
 # (b) the 15 r4-aged rows the r8 rotation could not fit (oldest
 # certification in the fleet); (c) the oldest r5-aged rows in sorted
-# order until the 50 slots fill (the remaining 31 r5 rows roll to round
+# order until the 50 slots fill (the remaining 38 r5 rows roll to round
 # 10 — never-certified queries outrank aged-but-green ones). Displaced
 # rows all hold green r5-r8 driver rows and stay green in driver_sim.
 PRIORITY: tuple[str, ...] = (
     # --- (a) round-9 new / rewritten ---
+    "q_pagerank",  # NEW r9 (cont.): quantized-integer graph ranking
+    "q_pagerank_checksum",
+    "q_pagerank_personalized",  # NEW r9 (cont.): curated-set expansion
+    "q_bpe_from_state",  # NEW r9 (cont.): 12th continuous-ingest family
+    "q_split_leakage_safe",  # NEW r9 (cont.): cluster-keyed split guard
     "q_dsir_from_state",  # NEW r9: 9th continuous-ingest state family
     "q_pretraining_prep_checksum_small",  # NEW r9: sf100-grade lifecycle twin
     "q_dsir_weights",  # REWRITTEN r9: window-free broadcast totals
@@ -99,18 +104,14 @@ PRIORITY: tuple[str, ...] = (
     "q_schema_evolution",
     "q_simhash",
     "q_stratified_sample",
-    # --- (c) oldest r5-aged rows, sorted order (first 12 of 46) ---
+    # --- (c) oldest r5-aged rows, sorted order (first 6 of 46; five
+    # slots went to the round-9-continuation additions above) ---
     "q_agg_rates",
     "q_aqp_sum",
     "q_author_format",
     "q_checkpoint_semi",
     "q_chunking",
     "q_citation_concat",
-    "q_clean_boilerplate",
-    "q_coalesce_defaults",
-    "q_cube",
-    "q_doc_fingerprint",
-    "q_doi_extract",
 )
 
 
@@ -125,6 +126,7 @@ def load_all() -> dict[str, Query]:
         bpe,
         clustering,
         extensions,
+        graphrank,
         joins,
         lm,
         pca,

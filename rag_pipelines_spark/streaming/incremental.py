@@ -293,6 +293,8 @@ def continuous_ingest_pipeline(
     lm_gate: bool = False,
     dsir_target=None,
     dsir_n_buckets: int = 10_000,
+    bpe_vocab: bool = False,
+    bpe_max_word_len: int = 32,
     _crash_after: str | None = None,
 ):
     """The reference's watcher as ONE streaming job maintaining EVERY
@@ -404,6 +406,16 @@ def continuous_ingest_pipeline(
     into rollup state — d(d+1)/2 + d rows, PCA's sufficient statistics —
     so the covariance, top component, and projections are servable at
     any time without re-reading history ('pca' crash point).
+
+    `bpe_vocab` maintains the BPE tokenizer-training vocabulary state
+    (``<root>/bpevocab``, the 12th family): each accepted batch's
+    whitespace word counts (words past `bpe_max_word_len` excluded, the
+    operators/bpe.py contract) fold into rollup state — word
+    frequencies are exactly mergeable, so merge learning
+    (operators/bpe.py::learn_bpe_merges, which only ever reads the
+    vocabulary frame) serves the bitwise-same merge table as a one-shot
+    corpus recompute without re-reading history text ('bpe' crash
+    point drills it; q_bpe_from_state is the oracle-checked serve).
 
     `seen_bloom_m_bits` accretes a bloom over the seen keys
     (``<root>/bloomseen``, operators/bloomfilter.py::merge_bloom) and
@@ -674,6 +686,19 @@ def continuous_ingest_pipeline(
                 s, emb_pca, os.path.join(root, "pca"), epoch=epoch_id
             )
             crash("pca")
+        if bpe_vocab:
+            words = clean.select(
+                F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+            ).filter(
+                (F.col("word") != "")
+                & (F.length("word") <= bpe_max_word_len)
+            )
+            merge_rollup(
+                s, words, os.path.join(root, "bpevocab"),
+                keys=["word"], measures={"word": ["count"]},
+                epoch=epoch_id,
+            )
+            crash("bpe")
         # per-epoch partition overwrite: replaying rewrites the same files
         clean.write.mode("overwrite").parquet(
             os.path.join(root, "corpus", f"epoch={epoch_id}")

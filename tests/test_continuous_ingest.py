@@ -67,7 +67,7 @@ def _run(spark, src, root, ckpt):
         freq_m=100, hll_item_col="doc_id", kmv_item_col="doc_id",
         ann_k_seeds=2, kmeans_k=2, pca_moments=True,
         seen_bloom_m_bits=1 << 16, lm_gate=True,
-        dsir_target=_dsir_target(spark),
+        dsir_target=_dsir_target(spark), bpe_vocab=True,
     )
     q.awaitTermination(120)
 
@@ -180,9 +180,13 @@ def _state_snapshot(spark, root):
             pca_covariance_from_state(spark, f"{root}/pca").collect(),
         )
     )
+    # bpe family: accreted (word, freq) vocabulary state
+    bpe = sorted(
+        map(tuple, read_rollup(spark, f"{root}/bpevocab").collect())
+    )
     return (corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann,
             (lm_model, lm_scores), (dsir_raw, dsir_tgt, dsir_scores), km,
-            pca)
+            pca, bpe)
 
 
 def test_continuous_ingest_all_families(spark, tmp_path):
@@ -196,7 +200,7 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     _run(spark, src, root, ckpt)
 
     (corpus, stats, rollup, seen, freq, hll, kmv, bloom,
-     ann, lm, dsir, km, pca) = _state_snapshot(spark, root)
+     ann, lm, dsir, km, pca, bpe) = _state_snapshot(spark, root)
 
     # front door saw every distinct key; exact dup (doc 1 again) blocked
     assert seen == {1, 2, 3, 4, 5}
@@ -460,10 +464,33 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     )
     assert pca == direct_pca
 
+    # bpe gate: the accreted vocabulary equals a one-shot word count over
+    # the accepted corpus (counts are mergeable), so the SERVED merge
+    # table — a pure function of the vocabulary — is bitwise-identical
+    # to a direct recompute
+    from rag_pipelines_spark.operators.bpe import learn_bpe_merges, word_vocab
+    from rag_pipelines_spark.operators.rollup import read_rollup as _rr
+
+    direct_vocab = sorted(
+        map(
+            tuple,
+            word_vocab(accepted, "text", 32)
+            .select("word", F.col("freq").alias("count_word"))
+            .collect(),
+        )
+    )
+    assert bpe == direct_vocab
+    state_vocab = _rr(spark, f"{root}/bpevocab").select(
+        "word", F.col("count_word").alias("freq")
+    )
+    served_merges, _, _ = learn_bpe_merges(state_vocab, 3)
+    direct_merges, _, _ = learn_bpe_merges(word_vocab(accepted, "text", 32), 3)
+    assert served_merges == direct_merges
+
     # full replay: fresh checkpoint over the same source files — the
     # front door anti-join makes every batch a no-op for every family
     before = (corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann, lm,
-              dsir, km, pca)
+              dsir, km, pca, bpe)
     _run(spark, src, root, str(tmp_path / "ckpt2"))
     assert _state_snapshot(spark, root) == before
 
@@ -515,7 +542,7 @@ def test_epoch_guards_make_merges_idempotent(spark, tmp_path):
 
 CRASH_POINTS = [
     "delta", "neardup", "stats", "rollup", "freq", "hll", "kmv", "lm",
-    "dsir", "ann", "kmeans", "pca", "corpus",
+    "dsir", "ann", "kmeans", "pca", "bpe", "corpus",
     "seen_keys", "seen_bloom", "seen_marker",
 ]
 
@@ -565,7 +592,7 @@ def test_crash_matrix_every_step_replays_to_identical_state(
         freq_m=100, hll_item_col="doc_id", kmv_item_col="doc_id",
         ann_k_seeds=2, kmeans_k=2, pca_moments=True,
         seen_bloom_m_bits=1 << 16, lm_gate=True,
-        dsir_target=_dsir_target(spark),
+        dsir_target=_dsir_target(spark), bpe_vocab=True,
         _crash_after=crash_after,
     )
     with pytest.raises(Exception, match="injected crash"):
