@@ -894,6 +894,93 @@ def q_split_leakage_safe(spark, sf_dir):
 
 
 @register(
+    "q_ngram_diversity",
+    oracle=r"""
+    WITH tok AS (
+        SELECT lang, string_split_regex(text, '\s+') AS ws FROM documents
+    ),
+    pos AS (
+        SELECT lang, ws, unnest(range(1, greatest(len(ws), 1) + 1)) AS i
+        FROM tok
+    ),
+    uni AS (
+        SELECT lang, ws[i] AS g FROM pos
+        WHERE i <= len(ws) AND ws[i] <> ''
+    ),
+    bi AS (
+        SELECT lang, ws[i] || ' ' || ws[i + 1] AS g FROM pos
+        WHERE i < len(ws) AND ws[i] <> '' AND ws[i + 1] <> ''
+    )
+    SELECT u.lang,
+           u.n_words, u.n_distinct_words,
+           CAST(u.n_distinct_words AS DOUBLE)
+               / CAST(u.n_words AS DOUBLE) AS ttr,
+           b.n_bigrams, b.n_distinct_bigrams,
+           CAST(b.n_distinct_bigrams AS DOUBLE)
+               / CAST(b.n_bigrams AS DOUBLE) AS bigram_diversity
+    FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+                 CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_words
+          FROM uni GROUP BY lang) u
+    JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_bigrams
+          FROM bi GROUP BY lang) b
+      ON u.lang = b.lang
+    """,
+    doc="corpus diversity statistics per language: type-token ratio and "
+    "bigram diversity (distinct/total) — the standard repetitiveness / "
+    "mode-collapse screens for generated or scraped training data "
+    "(low bigram diversity flags boilerplate-heavy slices before "
+    "training sees them). Counts are exact hash-agg distincts; the two "
+    "ratios divide identical integer-valued doubles, so bits match "
+    "cross-engine; shuffles are |langs|-sized after map-side combine",
+)
+def q_ngram_diversity(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = d.select("lang", F.split("text", r"\s+").alias("ws"))
+    uni = ws.select(
+        "lang", F.explode("ws").alias("g")
+    ).filter(F.col("g") != "")
+    bi = (
+        ws.filter(F.size("ws") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " j -> struct(element_at(ws, j) AS a,"
+                    "             element_at(ws, j + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .filter((F.col("p.a") != "") & (F.col("p.b") != ""))
+        .select("lang", F.concat_ws(" ", "p.a", "p.b").alias("g"))
+    )
+    u = uni.groupBy("lang").agg(
+        F.count("*").alias("n_words"),
+        F.countDistinct("g").alias("n_distinct_words"),
+    )
+    b = bi.groupBy("lang").agg(
+        F.count("*").alias("n_bigrams"),
+        F.countDistinct("g").alias("n_distinct_bigrams"),
+    )
+    return u.join(b, "lang").select(
+        "lang",
+        "n_words",
+        "n_distinct_words",
+        (
+            F.col("n_distinct_words").cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("ttr"),
+        "n_bigrams",
+        "n_distinct_bigrams",
+        (
+            F.col("n_distinct_bigrams").cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("bigram_diversity"),
+    )
+
+
+@register(
     "q_embed_generate",
     oracle="""
     WITH toks AS (

@@ -490,3 +490,45 @@ def q_term_pmi(spark, sf_dir):
         min_pair_count=5,
         max_terms_per_doc=None,  # fixture-exact; web-scale callers MUST cap
     )
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH {_sql_bm25_scored()},
+    {_sql_fusion_block()}
+    SELECT query_id, doc_id, 'positive' AS role, rk
+    FROM vranked WHERE rk <= 1
+    UNION ALL
+    SELECT l.query_id, l.doc_id, 'hard_negative' AS role, l.rk
+    FROM lranked l
+    LEFT JOIN (SELECT query_id, doc_id FROM vranked WHERE rk <= 3) p
+      ON l.query_id = p.query_id AND l.doc_id = p.doc_id
+    WHERE p.doc_id IS NULL AND l.rk <= 10
+    """,
+    doc="hard-negative mining for embedding-model training (the DPR "
+    "recipe, Karpukhin et al. 2020): per query, the positive is the "
+    "exact-cosine top-1; hard negatives are BM25 lexical top-10 hits "
+    "that are NOT in the dense top-3 — lexically similar yet "
+    "semantically wrong, the pairs contrastive training needs most. "
+    "Both inputs are per-query-small top-k lists, so mining cost is "
+    "independent of corpus size once the two rankers ran",
+)
+def q_hard_negatives(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    lex = topk_per_query(
+        bm25_scores(docs, _queries_df(spark), qterms=_qterms_df(spark)), 20
+    ).select("query_id", "doc_id", "rk")
+    vec = _cosine_ranked(spark, sf_dir, 20)
+    pos = vec.filter(F.col("rk") <= 1).select(
+        "query_id", "doc_id", F.lit("positive").alias("role"), "rk"
+    )
+    near_pos = vec.filter(F.col("rk") <= 3).select("query_id", "doc_id")
+    neg = (
+        lex.filter(F.col("rk") <= 10)
+        .join(near_pos, ["query_id", "doc_id"], "left_anti")
+        .select(
+            "query_id", "doc_id", F.lit("hard_negative").alias("role"), "rk"
+        )
+    )
+    return pos.unionByName(neg)

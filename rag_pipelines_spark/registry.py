@@ -64,6 +64,8 @@ PRIORITY: tuple[str, ...] = (
     "q_pagerank_personalized",  # NEW r9 (cont.): curated-set expansion
     "q_bpe_from_state",  # NEW r9 (cont.): 12th continuous-ingest family
     "q_split_leakage_safe",  # NEW r9 (cont.): cluster-keyed split guard
+    "q_hard_negatives",  # NEW r9 (cont.): DPR-style negative mining
+    "q_ngram_diversity",  # NEW r9 (cont.): corpus diversity screens
     "q_dsir_from_state",  # NEW r9: 9th continuous-ingest state family
     "q_pretraining_prep_checksum_small",  # NEW r9: sf100-grade lifecycle twin
     "q_dsir_weights",  # REWRITTEN r9: window-free broadcast totals
@@ -104,14 +106,12 @@ PRIORITY: tuple[str, ...] = (
     "q_schema_evolution",
     "q_simhash",
     "q_stratified_sample",
-    # --- (c) oldest r5-aged rows, sorted order (first 6 of 46; five
+    # --- (c) oldest r5-aged rows, sorted order (first 4 of 46; seven
     # slots went to the round-9-continuation additions above) ---
     "q_agg_rates",
     "q_aqp_sum",
     "q_author_format",
     "q_checkpoint_semi",
-    "q_chunking",
-    "q_citation_concat",
 )
 
 

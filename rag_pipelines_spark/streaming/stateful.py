@@ -19,6 +19,10 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 
 def _dedup_fn(
@@ -59,3 +63,61 @@ def seen_keys_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def seen_keys_dedup_tws(
+    grouped_stream,
+    output_schema: str = (
+        "rag_id string, source string, payload string, source_group string"
+    ),
+):
+    """`seen_keys_dedup` on the Spark-4 arbitrary-state API
+    (transformWithStateInPandas + StatefulProcessor): same first-seen
+    semantics, pinned row-identical to the applyInPandasWithState path
+    by test. The newer API is where composable state (multiple typed
+    state variables, timers, TTL per variable) lives, so the engine
+    exposes the operator on both — callers on Spark 4 checkpoints
+    should prefer this form.
+
+    Requires the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass =
+    ...state.RocksDBStateStoreProvider) — transformWithState is
+    implemented only there; the HDFS-backed default provider rejects it.
+    Also requires the `protobuf` package on driver and executors: the
+    transform_with_state Python<->JVM state server speaks protobuf
+    (pyspark's own [connect]/[pandas_on_spark] extras pull it in). The
+    parity test skips with a clear reason where protobuf is absent.
+    """
+    return grouped_stream.transformWithStateInPandas(
+        statefulProcessor=FirstSeenProcessor(),
+        outputStructType=output_schema,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+class FirstSeenProcessor(StatefulProcessor):
+    """First-seen dedup as a Spark-4 StatefulProcessor — the same logic
+    as `_dedup_fn`, pinned equal to it (via a fake ValueState) in
+    tests/test_stateful.py even where the protobuf state server that
+    transformWithState needs at runtime is unavailable."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getValueState("seen", "seen array<string>")
+
+    def handleInputRows(self, key, rows, timerValues):
+        got = self._seen.get()
+        seen: list[str] = list(got[0]) if got is not None else []
+        seen_set = set(seen)
+        for pdf in rows:
+            fresh = pdf[~pdf["rag_id"].isin(seen_set)]
+            fresh = fresh[~fresh["rag_id"].duplicated()]
+            new_ids = [i for i in fresh["rag_id"] if i not in seen_set]
+            seen_set.update(new_ids)
+            seen.extend(new_ids)
+            if len(fresh):
+                yield fresh.assign(source_group=key[0])
+        self._seen.update((seen,))
+
+    def close(self) -> None:
+        pass
