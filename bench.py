@@ -124,6 +124,18 @@ EXTRAS = [
     # supplier graph — 8 iterations, each one |nodes|-row join shuffle +
     # one map-side-combinable agg (operators/pagerank.py)
     "q_pagerank",
+    # round 9 (cont.): ColBERT late-interaction top-k — broadcast query
+    # tokens, one map-side-combinable (q, d, q_tok) max-reduce shuffle
+    # (operators/retrieval.py maxsim_scores)
+    "q_maxsim_topk",
+    # round 9 (cont.): Count-Min sketch 3-batch build + point-estimate
+    # serve — fixed-space counters, incl. state I/O
+    # (operators/cmsketch.py)
+    "q_countmin_serve",
+    # round 9 (cont.): sketch-based join-cardinality estimation — two
+    # fact scans to counters, then KB-sized products
+    # (operators/cmsketch.py cm_join_size)
+    "q_cm_join_size",
 ]
 
 HEADLINE = CORE + EXTRAS + CORE_R4

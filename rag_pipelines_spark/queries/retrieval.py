@@ -532,3 +532,73 @@ def q_hard_negatives(spark, sf_dir):
         )
     )
     return pos.unionByName(neg)
+
+
+@register(
+    "q_maxsim_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT vec_id, CAST((s - 1) // 8 AS INT) AS tok,
+               (s - 1) % 8 AS pos, x
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS s
+              FROM embeddings)
+    ),
+    tnorm AS (
+        SELECT vec_id, tok,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS n2
+        FROM toks GROUP BY vec_id, tok
+    ),
+    tdot AS (
+        SELECT q.vec_id AS query_id, q.tok AS q_tok,
+               c.vec_id AS doc_id, c.tok AS d_tok,
+               CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS dot
+        FROM toks q JOIN toks c ON q.pos = c.pos
+        WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    tcos AS (
+        SELECT d.query_id, d.doc_id, d.q_tok,
+               MAX(round(d.dot / (sqrt(qn.n2) * sqrt(cn.n2)), 9)) AS best
+        FROM tdot d
+        JOIN tnorm qn ON qn.vec_id = d.query_id AND qn.tok = d.q_tok
+        JOIN tnorm cn ON cn.vec_id = d.doc_id AND cn.tok = d.d_tok
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(CAST(best AS DECIMAL(20,9))) AS DOUBLE) AS maxsim
+        FROM tcos GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, maxsim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY maxsim DESC, doc_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, doc_id, maxsim, rk FROM ranked WHERE rk <= 5
+    """,
+    doc="late-interaction (ColBERT MaxSim) top-k: each 64-dim embedding "
+    "is split into 8 token sub-vectors; score(q,d) = Σ over query "
+    "tokens of max over doc tokens of per-token cosine (Khattab & "
+    "Zaharia 2020). Query batch = vec_id < 8, broadcast everywhere; "
+    "corpus token frame is a zero-shuffle projection; the one shuffle "
+    "is the map-side-combinable (query, doc, q_tok) max-reduce. Token "
+    "cosines are exact-decimal + round(,9), maxima summed through "
+    "decimal(20,9) — bitwise cross-engine (q_cosine_topk precedent)",
+)
+def q_maxsim_topk(spark, sf_dir):
+    from rag_pipelines_spark.operators.retrieval import (
+        embedding_tokens,
+        maxsim_scores,
+    )
+
+    toks = embedding_tokens(t(spark, sf_dir, "embeddings"))
+    scored = maxsim_scores(
+        toks.filter(F.col("id") < 8), toks, exclude_self=True
+    )
+    return topk_per_query(scored, 5, score_col="maxsim").select(
+        "query_id", "doc_id", "maxsim", "rk"
+    )

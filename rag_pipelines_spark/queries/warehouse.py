@@ -1106,3 +1106,167 @@ def q_zorder_quantile_checksum(spark, sf_dir):
     return base.groupBy("zfile").agg(
         F.count("*").alias("n"), F.bit_xor(digest).alias("xor_sig")
     )
+
+
+@register(
+    "q_countmin_serve",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS item
+        FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (SELECT lang, item, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+    cm AS (
+        SELECT lang, d.d AS d,
+               CAST(concat('0x', substr(md5(CAST(d.d AS VARCHAR)
+                    || '|' || item), 1, 15)) AS BIGINT) % 1024 AS bucket,
+               SUM(n) AS cnt
+        FROM cnt CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(d)
+        GROUP BY 1, 2, 3
+    ),
+    probe AS (
+        SELECT l.lang, i.item, d.d,
+               CAST(concat('0x', substr(md5(CAST(d.d AS VARCHAR)
+                    || '|' || i.item), 1, 15)) AS BIGINT) % 1024 AS bucket
+        FROM (SELECT DISTINCT lang FROM documents) l
+        CROSS JOIN (VALUES ('spark'), ('join'), ('dup'), ('scan'),
+                           ('window'), ('qqqzzz')) i(item)
+        CROSS JOIN (VALUES (0), (1), (2), (3)) d(d)
+    )
+    SELECT p.lang, p.item, CAST(MIN(COALESCE(cm.cnt, 0)) AS BIGINT) AS est
+    FROM probe p
+    LEFT JOIN cm ON p.lang = cm.lang AND p.d = cm.d
+                AND p.bucket = cm.bucket
+    GROUP BY 1, 2
+    """,
+    doc="mergeable Count-Min sketch served end-to-end "
+    "(operators/cmsketch.py): three time-sliced batches of per-lang "
+    "document terms folded into 4x1024 counter state (element-wise "
+    "counter ADD — exactly mergeable, any merge tree), then "
+    "point-frequency estimates for a 6-term probe set (5 fixture terms "
+    "+ one never-seen term) read from state without rescanning "
+    "history. est >= true always; the oracle replicates every counter "
+    "bitwise (md5-nibble bucketing, decimal counts) so the driver gate "
+    "certifies the merge path EXACT, collisions included. The "
+    "fixed-space answer to 'how often did THIS item occur' for items "
+    "outside any top-k; state is O(groups*depth*width) at any corpus "
+    "size",
+)
+def q_countmin_serve(spark, sf_dir):
+    import shutil
+
+    from rag_pipelines_spark.operators.cmsketch import cm_estimate, merge_cm
+    from rag_pipelines_spark.queries.sources import _scratch
+
+    state = _scratch("countmin-serve", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)  # additive state: fresh per run
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+        )
+        .localCheckpoint(eager=True)  # signatures-once (q_freq_topk_serve)
+    )
+    for r in range(3):
+        merge_cm(
+            spark,
+            toks.filter(F.col("doc_id") % 3 == r),
+            state,
+            keys=["lang"],
+            item_col="term",
+            depth=4,
+            width=1024,
+        )
+    langs = t(spark, sf_dir, "documents").select("lang").distinct()
+    items = spark.createDataFrame(
+        [("spark",), ("join",), ("dup",), ("scan",), ("window",),
+         ("qqqzzz",)],
+        "item STRING",
+    )
+    probes = langs.crossJoin(F.broadcast(items))
+    return cm_estimate(spark, state, probes, keys=["lang"])
+
+
+def _sql_cm_table(src: str, width: int) -> str:
+    """Oracle fragment: the Count-Min counter table of `src` (a CTE with
+    columns item, n), all four hash rows — bitwise the engine's."""
+    return f"""
+        SELECT d.d AS d,
+               CAST(concat('0x', substr(md5(CAST(d.d AS VARCHAR) || '|'
+                    || CAST(item AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % {width} AS bucket,
+               SUM(n) AS cnt
+        FROM {src} CROSS JOIN (VALUES (0), (1), (2), (3)) d(d)
+        GROUP BY 1, 2"""
+
+
+def _sql_cm_ip(a: str, b: str) -> str:
+    """Oracle fragment: min-over-depth inner product of two counter
+    CTEs — the join-size estimate."""
+    return f"""
+        SELECT CAST(MIN(ip) AS BIGINT) AS est FROM (
+            SELECT a.d,
+                   SUM(CAST(CAST(a.cnt AS DECIMAL(19,0))
+                        * CAST(b.cnt AS DECIMAL(19,0))
+                        AS DECIMAL(38,0))) AS ip
+            FROM {a} a JOIN {b} b ON a.d = b.d AND a.bucket = b.bucket
+            GROUP BY a.d
+        )"""
+
+
+@register(
+    "q_cm_join_size",
+    oracle=f"""
+    WITH co AS (SELECT o_custkey AS item, COUNT(*) AS n
+                FROM orders GROUP BY 1),
+    cc AS (SELECT c_custkey AS item, COUNT(*) AS n
+           FROM customer GROUP BY 1),
+    lp AS (SELECT l_partkey AS item, COUNT(*) AS n
+           FROM lineitem GROUP BY 1),
+    cmo AS ({_sql_cm_table("co", 4096)}),
+    cmc AS ({_sql_cm_table("cc", 4096)}),
+    cml AS ({_sql_cm_table("lp", 4096)})
+    SELECT 'orders_customer' AS pair,
+           ({_sql_cm_ip("cmo", "cmc")}) AS est
+    UNION ALL
+    SELECT 'lineitem_self_partkey' AS pair,
+           ({_sql_cm_ip("cml", "cml")}) AS est
+    """,
+    doc="sketch-based equi-join cardinality estimation "
+    "(operators/cmsketch.py::cm_join_size — the AMS/CM inner-product "
+    "estimator): |A join B on k| estimated as the min-over-depth "
+    "bucketwise counter inner product, WITHOUT running the join. Two "
+    "estimates: orders x customer on custkey (FK join) and the "
+    "lineitem self-join on partkey (the skew-sensitive case planners "
+    "care about: Σ cnt² blows up on hot keys). est >= true always; "
+    "sizing cost is |counters| = depth x width rows per side — the "
+    "100 TB planning primitive: a prospective shuffle is priced from "
+    "KBs of sketch instead of scanning either input",
+)
+def q_cm_join_size(spark, sf_dir):
+    from rag_pipelines_spark.operators.cmsketch import (
+        cm_join_size,
+        cm_partial,
+    )
+
+    w = 4096
+    cmo = cm_partial(
+        t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")),
+        [], "k", depth=4, width=w,
+    ).localCheckpoint(eager=True)  # each sketch feeds one product join
+    cmc = cm_partial(
+        t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k")),
+        [], "k", depth=4, width=w,
+    )
+    cml = cm_partial(
+        t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k")),
+        [], "k", depth=4, width=w,
+    ).localCheckpoint(eager=True)  # self-join consumes it twice
+    oc = cm_join_size(cmo, cmc).select(
+        F.lit("orders_customer").alias("pair"), "est"
+    )
+    ls = cm_join_size(cml, cml).select(
+        F.lit("lineitem_self_partkey").alias("pair"), "est"
+    )
+    return oc.unionByName(ls)

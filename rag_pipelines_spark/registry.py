@@ -59,6 +59,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # rows all hold green r5-r8 driver rows and stay green in driver_sim.
 PRIORITY: tuple[str, ...] = (
     # --- (a) round-9 new / rewritten ---
+    "q_maxsim_topk",  # NEW r9 (cont.): ColBERT late-interaction scoring
+    "q_countmin_serve",  # NEW r9 (cont.): 13th state family (Count-Min)
+    "q_cm_join_size",  # NEW r9 (cont.): sketch join-cardinality estimate
     "q_pagerank",  # NEW r9 (cont.): quantized-integer graph ranking
     "q_pagerank_checksum",
     "q_pagerank_personalized",  # NEW r9 (cont.): curated-set expansion
@@ -106,12 +109,9 @@ PRIORITY: tuple[str, ...] = (
     "q_schema_evolution",
     "q_simhash",
     "q_stratified_sample",
-    # --- (c) oldest r5-aged rows, sorted order (first 4 of 46; seven
+    # --- (c) oldest r5-aged rows, sorted order (first 1 of 46; ten
     # slots went to the round-9-continuation additions above) ---
     "q_agg_rates",
-    "q_aqp_sum",
-    "q_author_format",
-    "q_checkpoint_semi",
 )
 
 

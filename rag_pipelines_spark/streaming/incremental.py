@@ -286,6 +286,8 @@ def continuous_ingest_pipeline(
     freq_m: int | None = None,
     hll_item_col: str | None = None,
     kmv_item_col: str | None = None,
+    countmin_width: int | None = None,
+    countmin_depth: int = 4,
     ann_k_seeds: int | None = None,
     kmeans_k: int | None = None,
     pca_moments: bool = False,
@@ -346,9 +348,13 @@ def continuous_ingest_pipeline(
     sketch over the accepted docs' whitespace tokens
     (``<root>/freq``, operators/freqsketch.py), `hll_item_col`
     maintains a per-`rollup_keys` HLL distinct-count sketch over that
-    column (``<root>/hll``, operators/hllsketch.py), and `kmv_item_col`
+    column (``<root>/hll``, operators/hllsketch.py), `kmv_item_col`
     a per-`rollup_keys` KMV sketch (``<root>/kmv``, operators/kmv.py —
-    the oracle-checkable distinct/intersection tier). All three merges
+    the oracle-checkable distinct/intersection tier), and
+    `countmin_width` a per-`rollup_keys` Count-Min sketch over the
+    docs' whitespace tokens (``<root>/countmin``, operators/cmsketch.py
+    — fixed-space point-frequency estimates for ANY item, the
+    complement of the freq sketch's top-k). All these merges
     skip already-applied epochs, so they slot between the rollup merge
     and the corpus write without changing the crash-recovery argument —
     the crash matrix drills them too.
@@ -548,6 +554,20 @@ def continuous_ingest_pipeline(
                 epoch=epoch_id,
             )
             crash("kmv")
+        if countmin_width is not None:
+            from rag_pipelines_spark.operators.cmsketch import merge_cm
+
+            cm_toks = clean.select(
+                *rollup_keys,
+                F.explode(F.split(F.col(text_col), " ")).alias("term"),
+            )
+            merge_cm(
+                s, cm_toks, os.path.join(root, "countmin"),
+                keys=list(rollup_keys), item_col="term",
+                depth=countmin_depth, width=countmin_width,
+                epoch=epoch_id,
+            )
+            crash("countmin")
         if lm_gate:
             from rag_pipelines_spark.operators.lm import bigrams, familiarity
             from rag_pipelines_spark.operators.state import (

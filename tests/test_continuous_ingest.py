@@ -65,6 +65,7 @@ def _run(spark, src, root, ckpt):
     q = continuous_ingest_pipeline(
         spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
         freq_m=100, hll_item_col="doc_id", kmv_item_col="doc_id",
+        countmin_width=64,
         ann_k_seeds=2, kmeans_k=2, pca_moments=True,
         seen_bloom_m_bits=1 << 16, lm_gate=True,
         dsir_target=_dsir_target(spark), bpe_vocab=True,
@@ -184,9 +185,16 @@ def _state_snapshot(spark, root):
     bpe = sorted(
         map(tuple, read_rollup(spark, f"{root}/bpevocab").collect())
     )
+    # countmin family: the full counter table (bounded at
+    # |groups|*depth*width) IS the state — double-applied epochs would
+    # show as doubled counts
+    from rag_pipelines_spark.operators.cmsketch import read_cm
+
+    cm_counters, cm_geom = read_cm(spark, f"{root}/countmin")
+    cm = (cm_geom, sorted(map(tuple, cm_counters.collect())))
     return (corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann,
             (lm_model, lm_scores), (dsir_raw, dsir_tgt, dsir_scores), km,
-            pca, bpe)
+            pca, bpe, cm)
 
 
 def test_continuous_ingest_all_families(spark, tmp_path):
@@ -200,7 +208,7 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     _run(spark, src, root, ckpt)
 
     (corpus, stats, rollup, seen, freq, hll, kmv, bloom,
-     ann, lm, dsir, km, pca, bpe) = _state_snapshot(spark, root)
+     ann, lm, dsir, km, pca, bpe, cm) = _state_snapshot(spark, root)
 
     # front door saw every distinct key; exact dup (doc 1 again) blocked
     assert seen == {1, 2, 3, 4, 5}
@@ -487,10 +495,27 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     direct_merges, _, _ = learn_bpe_merges(word_vocab(accepted, "text", 32), 3)
     assert served_merges == direct_merges
 
+    # countmin sketch: the accreted counter table equals a one-shot
+    # sketch over the accepted tokens (element-wise adds are exact)
+    from rag_pipelines_spark.operators.cmsketch import cm_partial
+
+    direct_cm = sorted(
+        map(
+            tuple,
+            cm_partial(
+                accepted.select(
+                    "lang", F.explode(F.split("text", " ")).alias("term")
+                ),
+                ["lang"], "term", depth=4, width=64,
+            ).collect(),
+        )
+    )
+    assert cm == ((4, 64), direct_cm)
+
     # full replay: fresh checkpoint over the same source files — the
     # front door anti-join makes every batch a no-op for every family
     before = (corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann, lm,
-              dsir, km, pca, bpe)
+              dsir, km, pca, bpe, cm)
     _run(spark, src, root, str(tmp_path / "ckpt2"))
     assert _state_snapshot(spark, root) == before
 
@@ -541,7 +566,8 @@ def test_epoch_guards_make_merges_idempotent(spark, tmp_path):
 
 
 CRASH_POINTS = [
-    "delta", "neardup", "stats", "rollup", "freq", "hll", "kmv", "lm",
+    "delta", "neardup", "stats", "rollup", "freq", "hll", "kmv",
+    "countmin", "lm",
     "dsir", "ann", "kmeans", "pca", "bpe", "corpus",
     "seen_keys", "seen_bloom", "seen_marker",
 ]
@@ -590,6 +616,7 @@ def test_crash_matrix_every_step_replays_to_identical_state(
     q = continuous_ingest_pipeline(
         spark, src, SCHEMA, root, ckpt, id_col="doc_id", text_col="text",
         freq_m=100, hll_item_col="doc_id", kmv_item_col="doc_id",
+        countmin_width=64,
         ann_k_seeds=2, kmeans_k=2, pca_moments=True,
         seen_bloom_m_bits=1 << 16, lm_gate=True,
         dsir_target=_dsir_target(spark), bpe_vocab=True,

@@ -260,3 +260,59 @@ def test_term_pmi_cap_bounds_pair_emission(spark):
     pairs_capped = {(r.t1, r.t2) for r in capped.collect()}
     pairs_uncapped = {(r.t1, r.t2) for r in uncapped.collect()}
     assert pairs_capped <= pairs_uncapped
+
+
+def test_maxsim_matches_numpy_bruteforce(spark):
+    """MaxSim over synthetic multi-vector frames equals a per-pair numpy
+    brute force: Σ_qtok max_dtok cos(q,d), rounded like the operator."""
+    import numpy as np
+
+    from rag_pipelines_spark.operators.retrieval import (
+        embedding_tokens,
+        maxsim_scores,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_tok, tdim = 16, 4, 4
+    vecs = {i: rng.normal(size=dim).astype(np.float32) for i in range(6)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    toks = embedding_tokens(df, n_tokens=n_tok, token_dim=tdim)
+    got = {
+        (r.query_id, r.doc_id): r.maxsim
+        for r in maxsim_scores(
+            toks.filter(F.col("id") < 2), toks, exclude_self=True
+        ).collect()
+    }
+    assert len(got) == 2 * 5
+    for (q, d), score in got.items():
+        qt = vecs[q].astype(np.float64).reshape(n_tok, tdim)
+        dt = vecs[d].astype(np.float64).reshape(n_tok, tdim)
+        want = 0.0
+        for qv in qt:
+            cos = [
+                round(float(qv @ dv)
+                      / (math.sqrt(float(qv @ qv)) * math.sqrt(float(dv @ dv))),
+                      9)
+                for dv in dt
+            ]
+            want += max(cos)
+        assert score == pytest.approx(want, abs=1e-9), (q, d)
+
+
+def test_maxsim_bounded_by_token_count(spark):
+    """|maxsim| <= n_tokens (each per-token cosine is in [-1, 1])."""
+    from rag_pipelines_spark.operators.retrieval import (
+        embedding_tokens,
+        maxsim_scores,
+    )
+
+    toks = embedding_tokens(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    )
+    scored = maxsim_scores(toks.filter(F.col("id") < 4), toks,
+                           exclude_self=True)
+    bad = scored.filter(F.abs(F.col("maxsim")) > 8.0 + 1e-9).count()
+    assert bad == 0
