@@ -136,6 +136,14 @@ EXTRAS = [
     # fact scans to counters, then KB-sized products
     # (operators/cmsketch.py cm_join_size)
     "q_cm_join_size",
+    # round 9 (cont.): WordPiece vocab learn + greedy longest-match
+    # encode — vocabulary-sized frames, zero-shuffle scan fold
+    # (operators/wordpiece.py)
+    "q_wordpiece_encode",
+    # round 9 (cont.): KL batch-drift monitor — one feature explode +
+    # two 10k-bucket hash-aggs, broadcast arithmetic after
+    # (operators/drift.py)
+    "q_batch_drift",
 ]
 
 HEADLINE = CORE + EXTRAS + CORE_R4

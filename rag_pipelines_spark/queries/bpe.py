@@ -191,3 +191,100 @@ def q_bpe_from_state(spark, sf_dir):
     return out.select(
         "merge_rank", "a", "b", F.col("cnt").cast("long").alias("cnt")
     )
+
+
+_WP_VOCAB = 200
+
+
+def _wp_with(vocab_size: int = _WP_VOCAB, max_len: int = _MAX_LEN) -> str:
+    """WITH-chain replaying the WordPiece pipeline in DuckDB: candidate
+    substring positions (bounded by the 32-char word cap), the
+    (cnt DESC, piece ASC) top-V vocabulary, the per-(word, start)
+    longest-match table, and the greedy left-to-right scan as a
+    recursive CTE (single-char fallback = COALESCE(ml, 1))."""
+    return rf"""WITH RECURSIVE w0 AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(text, '\s+')) AS word
+            FROM documents) z
+        WHERE word <> '' AND length(word) <= {max_len}
+        GROUP BY word),
+    cand AS MATERIALIZED (
+        SELECT word, freq, t.s AS s, u.l AS l,
+               substring(word, CAST(t.s AS INT), u.l) AS piece
+        FROM w0
+        CROSS JOIN range(1, {max_len + 1}) t(s)
+        CROSS JOIN (VALUES (2), (3), (4)) u(l)
+        WHERE t.s + u.l - 1 <= length(word)),
+    vocab AS MATERIALIZED (
+        SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+        FROM (SELECT piece, SUM(freq) AS cnt FROM cand GROUP BY piece)
+        ORDER BY cnt DESC, piece LIMIT {vocab_size}),
+    matches AS MATERIALIZED (
+        SELECT c.word, c.s, MAX(c.l) AS ml
+        FROM cand c JOIN vocab v ON v.piece = c.piece
+        GROUP BY 1, 2),
+    seg AS (
+        SELECT word, freq, CAST(1 AS BIGINT) AS pos,
+               CAST([] AS VARCHAR[]) AS acc
+        FROM w0
+        UNION ALL
+        SELECT r.word, r.freq, r.pos + COALESCE(m.ml, 1),
+               list_append(r.acc, substring(r.word, CAST(r.pos AS INT),
+                                            COALESCE(m.ml, 1)))
+        FROM seg r LEFT JOIN matches m ON m.word = r.word AND m.s = r.pos
+        WHERE r.pos <= length(r.word)),
+    done AS (SELECT word, freq, acc FROM seg WHERE pos > length(word))"""
+
+
+@register(
+    "q_wordpiece_vocab",
+    oracle=f"""
+    {_wp_with()}
+    SELECT piece, cnt, rk FROM vocab
+    """,
+    doc="WordPiece vocabulary selection (operators/wordpiece.py): top-200 "
+    "multi-char substrings (len 2-4) of the corpus word vocabulary by "
+    "frequency-weighted occurrence count, tie-broken (cnt DESC, piece "
+    "ASC). One corpus pass to (word, freq); the candidate explosion and "
+    "count shuffle are VOCABULARY-sized; top-V is "
+    "TakeOrderedAndProject, never a global sort",
+)
+def q_wordpiece_vocab(spark, sf_dir):
+    from rag_pipelines_spark.operators.wordpiece import wordpiece_vocab
+
+    words = word_vocab(t(spark, sf_dir, "documents"), max_word_len=_MAX_LEN)
+    return wordpiece_vocab(words, vocab_size=_WP_VOCAB)
+
+
+@register(
+    "q_wordpiece_encode",
+    oracle=f"""
+    {_wp_with()}
+    SELECT piece, COUNT(DISTINCT word) AS n_words,
+           CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM (SELECT word, freq, unnest(acc) AS piece FROM done)
+    GROUP BY piece
+    """,
+    doc="WordPiece greedy longest-match-first encoding (Wu et al. 2016) "
+    "under the learned top-200 vocabulary: at every position of every "
+    "word take the longest in-vocab piece, single-char fallback — "
+    "segmentation is total, no UNK. The scan is a ZERO-SHUFFLE per-row "
+    "array fold over a broadcast-joined start->matchlen map "
+    "(operators/wordpiece.py); output is corpus piece frequencies "
+    "(weighted by word freq). The oracle replays the identical scan as "
+    "a recursive CTE — exact integer counts, no float contract. "
+    "Equivalence to a pure-Python greedy reference is "
+    "hypothesis-pinned in tests/test_wordpiece.py",
+)
+def q_wordpiece_encode(spark, sf_dir):
+    from rag_pipelines_spark.operators.wordpiece import (
+        wordpiece_encode_counts,
+        wordpiece_vocab,
+    )
+
+    words = word_vocab(
+        t(spark, sf_dir, "documents"), max_word_len=_MAX_LEN
+    ).localCheckpoint(eager=True)  # feeds vocab build AND the scan
+    vocab = wordpiece_vocab(words, vocab_size=_WP_VOCAB)
+    return wordpiece_encode_counts(words, vocab)

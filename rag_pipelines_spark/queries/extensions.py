@@ -3344,3 +3344,93 @@ def q_embed_neardup_small(spark, sf_dir):
         F.count("*").cast("long").alias("n_matches"),
         F.max("cosine").alias("best_cosine"),
     )
+
+
+@register(
+    "q_batch_drift",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 1) + 1)) AS i
+        FROM tok
+    ),
+    grams AS (
+        SELECT doc_id, ws[i] AS g FROM pos WHERE i <= len(ws)
+        UNION ALL
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g FROM pos
+        WHERE i < len(ws)
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 10000
+                   AS bucket
+        FROM grams
+    ),
+    fullc AS (SELECT bucket, COUNT(*) AS cq FROM feats GROUP BY bucket),
+    per AS (
+        SELECT CAST(doc_id % 3 AS INT) AS b, bucket, COUNT(*) AS cp
+        FROM feats GROUP BY 1, 2
+    ),
+    qt AS (SELECT SUM(cq) AS qt, COUNT(*) AS occ FROM fullc),
+    pt AS (SELECT b, SUM(cp) AS pt FROM per GROUP BY b),
+    grid AS (
+        SELECT f.bucket, f.cq, bb.b
+        FROM fullc f CROSS JOIN (VALUES (0), (1), (2)) bb(b)
+    ),
+    j AS (
+        SELECT g.b, g.cq, COALESCE(p.cp, 0) AS cp
+        FROM grid g LEFT JOIN per p ON p.b = g.b AND p.bucket = g.bucket
+    ),
+    terms AS (
+        SELECT j.b,
+               CAST(FLOOR((CAST(cp + 1 AS DOUBLE)
+                           / CAST(pt + 10000 AS DOUBLE))
+                     * (ln(CAST(cp + 1 AS DOUBLE)
+                           / CAST(pt + 10000 AS DOUBLE))
+                        - ln(CAST(cq + 1 AS DOUBLE)
+                             / CAST(qt + 10000 AS DOUBLE)))
+                     * 1e9 + 0.5) AS BIGINT) AS tn,
+               pt, qt
+        FROM j JOIN pt USING (b) CROSS JOIN qt
+    ),
+    sums AS (
+        SELECT b, CAST(SUM(tn) AS BIGINT) AS nsum,
+               ANY_VALUE(pt) AS pt, ANY_VALUE(qt) AS qt
+        FROM terms GROUP BY b
+    ),
+    final AS (
+        SELECT b,
+               nsum
+               + CAST(FLOOR((1.0 / CAST(pt + 10000 AS DOUBLE))
+                      * (ln(1.0 / CAST(pt + 10000 AS DOUBLE))
+                         - ln(1.0 / CAST(qt + 10000 AS DOUBLE)))
+                      * 1e9 + 0.5) AS BIGINT)
+                 * (10000 - (SELECT occ FROM qt)) AS total
+        FROM sums
+    )
+    SELECT f.b AS batch, CAST((SELECT occ FROM qt) AS BIGINT) AS occupied,
+           CAST(f.total AS DOUBLE) / 1e9 AS kl
+    FROM final f
+    """,
+    doc="distribution-drift monitor (operators/drift.py): KL(batch || "
+    "full corpus) with add-1 smoothing over the DSIR hashed uni+bigram "
+    "bucket space (10k buckets) for three id-modulo batches — the "
+    "per-arriving-batch data-quality alarm of a continuous-ingest "
+    "pipeline (drift => the DSIR log-ratio table is stale). Corpus "
+    "work = one feature explode + two bucket-count hash-aggs (shuffle "
+    "= 10k rows); everything after is broadcast arithmetic on "
+    "3 x 10k rows. Terms are bit-identical doubles (ln bit-equal) "
+    "quantized to integer nanos via FLOOR(t*1e9+0.5) — IEEE-pure, no "
+    "engine round() semantics — and summed as exact BIGINTs; empty "
+    "buckets contribute one constant term x count, never materialized",
+)
+def q_batch_drift(spark, sf_dir):
+    from rag_pipelines_spark.operators.drift import kl_batch_drift
+
+    return kl_batch_drift(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        n_batches=3, n_buckets=10_000,
+    )

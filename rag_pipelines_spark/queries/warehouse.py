@@ -1270,3 +1270,85 @@ def q_cm_join_size(spark, sf_dir):
         F.lit("lineitem_self_partkey").alias("pair"), "est"
     )
     return oc.unionByName(ls)
+
+
+def _sql_profile_col(col: str, kind: str) -> str:
+    """Oracle fragment: one profile row for `col` of orders. kind:
+    'num' -> min/max as DOUBLE; 'str' -> min/max as VARCHAR;
+    'ts' -> min/max formatted ISO (string order == time order)."""
+    if kind == "num":
+        mn, mx = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+        sn = sx = "CAST(NULL AS VARCHAR)"
+    elif kind == "ts":
+        mn = mx = "CAST(NULL AS DOUBLE)"
+        sn = f"strftime(MIN({col}), '%Y-%m-%d %H:%M:%S')"
+        sx = f"strftime(MAX({col}), '%Y-%m-%d %H:%M:%S')"
+    else:
+        mn = mx = "CAST(NULL AS DOUBLE)"
+        sn, sx = f"MIN({col})", f"MAX({col})"
+    return f"""
+        SELECT '{col}' AS col, COUNT(*) AS n,
+               COUNT(*) - COUNT({col}) AS nulls,
+               COUNT(DISTINCT {col}) AS ndv,
+               {mn} AS min_d, {mx} AS max_d,
+               {sn} AS min_s, {sx} AS max_s
+        FROM orders"""
+
+
+@register(
+    "q_table_profile",
+    oracle=" UNION ALL ".join(
+        _sql_profile_col(c, k)
+        for c, k in [
+            ("o_orderkey", "num"), ("o_custkey", "num"),
+            ("o_totalprice", "num"), ("o_orderstatus", "str"),
+            ("o_orderpriority", "str"), ("o_orderdate", "ts"),
+        ]
+    ),
+    doc="table profiling (the ANALYZE / data-quality primitive a 100 TB "
+    "lake runs continuously): per-column row count, null count, EXACT "
+    "distinct count, and min/max — numeric as double, strings native, "
+    "timestamps ISO-formatted (string order == time order). One "
+    "column-pruned scan per column (columnar parquet reads ONLY that "
+    "column — deliberately NOT a single multi-distinct agg, whose "
+    "Expand replicates the whole scan per distinct column: the "
+    "q_agg_summary lesson), each reducing to one row map-side",
+)
+def q_table_profile(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    specs = [
+        ("o_orderkey", "num"), ("o_custkey", "num"),
+        ("o_totalprice", "num"), ("o_orderstatus", "str"),
+        ("o_orderpriority", "str"), ("o_orderdate", "ts"),
+    ]
+    parts = []
+    for c, kind in specs:
+        base = o.select(c).agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(c)).alias("nulls"),
+            F.countDistinct(c).alias("ndv"),
+            F.min(c).alias("_mn"),
+            F.max(c).alias("_mx"),
+        )
+        if kind == "num":
+            mn = F.col("_mn").cast("double")
+            mx = F.col("_mx").cast("double")
+            sn = sx = F.lit(None).cast("string")
+        elif kind == "ts":
+            mn = mx = F.lit(None).cast("double")
+            sn = F.date_format("_mn", "yyyy-MM-dd HH:mm:ss")
+            sx = F.date_format("_mx", "yyyy-MM-dd HH:mm:ss")
+        else:
+            mn = mx = F.lit(None).cast("double")
+            sn, sx = F.col("_mn"), F.col("_mx")
+        parts.append(
+            base.select(
+                F.lit(c).alias("col"), "n", "nulls", "ndv",
+                mn.alias("min_d"), mx.alias("max_d"),
+                sn.alias("min_s"), sx.alias("max_s"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -51,17 +51,23 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # registrations). We rotate a curated priority window each round so that,
 # across rounds, every query gets a driver-verified row. The round-9
 # window: (a) queries round 9 added or REWROTE (a rewritten operator's
-# old driver row certifies the old plan — it needs a fresh one);
-# (b) the 15 r4-aged rows the r8 rotation could not fit (oldest
-# certification in the fleet); (c) the oldest r5-aged rows in sorted
-# order until the 50 slots fill (the remaining 38 r5 rows roll to round
-# 10 — never-certified queries outrank aged-but-green ones). Displaced
-# rows all hold green r5-r8 driver rows and stay green in driver_sim.
+# old driver row certifies the old plan — it needs a fresh one),
+# including the round-9-continuation additions (maxsim, countmin,
+# cm-join-size, wordpiece, pagerank, bpe-state, leakage split, hard
+# negatives, diversity); (b) the r4-aged rows the r8 rotation could not
+# fit (oldest certification in the fleet; q_stratified_sample rolled to
+# r10 when (a) grew); (c) r5-aged rows roll entirely to round 10 —
+# never-certified queries outrank aged-but-green ones. Displaced rows
+# all hold green r5-r8 driver rows and stay green in driver_sim.
 PRIORITY: tuple[str, ...] = (
     # --- (a) round-9 new / rewritten ---
     "q_maxsim_topk",  # NEW r9 (cont.): ColBERT late-interaction scoring
     "q_countmin_serve",  # NEW r9 (cont.): 13th state family (Count-Min)
     "q_cm_join_size",  # NEW r9 (cont.): sketch join-cardinality estimate
+    "q_wordpiece_vocab",  # NEW r9 (cont.): WordPiece tokenizer family
+    "q_wordpiece_encode",
+    "q_table_profile",  # NEW r9 (cont.): per-column ANALYZE profiling
+    "q_batch_drift",  # NEW r9 (cont.): KL distribution-drift monitor
     "q_pagerank",  # NEW r9 (cont.): quantized-integer graph ranking
     "q_pagerank_checksum",
     "q_pagerank_personalized",  # NEW r9 (cont.): curated-set expansion
@@ -106,12 +112,10 @@ PRIORITY: tuple[str, ...] = (
     "q_rollup_serve",
     "q_rollup_source",
     "q_rrf_fusion",
-    "q_schema_evolution",
-    "q_simhash",
-    "q_stratified_sample",
-    # --- (c) oldest r5-aged rows, sorted order (first 1 of 46; ten
-    # slots went to the round-9-continuation additions above) ---
-    "q_agg_rates",
+    # --- (c) r5-aged rows all rolled to round 10: never-certified
+    # round-9-continuation queries outrank aged-but-green rows, and the
+    # twelve (a) additions consumed the tail slots (q_stratified_sample
+    # rolls with them) ---
 )
 
 

@@ -219,6 +219,11 @@ TINY_FRAME_WINDOW_OK = {
     # dsir_gumbel_topk); the bucket-totals window that used to flag
     # q_dsir_weights is gone (broadcast 1-row agg join since r9)
     "q_dsir_select",
+    # WordPiece vocab rank: the row_number runs AFTER .limit(200) — the
+    # window input is the top-V TakeOrderedAndProject output (200 rows
+    # BY CONTRACT), never the candidate count frame (wordpiece.py)
+    "q_wordpiece_vocab",
+    "q_wordpiece_encode",
 }
 
 
