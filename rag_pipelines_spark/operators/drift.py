@@ -102,3 +102,56 @@ def kl_batch_drift(df: DataFrame, id_col: str, text_col: str, *,
         F.col("occ").cast("long").alias("occupied"),
         (total_nanos.cast("double") / F.lit(1e9)).alias("kl"),
     )
+
+
+def kl_against(p_counts: DataFrame, q_counts: DataFrame, *,
+               n_buckets: int = 10_000) -> DataFrame:
+    """One-row (occupied, kl): KL(p ‖ q) with add-1 smoothing over the
+    full bucket domain, between two (bucket, cnt) frames. The reference
+    side may be EMPTY (a first epoch scoring against no history): all
+    cq = 0 makes q the uniform distribution — well-defined, and the
+    natural "everything is novel" baseline.
+
+    Domain accounting: buckets occupied by EITHER side join full-outer;
+    the remaining (n_buckets − occupied-union) empties share one
+    constant term computed once. Same nano-int float contract as
+    kl_batch_drift (see module docstring).
+
+    Both inputs are bucket-count frames (<= n_buckets rows) — every
+    join/agg here is sketch-sized, never corpus-sized."""
+    p = p_counts.select("bucket", F.col("cnt").cast("long").alias("cp"))
+    q = q_counts.select("bucket", F.col("cnt").cast("long").alias("cq"))
+    j = (
+        p.join(q, "bucket", "full_outer")
+        .withColumn("cp", F.coalesce(F.col("cp"), F.lit(0)))
+        .withColumn("cq", F.coalesce(F.col("cq"), F.lit(0)))
+    )
+    j = j.localCheckpoint(eager=True)  # totals + terms both consume it
+    tot = j.agg(
+        F.sum("cp").alias("pt"),
+        F.sum("cq").alias("qt"),
+        F.count("*").alias("occ"),
+    )
+    jt = j.crossJoin(F.broadcast(tot))
+    nb = F.lit(n_buckets)
+    p_i = (F.col("cp") + 1).cast("double") / (F.col("pt") + nb).cast("double")
+    q_i = (F.col("cq") + 1).cast("double") / (F.col("qt") + nb).cast("double")
+    term_nanos = F.floor(
+        p_i * (F.log(p_i) - F.log(q_i)) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    sums = jt.agg(
+        F.sum(term_nanos).alias("nsum"),
+        F.first("pt").alias("pt"),
+        F.first("qt").alias("qt"),
+        F.first("occ").alias("occ"),
+    )
+    p0 = F.lit(1.0) / (F.col("pt") + nb).cast("double")
+    q0 = F.lit(1.0) / (F.col("qt") + nb).cast("double")
+    term0_nanos = F.floor(
+        p0 * (F.log(p0) - F.log(q0)) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    total = F.col("nsum") + term0_nanos * (nb - F.col("occ")).cast("long")
+    return sums.select(
+        F.col("occ").cast("long").alias("occupied"),
+        (total.cast("double") / F.lit(1e9)).alias("kl"),
+    )

@@ -3434,3 +3434,115 @@ def q_batch_drift(spark, sf_dir):
         t(spark, sf_dir, "documents"), "doc_id", "text",
         n_batches=3, n_buckets=10_000,
     )
+
+
+def _sql_drift_epoch(e: int) -> str:
+    """Oracle CTE block for epoch `e`: p = batch e's bucket counts,
+    q = the accreted counts of batches < e (empty for e=0 -> uniform
+    reference), same nano-int KL as the engine."""
+    return f"""
+    pe{e} AS (SELECT bucket, COUNT(*) AS cp FROM feats
+              WHERE doc_id % 3 = {e} GROUP BY bucket),
+    qe{e} AS (SELECT bucket, COUNT(*) AS cq FROM feats
+              WHERE doc_id % 3 < {e} GROUP BY bucket),
+    je{e} AS (SELECT COALESCE(cp, 0) AS cp, COALESCE(cq, 0) AS cq
+              FROM pe{e} p FULL OUTER JOIN qe{e} q ON p.bucket = q.bucket),
+    te{e} AS (SELECT SUM(cp) AS pt, SUM(cq) AS qt, COUNT(*) AS occ
+              FROM je{e}),
+    se{e} AS (SELECT SUM(CAST(FLOOR(
+                  (CAST(cp + 1 AS DOUBLE) / CAST(pt + 10000 AS DOUBLE))
+                  * (ln(CAST(cp + 1 AS DOUBLE) / CAST(pt + 10000 AS DOUBLE))
+                     - ln(CAST(cq + 1 AS DOUBLE)
+                          / CAST(qt + 10000 AS DOUBLE)))
+                  * 1e9 + 0.5) AS BIGINT)) AS nsum,
+                  ANY_VALUE(pt) AS pt, ANY_VALUE(qt) AS qt,
+                  ANY_VALUE(occ) AS occ
+              FROM je{e} CROSS JOIN te{e}),
+    fe{e} AS (SELECT {e} AS epoch, CAST(occ AS BIGINT) AS occupied,
+                  CAST(nsum + CAST(FLOOR(
+                      (1.0 / CAST(pt + 10000 AS DOUBLE))
+                      * (ln(1.0 / CAST(pt + 10000 AS DOUBLE))
+                         - ln(1.0 / CAST(qt + 10000 AS DOUBLE)))
+                      * 1e9 + 0.5) AS BIGINT) * (10000 - occ)
+                  AS DOUBLE) / 1e9 AS kl
+              FROM se{e})"""
+
+
+@register(
+    "q_drift_from_state",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 1) + 1)) AS i
+        FROM tok
+    ),
+    grams AS (
+        SELECT doc_id, ws[i] AS g FROM pos WHERE i <= len(ws)
+        UNION ALL
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g FROM pos
+        WHERE i < len(ws)
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 10000
+                   AS bucket
+        FROM grams
+    ),""" + ",".join(_sql_drift_epoch(e) for e in (0, 1, 2)) + """
+    SELECT * FROM fe0 UNION ALL SELECT * FROM fe1 UNION ALL
+    SELECT * FROM fe2
+    """,
+    doc="per-epoch drift scoring from ACCRETED state (the 14th "
+    "continuous-ingest family, operators/drift.py::kl_against): each "
+    "arriving batch is scored KL(batch || state-so-far) BEFORE its "
+    "bucket counts fold into the rollup state — the score-before-ingest "
+    "discipline of the lm/dsir gates, so a replay reproduces identical "
+    "scores. Epoch 0 scores against the empty state = the uniform "
+    "reference (everything is novel). The state is the 10k-bucket "
+    "hashed-ngram rollup: merging a batch into 100 TB of history "
+    "touches 10k counter rows, and the score costs one batch "
+    "featurization + sketch-sized arithmetic. Oracle replays each "
+    "epoch against the exact prefix distribution",
+)
+def q_drift_from_state(spark, sf_dir):
+    import os
+    import shutil
+
+    from rag_pipelines_spark.operators.drift import kl_against
+    from rag_pipelines_spark.operators.dsir import hashed_ngram_features
+    from rag_pipelines_spark.operators.rollup import merge_rollup, read_rollup
+    from rag_pipelines_spark.queries.sources import _scratch
+
+    state = _scratch("drift-serve", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)  # additive state: fresh per run
+    sp = os.path.join(state, "buckets")
+    d = t(spark, sf_dir, "documents")
+    empty_ref = spark.createDataFrame([], "bucket LONG, cnt LONG")
+    scores = []
+    for e in range(3):
+        batch = d.filter(F.col("doc_id") % 3 == e)
+        feats = hashed_ngram_features(batch, "doc_id", "text", 10_000)
+        feats = feats.localCheckpoint(eager=True)  # score + merge consume
+        bcounts = feats.groupBy("bucket").agg(F.count("*").alias("cnt"))
+        try:
+            ref = read_rollup(spark, sp).select(
+                "bucket", F.col("count_doc_id").alias("cnt")
+            )
+        except FileNotFoundError:  # epoch 0: uniform reference
+            ref = empty_ref
+        sc = kl_against(bcounts, ref, n_buckets=10_000).select(
+            F.lit(e).alias("epoch"), "occupied", "kl"
+        )
+        # materialize BEFORE the merge: score-before-ingest (a score
+        # computed after would see a reference containing this batch)
+        scores.append(sc.localCheckpoint(eager=True))
+        merge_rollup(
+            spark, feats, sp,
+            keys=["bucket"], measures={"doc_id": ["count"]}, epoch=e,
+        )
+    out = scores[0]
+    for s in scores[1:]:
+        out = out.unionByName(s)
+    return out

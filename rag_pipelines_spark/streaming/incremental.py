@@ -295,6 +295,7 @@ def continuous_ingest_pipeline(
     lm_gate: bool = False,
     dsir_target=None,
     dsir_n_buckets: int = 10_000,
+    drift_gate: bool = False,
     bpe_vocab: bool = False,
     bpe_max_word_len: int = 32,
     _crash_after: str | None = None,
@@ -354,7 +355,11 @@ def continuous_ingest_pipeline(
     `countmin_width` a per-`rollup_keys` Count-Min sketch over the
     docs' whitespace tokens (``<root>/countmin``, operators/cmsketch.py
     — fixed-space point-frequency estimates for ANY item, the
-    complement of the freq sketch's top-k). All these merges
+    complement of the freq sketch's top-k), and `drift_gate` a KL
+    distribution-drift score per epoch (``<root>/drift`` bucket state +
+    ``<root>/driftscore/epoch=N`` rows, operators/drift.py — each batch
+    scored against the state BEFORE it folds in, the score-before-
+    ingest discipline of the lm/dsir gates). All these merges
     skip already-applied epochs, so they slot between the rollup merge
     and the corpus write without changing the crash-recovery argument —
     the crash matrix drills them too.
@@ -661,6 +666,49 @@ def continuous_ingest_pipeline(
                     epoch=epoch_id,
                 )
             crash("dsir")
+        if drift_gate:
+            from rag_pipelines_spark.operators.drift import kl_against
+            from rag_pipelines_spark.operators.dsir import (
+                hashed_ngram_features,
+            )
+            from rag_pipelines_spark.operators.rollup import read_rollup
+            from rag_pipelines_spark.operators.state import (
+                epoch_already_applied,
+            )
+
+            drift_path = os.path.join(root, "drift")
+            # one guard for the block (lm_gate rule): the KL is scored
+            # against the state BEFORE this batch folds in — replaying
+            # after the merge committed would score a reference that
+            # already contains the batch
+            if not epoch_already_applied(
+                drift_path, "drift bucket state", epoch_id
+            ):
+                dfeats = hashed_ngram_features(
+                    clean, id_col, text_col, 10_000
+                ).localCheckpoint(eager=True)  # score + merge consume it
+                bcounts = dfeats.groupBy("bucket").agg(
+                    F.count("*").alias("cnt")
+                )
+                try:
+                    ref = read_rollup(s, drift_path).select(
+                        "bucket", F.col(f"count_{id_col}").alias("cnt")
+                    )
+                except FileNotFoundError:  # epoch 0: uniform reference
+                    ref = s.createDataFrame([], "bucket bigint, cnt bigint")
+                kl_against(bcounts, ref, n_buckets=10_000).select(
+                    F.lit(epoch_id).cast("long").alias("epoch"),
+                    "occupied",
+                    "kl",
+                ).write.mode("overwrite").parquet(
+                    os.path.join(root, "driftscore", f"epoch={epoch_id}")
+                )
+                merge_rollup(
+                    s, dfeats, drift_path,
+                    keys=["bucket"], measures={id_col: ["count"]},
+                    epoch=epoch_id,
+                )
+            crash("drift")
         if ann_k_seeds is not None:
             from rag_pipelines_spark.operators.annstate import merge_ann_index
             from rag_pipelines_spark.operators.embedding import (

@@ -69,6 +69,7 @@ def _run(spark, src, root, ckpt):
         ann_k_seeds=2, kmeans_k=2, pca_moments=True,
         seen_bloom_m_bits=1 << 16, lm_gate=True,
         dsir_target=_dsir_target(spark), bpe_vocab=True,
+        drift_gate=True,
     )
     q.awaitTermination(120)
 
@@ -192,9 +193,19 @@ def _state_snapshot(spark, root):
 
     cm_counters, cm_geom = read_cm(spark, f"{root}/countmin")
     cm = (cm_geom, sorted(map(tuple, cm_counters.collect())))
+    # drift family: accreted bucket counts + per-epoch score-before-
+    # ingest rows (a replayed epoch must reproduce the SAME KL — the
+    # scores are data, not diagnostics)
+    drift_state = sorted(
+        map(tuple, read_rollup(spark, f"{root}/drift").collect())
+    )
+    drift_scores = sorted(
+        (r.epoch, r.occupied, r.kl)
+        for r in spark.read.parquet(f"{root}/driftscore").collect()
+    )
     return (corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann,
             (lm_model, lm_scores), (dsir_raw, dsir_tgt, dsir_scores), km,
-            pca, bpe, cm)
+            pca, bpe, cm, (drift_state, drift_scores))
 
 
 def test_continuous_ingest_all_families(spark, tmp_path):
@@ -208,7 +219,7 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     _run(spark, src, root, ckpt)
 
     (corpus, stats, rollup, seen, freq, hll, kmv, bloom,
-     ann, lm, dsir, km, pca, bpe, cm) = _state_snapshot(spark, root)
+     ann, lm, dsir, km, pca, bpe, cm, drift) = _state_snapshot(spark, root)
 
     # front door saw every distinct key; exact dup (doc 1 again) blocked
     assert seen == {1, 2, 3, 4, 5}
@@ -512,10 +523,31 @@ def test_continuous_ingest_all_families(spark, tmp_path):
     )
     assert cm == ((4, 64), direct_cm)
 
+    # drift family: per-epoch scores exist with the score-before-ingest
+    # shape (epoch 0 scored against uniform => strictly larger KL than
+    # epoch 1, which scored against a populated reference of similar mix)
+    drift_state, drift_scores = drift
+    assert [e for e, _, _ in drift_scores] == [0, 1]
+    assert drift_scores[0][2] > drift_scores[1][2] > 0
+    # accreted bucket state equals a one-shot featurization of ALL
+    # accepted docs (counts are exactly mergeable)
+    from rag_pipelines_spark.operators.dsir import hashed_ngram_features
+
+    direct_drift = sorted(
+        map(
+            tuple,
+            hashed_ngram_features(accepted, "doc_id", "text", 10_000)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("count_doc_id"))
+            .collect(),
+        )
+    )
+    assert drift_state == direct_drift
+
     # full replay: fresh checkpoint over the same source files — the
     # front door anti-join makes every batch a no-op for every family
     before = (corpus, stats, rollup, seen, freq, hll, kmv, bloom, ann, lm,
-              dsir, km, pca, bpe, cm)
+              dsir, km, pca, bpe, cm, drift)
     _run(spark, src, root, str(tmp_path / "ckpt2"))
     assert _state_snapshot(spark, root) == before
 
@@ -568,7 +600,7 @@ def test_epoch_guards_make_merges_idempotent(spark, tmp_path):
 CRASH_POINTS = [
     "delta", "neardup", "stats", "rollup", "freq", "hll", "kmv",
     "countmin", "lm",
-    "dsir", "ann", "kmeans", "pca", "bpe", "corpus",
+    "dsir", "drift", "ann", "kmeans", "pca", "bpe", "corpus",
     "seen_keys", "seen_bloom", "seen_marker",
 ]
 
@@ -620,6 +652,7 @@ def test_crash_matrix_every_step_replays_to_identical_state(
         ann_k_seeds=2, kmeans_k=2, pca_moments=True,
         seen_bloom_m_bits=1 << 16, lm_gate=True,
         dsir_target=_dsir_target(spark), bpe_vocab=True,
+        drift_gate=True,
         _crash_after=crash_after,
     )
     with pytest.raises(Exception, match="injected crash"):
