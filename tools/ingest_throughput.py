@@ -57,6 +57,8 @@ def run(spark, sf_dir: str, batch_sizes: list[int]) -> list[dict]:
     from rag_pipelines_spark.operators.kmv import merge_kmv
     from rag_pipelines_spark.operators.kmeansstate import merge_kmeans_state
     from rag_pipelines_spark.operators.pcastate import merge_pca_moments
+    from rag_pipelines_spark.operators.cmsketch import cm_estimate, merge_cm
+    from rag_pipelines_spark.operators.drift import kl_against
     from rag_pipelines_spark.operators.retrieval import merge_corpus_stats
     from rag_pipelines_spark.operators.rollup import merge_rollup, read_rollup
     from rag_pipelines_spark.streaming.incremental import incremental_merge
@@ -140,6 +142,30 @@ def run(spark, sf_dir: str, batch_sizes: list[int]) -> list[dict]:
                 keys=["bucket"], measures={"doc_id": ["count"]}, epoch=bi,
             )
             rec["dsir_s"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            merge_cm(
+                spark, toks, os.path.join(root, "countmin"),
+                keys=["lang"], item_col="term", depth=4, width=1024,
+                epoch=bi,
+            )
+            rec["countmin_s"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            dfeats = hashed_ngram_features(clean, "doc_id", "text", 10_000)
+            try:
+                dref = read_rollup(spark, os.path.join(root, "drift")).select(
+                    "bucket", F.col("count_doc_id").alias("cnt")
+                )
+            except FileNotFoundError:
+                dref = spark.createDataFrame([], "bucket bigint, cnt bigint")
+            kl_against(
+                dfeats.groupBy("bucket").agg(F.count("*").alias("cnt")),
+                dref,
+            ).collect()
+            merge_rollup(
+                spark, dfeats, os.path.join(root, "drift"),
+                keys=["bucket"], measures={"doc_id": ["count"]}, epoch=bi,
+            )
+            rec["drift_s"] = round(time.time() - t0, 2)
             t0 = time.time()
             merge_kmeans_state(
                 spark, emb, os.path.join(root, "kmeans"), "doc_id",
@@ -242,6 +268,23 @@ def run(spark, sf_dir: str, batch_sizes: list[int]) -> list[dict]:
 
         pca_covariance_from_state(spark, os.path.join(root, "pca")).count()
         srec["pca_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        cm_probe = probe.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("item")
+        ).distinct()
+        cm_estimate(
+            spark, os.path.join(root, "countmin"), cm_probe, keys=["lang"]
+        ).count()
+        srec["countmin_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        pfeats = hashed_ngram_features(probe, "doc_id", "text", 10_000)
+        kl_against(
+            pfeats.groupBy("bucket").agg(F.count("*").alias("cnt")),
+            read_rollup(spark, os.path.join(root, "drift")).select(
+                "bucket", F.col("count_doc_id").alias("cnt")
+            ),
+        ).collect()
+        srec["drift_s"] = round(time.time() - t0, 2)
         results.append(srec)
         print(json.dumps(srec))
         shutil.rmtree(root, ignore_errors=True)
