@@ -288,3 +288,63 @@ def q_wordpiece_encode(spark, sf_dir):
     ).localCheckpoint(eager=True)  # feeds vocab build AND the scan
     vocab = wordpiece_vocab(words, vocab_size=_WP_VOCAB)
     return wordpiece_encode_counts(words, vocab)
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle=f"""
+    {_wp_with()},
+    lw AS (
+        SELECT lang, word, COUNT(*) AS freq FROM (
+            SELECT lang, unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents) z
+        WHERE word <> '' AND length(word) <= {_MAX_LEN}
+        GROUP BY lang, word
+    )
+    SELECT lw.lang,
+           CAST(SUM(lw.freq) AS BIGINT) AS n_words,
+           CAST(SUM(lw.freq * len(d.acc)) AS BIGINT) AS n_pieces,
+           CAST(SUM(lw.freq * len(d.acc)) AS DOUBLE)
+               / CAST(SUM(lw.freq) AS BIGINT) AS fertility
+    FROM lw JOIN done d ON d.word = lw.word
+    GROUP BY lw.lang
+    """,
+    doc="tokenizer fertility by language (the standard tokenizer-quality "
+    "metric: mean pieces emitted per word) under the learned top-200 "
+    "WordPiece vocabulary. Segmentation runs ONCE on the vocabulary "
+    "frame; per-language word counts join it on word — corpus text is "
+    "never re-scanned per language. n_words/n_pieces are exact integers; "
+    "fertility is one double division on identical operands, so no "
+    "decimal contract is needed",
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    from rag_pipelines_spark.operators.wordpiece import (
+        wordpiece_segment,
+        wordpiece_vocab,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    words = word_vocab(d, max_word_len=_MAX_LEN).localCheckpoint(eager=True)
+    vocab = wordpiece_vocab(words, vocab_size=_WP_VOCAB)
+    seg = wordpiece_segment(words, vocab).select(
+        "word", F.size("pieces").alias("n_p")
+    )
+    lw = (
+        d.select(
+            "lang", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+        )
+        .filter((F.col("word") != "") & (F.length("word") <= _MAX_LEN))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("freq"))
+    )
+    agg = lw.join(seg, "word").groupBy("lang").agg(
+        F.sum("freq").alias("n_words"),
+        F.sum(F.col("freq") * F.col("n_p")).alias("n_pieces"),
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_pieces",
+        (F.col("n_pieces").cast("double") / F.col("n_words").cast("double"))
+        .alias("fertility"),
+    )

@@ -66,6 +66,7 @@ PRIORITY: tuple[str, ...] = (
     "q_cm_join_size",  # NEW r9 (cont.): sketch join-cardinality estimate
     "q_wordpiece_vocab",  # NEW r9 (cont.): WordPiece tokenizer family
     "q_wordpiece_encode",
+    "q_tokenizer_fertility",  # NEW r9 (cont.): tokenizer-quality eval
     "q_table_profile",  # NEW r9 (cont.): per-column ANALYZE profiling
     "q_batch_drift",  # NEW r9 (cont.): KL distribution-drift monitor
     "q_drift_from_state",  # NEW r9 (cont.): 14th family (drift gate)
@@ -111,7 +112,6 @@ PRIORITY: tuple[str, ...] = (
     "q_rag_context",
     "q_retrieval_eval",
     "q_rollup_serve",
-    "q_rollup_source",
     # --- (c) r5-aged rows all rolled to round 10: never-certified
     # round-9-continuation queries outrank aged-but-green rows, and the
     # twelve (a) additions consumed the tail slots (q_stratified_sample

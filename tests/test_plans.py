@@ -224,6 +224,7 @@ TINY_FRAME_WINDOW_OK = {
     # BY CONTRACT), never the candidate count frame (wordpiece.py)
     "q_wordpiece_vocab",
     "q_wordpiece_encode",
+    "q_tokenizer_fertility",
 }
 
 

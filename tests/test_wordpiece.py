@@ -116,3 +116,15 @@ def test_candidates_bounded(spark):
     assert n <= 8 * 3
     # exact: starts with room for len 2,3,4 = 7+6+5
     assert n == 18
+
+
+def test_fertility_at_least_one(spark):
+    """Every word emits >= 1 piece, so per-lang fertility >= 1 and
+    n_pieces >= n_words."""
+    from rag_pipelines_spark.queries.bpe import q_tokenizer_fertility
+
+    rows = q_tokenizer_fertility(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.n_pieces >= r.n_words
+        assert r.fertility >= 1.0
