@@ -310,3 +310,45 @@ def q_bucketed_join(spark, sf_dir):
     return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue")
     )
+
+
+@register(
+    "q_image_phash",
+    oracle=None,  # DCT over decoded pixels — no SQL mirror; the hash
+    # invariances, the real-PNG decode path, and the banding recall
+    # guarantee are pinned in tests/test_imagehash.py
+    doc="perceptual image hashing + banded Hamming near-dup pairs "
+    "(operators/imagehash.py): binary scan -> mapInPandas pHash "
+    "(area-average resample -> 32x32 DCT-II -> low 8x8 median bits, "
+    "injectable decoder; stub here, decode_png_rgb for real PNGs) -> "
+    "16-bit band keys -> equi-self-join candidates -> exact "
+    "bit_count(XOR) verify. Recall is EXACT for distance <= bands-1 "
+    "(pigeonhole, pinned vs brute force); candidates are O(collisions), "
+    "NEVER all-pairs — MinHash banding transplanted to Hamming space, "
+    "so a 10M-image corpus dedups with one vocabulary-of-bands shuffle. "
+    "Output: per-file hash rows plus each file's pair count at "
+    "distance <= 3",
+)
+def q_image_phash(spark, sf_dir):
+    from rag_pipelines_spark.operators.imagehash import (
+        phash_images,
+        phash_pairs,
+    )
+    from rag_pipelines_spark.sources.binary import read_binary_dir
+
+    binaries = read_binary_dir(spark, _FIXTURE_BIN, glob="*")
+    hashes = phash_images(binaries).localCheckpoint(
+        eager=True
+    )  # hash once: feeds the pair join twice (both sides) + output
+    pairs = phash_pairs(hashes, max_distance=3, bands=4)
+    deg = (
+        pairs.select(F.col("a_path").alias("path"))
+        .unionByName(pairs.select(F.col("b_path").alias("path")))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_near_dups"))
+    )
+    return (
+        hashes.join(deg, "path", "left")
+        .withColumn("n_near_dups", F.coalesce("n_near_dups", F.lit(0)))
+        .select("path", "phash", "n_near_dups")
+    )

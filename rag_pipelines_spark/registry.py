@@ -70,6 +70,7 @@ PRIORITY: tuple[str, ...] = (
     "q_table_profile",  # NEW r9 (cont.): per-column ANALYZE profiling
     "q_batch_drift",  # NEW r9 (cont.): KL distribution-drift monitor
     "q_drift_from_state",  # NEW r9 (cont.): 14th family (drift gate)
+    "q_image_phash",  # NEW r9 (cont.): pHash + banded Hamming near-dup
     "q_pagerank",  # NEW r9 (cont.): quantized-integer graph ranking
     "q_pagerank_checksum",
     "q_pagerank_personalized",  # NEW r9 (cont.): curated-set expansion
@@ -111,7 +112,6 @@ PRIORITY: tuple[str, ...] = (
     "q_quality_score",
     "q_rag_context",
     "q_retrieval_eval",
-    "q_rollup_serve",
     # --- (c) r5-aged rows all rolled to round 10: never-certified
     # round-9-continuation queries outrank aged-but-green rows, and the
     # twelve (a) additions consumed the tail slots (q_stratified_sample
