@@ -116,7 +116,15 @@ def merge_cm(spark, batch: DataFrame, state_path: str, *,
     default) — `state_partitions` fans out for high-cardinality keys."""
     if epoch_already_applied(state_path, "count-min state", epoch):
         return
-    b = cm_partial(batch, keys, item_col, depth=depth, width=width)
+    # materialize the batch partial BEFORE anything else (freqsketch
+    # discipline): the corpus-sized pre-count runs exactly once, with
+    # the plan's full parallelism, and every downstream consumer (the
+    # merge union + the state write) reads the KB-sized counter frame —
+    # a lazy partial would re-run the corpus agg inside the write job,
+    # where a coalesce(1) would ALSO collapse it to one task
+    b = cm_partial(
+        batch, keys, item_col, depth=depth, width=width
+    ).localCheckpoint(eager=True)
     with writer_lease(state_path, what="count-min state"):
         if epoch_already_applied(state_path, "count-min state", epoch):
             return
@@ -142,8 +150,14 @@ def merge_cm(spark, batch: DataFrame, state_path: str, *,
             counters.coalesce(state_partitions).write.mode(
                 "overwrite"
             ).parquet(os.path.join(vdir, "counters"))
-            spark.createDataFrame(
-                [(depth, width)], "depth INT, width INT"
+            # range+lit, NOT createDataFrame: a 1-row local-relation
+            # parquet write costs ~6 s/job on this build (Python local
+            # data serializes through a fresh RDD job); range() stays
+            # JVM-side and writes in ~0.5 s. Measured: the meta write
+            # was 5.8-6.8 s of every merge's 7 s commit.
+            spark.range(1).select(
+                F.lit(depth).cast("int").alias("depth"),
+                F.lit(width).cast("int").alias("width"),
             ).coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(vdir, "meta")
             )
