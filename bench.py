@@ -144,6 +144,11 @@ EXTRAS = [
     # two 10k-bucket hash-aggs, broadcast arithmetic after
     # (operators/drift.py)
     "q_batch_drift",
+    # round 10: pruned MaxSim tier — token-IVF candidates (equi-join on
+    # cell + distinct-query-token vote), exact nano-quantized re-rank on
+    # candidates only; the |Q|x corpus brute-force scan drops out
+    # (operators/retrieval.py maxsim_candidates_ivf)
+    "q_maxsim_pruned",
 ]
 
 HEADLINE = CORE + EXTRAS + CORE_R4

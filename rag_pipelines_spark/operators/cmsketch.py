@@ -216,6 +216,10 @@ def cm_join_size(counters_a: DataFrame, counters_b: DataFrame, *,
     Both sketches must share geometry AND the item column (the join
     key). `keys` are optional group columns carried through (e.g. a
     per-partition-date estimate); None/[] estimates one global size.
+    A group present in only ONE sketch is still reported — with est=0,
+    the true size of a join whose other side has no rows for that group
+    (full-outer on the keys, missing-side counters read as 0), honoring
+    the documented (keys..., est) per-group contract.
 
     This is the 100 TB planner's primitive: sizing a prospective join
     costs |groups|·depth·width counter rows — KBs — instead of a
@@ -232,7 +236,26 @@ def cm_join_size(counters_a: DataFrame, counters_b: DataFrame, *,
     b = counters_b.select(
         *keys, "d", "bucket", F.col("cnt").cast("decimal(19,0)").alias("cb")
     )
-    prods = _join_null_safe(a, b, [*keys, "d", "bucket"], "inner")
+    # Full-outer on (keys, d, bucket) with NULL-safe key equality and
+    # coalesced output keys: buckets missing on one side contribute a 0
+    # product (bitwise-identical sums for shared groups), and one-sided
+    # groups survive to the output as est=0 instead of being dropped.
+    jk = [*keys, "d", "bucket"]
+    b2 = b
+    for i, k in enumerate(jk):
+        b2 = b2.withColumnRenamed(k, f"__nk{i}")
+    cond = None
+    for i, k in enumerate(jk):
+        c = a[k].eqNullSafe(F.col(f"__nk{i}"))
+        cond = c if cond is None else cond & c
+    prods = a.join(b2, cond, "full_outer").select(
+        *[
+            F.coalesce(a[k], F.col(f"__nk{i}")).alias(k)
+            for i, k in enumerate(jk)
+        ],
+        F.coalesce(F.col("ca"), F.lit(0).cast("decimal(19,0)")).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0).cast("decimal(19,0)")).alias("cb"),
+    )
     per_row = prods.groupBy(*keys, "d").agg(
         F.sum((F.col("ca") * F.col("cb")).cast("decimal(38,0)")).alias("ip")
     )

@@ -115,7 +115,10 @@ def kl_against(p_counts: DataFrame, q_counts: DataFrame, *,
     Domain accounting: buckets occupied by EITHER side join full-outer;
     the remaining (n_buckets − occupied-union) empties share one
     constant term computed once. Same nano-int float contract as
-    kl_batch_drift (see module docstring).
+    kl_batch_drift (see module docstring). BOTH sides empty (e.g. a
+    drift-gated first epoch where every doc was rejected upstream) is
+    defined too: totals coalesce to 0, making both distributions the
+    add-1 uniform → (occupied=0, kl=0.0), never a NULL row.
 
     Both inputs are bucket-count frames (<= n_buckets rows) — every
     join/agg here is sketch-sized, never corpus-sized."""
@@ -127,9 +130,12 @@ def kl_against(p_counts: DataFrame, q_counts: DataFrame, *,
         .withColumn("cq", F.coalesce(F.col("cq"), F.lit(0)))
     )
     j = j.localCheckpoint(eager=True)  # totals + terms both consume it
+    # Totals agg over a possibly-EMPTY j still yields exactly 1 row —
+    # coalesce the sums so both-inputs-empty gives (pt=0, qt=0, occ=0)
+    # instead of NULLs that would otherwise poison the constant term.
     tot = j.agg(
-        F.sum("cp").alias("pt"),
-        F.sum("cq").alias("qt"),
+        F.coalesce(F.sum("cp"), F.lit(0)).alias("pt"),
+        F.coalesce(F.sum("cq"), F.lit(0)).alias("qt"),
         F.count("*").alias("occ"),
     )
     jt = j.crossJoin(F.broadcast(tot))
@@ -139,12 +145,13 @@ def kl_against(p_counts: DataFrame, q_counts: DataFrame, *,
     term_nanos = F.floor(
         p_i * (F.log(p_i) - F.log(q_i)) * F.lit(1e9) + F.lit(0.5)
     ).cast("long")
-    sums = jt.agg(
-        F.sum(term_nanos).alias("nsum"),
-        F.first("pt").alias("pt"),
-        F.first("qt").alias("qt"),
-        F.first("occ").alias("occ"),
+    # Occupied-bucket nano-sum as its own 1-row agg (0 when j is empty),
+    # re-joined to the always-1-row totals: the output row exists even
+    # when no bucket was ever occupied.
+    nsums = jt.agg(
+        F.coalesce(F.sum(term_nanos), F.lit(0)).alias("nsum")
     )
+    sums = nsums.crossJoin(F.broadcast(tot))
     p0 = F.lit(1.0) / (F.col("pt") + nb).cast("double")
     q0 = F.lit(1.0) / (F.col("qt") + nb).cast("double")
     term0_nanos = F.floor(

@@ -132,10 +132,24 @@ def power_iterate(
     if means is None:
         means = column_means(df, d, vec_col)
     v = [1.0 / math.sqrt(d)] * d
-    for _ in range(iters):
-        rows = _power_step_frame(df, means, v, vec_col).collect()
-        got = {int(r["dim"]): r["v"] for r in rows}
-        v = [got[j + 1] for j in range(d)]
+    if iters <= 0:
+        return v
+    # Persist the (narrow) vector column across steps: every step is a
+    # full pass over the corpus, and without this each one re-reads the
+    # parquet scan (iters× the I/O — r9 verdict). Value-neutral: caching
+    # changes where bytes come from, never what they are; the published
+    # doubles are bit-identical either way. MEMORY_AND_DISK so a corpus
+    # larger than executor memory spills instead of evicting to re-read.
+    from pyspark import StorageLevel
+
+    base = df.select(vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for _ in range(iters):
+            rows = _power_step_frame(base, means, v, vec_col).collect()
+            got = {int(r["dim"]): r["v"] for r in rows}
+            v = [got[j + 1] for j in range(d)]
+    finally:
+        base.unpersist(blocking=False)
     return v
 
 

@@ -440,7 +440,10 @@ def embedding_tokens(embs: DataFrame, *, id_col: str = "vec_id",
 
     Returns (id, tok, tvec, n2): n2 is the exact squared norm of the
     sub-vector via the decimal fold (order-independent, bitwise equal in
-    DuckDB — see queries/extensions.py::_dot_dec).
+    DuckDB — see queries/extensions.py::_dot_dec). Downstream MaxSim
+    scoring requires nonzero norms; `maxsim_scores` filters n2 = 0
+    tokens itself (a zero sub-vector has no defined cosine), so callers
+    may pass this frame through unfiltered.
     """
     from rag_pipelines_spark.queries.extensions import _dot_dec
 
@@ -459,7 +462,8 @@ def embedding_tokens(embs: DataFrame, *, id_col: str = "vec_id",
 
 
 def maxsim_scores(q_tokens: DataFrame, d_tokens: DataFrame, *,
-                  exclude_self: bool = False) -> DataFrame:
+                  exclude_self: bool = False,
+                  candidates: DataFrame | None = None) -> DataFrame:
     """Late-interaction (MaxSim) relevance: for every (query, doc) pair,
     score = Σ over query tokens of max over doc tokens of the per-token
     cosine (Khattab & Zaharia 2020, ColBERT §3.2 — the interaction that
@@ -473,42 +477,206 @@ def maxsim_scores(q_tokens: DataFrame, d_tokens: DataFrame, *,
     (query_id, doc_id, q_tok) — so the only shuffle carries
     |Q|·n_tokens·|corpus| pre-reduced rows, linear in the corpus with a
     tiny constant. No index, no all-pairs blowup beyond the declared
-    |Q|×corpus scoring (brute-force tier; candidate pre-pruning plugs in
-    upstream exactly like q_cosine_topk → LSH).
+    |Q|×corpus scoring (brute-force tier; the pruned tier passes
+    `candidates` from `maxsim_candidates_lsh` — q_cosine_topk → LSH
+    precedent, delivered r10).
 
-    Per-token cosine is the exact-decimal dot / sqrt-norm product rounded
-    to 9 decimals (cross-engine bitwise, q_cosine_topk precedent); the
-    per-query-token maxima are summed through decimal(20,9) so the final
-    score is order-independent. Returns (query_id, doc_id, maxsim).
+    Per-token cosine is the exact-decimal dot / sqrt-norm product,
+    quantized to integer "nano-units" via FLOOR(cos·1e9 + 0.5) — the
+    drift.py recipe, NOT round(,9): Spark and DuckDB round(double)
+    diverge on near-half-boundary values, while FLOOR/·/+ are IEEE-exact
+    single-rounding ops on bit-identical inputs. Maxima and their sum
+    stay in exact BIGINT nanos; the final score is one identical
+    CAST(nanos AS DOUBLE)/1e9 per (query, doc). Zero-norm token
+    sub-vectors are filtered on BOTH sides before scoring (0/0 cosine is
+    NaN, and Spark's MAX treats NaN as greater than every double — one
+    degenerate token would otherwise dominate the score).
+    Returns (query_id, doc_id, maxsim).
+
+    `candidates` (query_id, doc_id) switches the brute-force |Q|×corpus
+    scan to exact-on-candidates scoring — the pruned tier's re-rank
+    stage (see `maxsim_candidates_lsh`). The pair frame then comes from
+    equi-joins (query_id against the broadcast query batch, doc_id
+    against the corpus token frame), so cost is O(|candidates|·n_tok²)
+    regardless of corpus size, and any (query, doc) scored by both
+    tiers gets the IDENTICAL value (same arithmetic, same filters).
     """
     from rag_pipelines_spark.queries.extensions import _dot_dec
 
-    q = q_tokens.select(
+    q = q_tokens.filter(F.col("n2") > 0).select(
         F.col("id").alias("query_id"),
         F.col("tok").alias("q_tok"),
         F.col("tvec").alias("q_vec"),
         F.col("n2").alias("qn2"),
     )
-    d = d_tokens.select(
+    d = d_tokens.filter(F.col("n2") > 0).select(
         F.col("id").alias("doc_id"),
         F.col("tvec").alias("d_vec"),
         F.col("n2").alias("dn2"),
     )
-    pairs = F.broadcast(q).crossJoin(d)
+    if candidates is not None:
+        pairs = (
+            candidates.select("query_id", "doc_id")
+            .join(F.broadcast(q), "query_id")
+            .join(d, "doc_id")
+        )
+    else:
+        pairs = F.broadcast(q).crossJoin(d)
     if exclude_self:  # fixture mode: queries drawn from the corpus itself
         pairs = pairs.filter(F.col("query_id") != F.col("doc_id"))
-    cos = F.round(
+    cos_nanos = F.floor(
         _dot_dec(F.col("q_vec"), F.col("d_vec")).cast("double")
-        / (F.sqrt("qn2") * F.sqrt("dn2")),
-        9,
+        / (F.sqrt("qn2") * F.sqrt("dn2"))
+        * F.lit(1e9)
+        + F.lit(0.5)
     )
     per_qtok = (
-        pairs.select("query_id", "doc_id", "q_tok", cos.alias("cos"))
+        pairs.select("query_id", "doc_id", "q_tok", cos_nanos.alias("cn"))
         .groupBy("query_id", "doc_id", "q_tok")
-        .agg(F.max("cos").alias("best"))
+        .agg(F.max("cn").alias("best_nanos"))
     )
     return per_qtok.groupBy("query_id", "doc_id").agg(
-        F.sum(F.col("best").cast("decimal(20,9)"))
-        .cast("double")
-        .alias("maxsim")
+        (F.sum("best_nanos").cast("double") / F.lit(1e9)).alias("maxsim")
+    )
+
+
+def maxsim_candidates_lsh(q_tokens: DataFrame, d_tokens: DataFrame, *,
+                          token_dim: int = 8, bits: int = 16,
+                          tables: int = 4, min_matches: int = 2,
+                          seed: int = 42,
+                          exclude_self: bool = False) -> DataFrame:
+    """Candidate (query_id, doc_id) pairs for the pruned MaxSim tier:
+    a doc is a candidate for a query iff at least `min_matches` DISTINCT
+    query tokens have a sub-vector sharing a sign-sketch bucket with one
+    of the doc's tokens in some table — the ColBERT deployment recipe
+    (Khattab & Zaharia 2020 §3.6: per-query-token ANN over the corpus
+    token index, docs reached by several query tokens rank first), with
+    the same LSH machinery the cosine family uses
+    (operators/similarity.py::_hyperplanes/_buckets_udf, planes over
+    token_dim dims instead of the full embedding).
+
+    Scale posture: the corpus token frame is bucketed by ONE Arrow
+    matmul per batch and raw matches come from an equi-join on
+    (table, bucket) against the broadcast query-token buckets
+    (|Q|·n_tok·tables rows) — shuffle keyed by bucket, volume
+    O(matching tokens), never |Q|×corpus. The per-(query, doc)
+    distinct-q_tok count is a map-side-combinable hash agg shuffling
+    one row per surviving pair, before the exact re-rank pays n_tok²
+    cosines on it.
+
+    Recall tuning: more tables = more OR-chances per token (recall up);
+    more bits = finer buckets (candidates down); higher `min_matches` =
+    stronger multi-token evidence required (candidates down sharply —
+    a true neighbor matches on several tokens, a random bucket-mate
+    rarely on more than one). On the hash-uniform driver fixture —
+    the documented ANN worst case (SCALE.md "ANN recall ladder":
+    nearest neighbors barely closer than the bulk) — recall tracks the
+    candidate fraction for ANY index; the clustered regime where
+    pruning earns its keep is pinned in tests/test_retrieval.py and
+    measured by tools/ann_recall_ladder.py --maxsim. A zero-norm token
+    hashes like any other vector here, but scoring filters it
+    (maxsim_scores n2 > 0 guard), so a candidate produced only by a
+    zero-norm token match scores over its remaining tokens.
+    """
+    from rag_pipelines_spark.operators.similarity import (
+        _buckets_udf,
+        _hyperplanes,
+    )
+
+    bucketer = _buckets_udf(_hyperplanes(token_dim, bits, tables, seed))
+    qb = q_tokens.select(
+        F.col("id").alias("query_id"),
+        F.col("tok").alias("q_tok"),
+        F.posexplode(bucketer(F.col("tvec"))).alias("tbl", "bucket"),
+    )
+    db = d_tokens.select(
+        F.col("id").alias("doc_id"),
+        F.posexplode(bucketer(F.col("tvec"))).alias("tbl", "bucket"),
+    )
+    cand = F.broadcast(qb).join(db, ["tbl", "bucket"])
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("doc_id"))
+    return (
+        cand.groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("q_tok").alias("_m"))
+        .filter(F.col("_m") >= min_matches)
+        .select("query_id", "doc_id")
+    )
+
+
+def maxsim_candidates_ivf(q_tokens: DataFrame, d_tokens: DataFrame, *,
+                          n_cells: int = 32, nprobe: int = 4,
+                          min_matches: int = 2, seed: int = 42,
+                          refine_iters: int = 0,
+                          exclude_self: bool = False) -> DataFrame:
+    """Candidate (query_id, doc_id) pairs for the pruned MaxSim tier via
+    IVF cells over TOKEN vectors — the PLAID recipe (Santhanam et al.
+    2022 §3: every corpus token is assigned to its nearest centroid;
+    a query token probes its `nprobe` nearest cells; docs reached by at
+    least `min_matches` distinct query tokens go to the exact re-rank).
+    This is the clustered-data tier: on real encoder output (topical
+    token clusters) IVF reaches high recall at ~1-5% probe fraction
+    where sign-sketch LSH needs 20-50% (SCALE.md "ANN ladder, clustered
+    regime" — same trade as cosine_topk_lsh vs cosine_topk_ivf).
+
+    Machinery is shared with the cosine family
+    (operators/similarity.py): centroids are a deterministic
+    hash-ordered sample of corpus token vectors (optionally
+    Lloyd-refined), the centroid matrix rides inside one Arrow-batched
+    matmul UDF (corpus never shuffles to be assigned), and candidates
+    come from an equi-join on cell — shuffle volume O(matching tokens).
+    The per-(query, doc) distinct-q_tok count is a map-side-combinable
+    hash agg, one row per surviving pair, before the exact tier pays
+    n_tok² cosines on it.
+    """
+    from pyspark.sql import Window
+
+    from rag_pipelines_spark.operators.similarity import (
+        _collect_cents,
+        _nearest_cells_udf,
+        kmeans_refine,
+    )
+
+    cents = (
+        d_tokens.select(
+            F.concat_ws("#", F.col("id").cast("string"),
+                        F.col("tok").cast("string")).alias("cent_src"),
+            F.col("tvec").alias("cent_emb"),
+        )
+        .withColumn("h", F.xxhash64(F.col("cent_src"), F.lit(seed)))
+        .orderBy("h", "cent_src")
+        .limit(n_cells)
+        .withColumn(
+            "cell",
+            # tiny-frame window (n_cells rows by construction) — same
+            # allowlisted shape as cosine_topk_ivf
+            F.row_number().over(Window.orderBy(F.col("h"), F.col("cent_src"))),
+        )
+        .select("cell", "cent_emb")
+    )
+    if refine_iters > 0:
+        cents = kmeans_refine(
+            d_tokens.select(F.col("tvec").alias("embedding")),
+            cents, n_iters=refine_iters,
+        )
+    cells, mat = _collect_cents(cents)
+    q_assign = _nearest_cells_udf(cells, mat, nprobe)
+    d_assign = _nearest_cells_udf(cells, mat, 1)
+    qa = q_tokens.select(
+        F.col("id").alias("query_id"),
+        F.col("tok").alias("q_tok"),
+        F.explode(q_assign(F.col("tvec"))).alias("cell"),
+    )
+    da = d_tokens.select(
+        F.col("id").alias("doc_id"),
+        F.explode(d_assign(F.col("tvec"))).alias("cell"),
+    )
+    cand = F.broadcast(qa).join(da, "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("doc_id"))
+    return (
+        cand.groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("q_tok").alias("_m"))
+        .filter(F.col("_m") >= min_matches)
+        .select("query_id", "doc_id")
     )

@@ -181,3 +181,24 @@ def test_join_size_one_sided_and_exact_when_sparse(spark, tmp_path):
     assert est2 >= true_size
     # and bounded by |a|*|b| (everything in one bucket is the worst case)
     assert est2 <= a.count() * b.count()
+
+
+def test_join_size_grouped_reports_one_sided_groups(spark, tmp_path):
+    """Grouped cm_join_size keeps a group present in only ONE sketch,
+    reporting est=0 (the true join size when the other side has no rows
+    for that group) — the documented (keys..., est) per-group contract.
+    Shared groups estimate exactly as the ungrouped path would."""
+    from rag_pipelines_spark.operators.cmsketch import cm_join_size
+
+    a = spark.createDataFrame(
+        [("en", 1), ("en", 1), ("en", 2), ("fr", 5)], "grp STRING, k INT"
+    )
+    b = spark.createDataFrame(
+        [("en", 1), ("en", 2), ("en", 2), ("de", 9)], "grp STRING, k INT"
+    )
+    ca = cm_partial(a, ["grp"], "k", depth=4, width=4096)
+    cb = cm_partial(b, ["grp"], "k", depth=4, width=4096)
+    out = {r.grp: r.est for r in cm_join_size(ca, cb, keys=["grp"]).collect()}
+    # en shared (sparse regime -> exact: 2*1 + 1*2 = 4); fr only in a,
+    # de only in b -> both reported with est=0, neither dropped
+    assert out == {"en": 4, "fr": 0, "de": 0}

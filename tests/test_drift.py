@@ -58,3 +58,31 @@ def test_occupied_counts_full_corpus_buckets(spark):
     assert len(occs) == 1
     # 4 unigrams + 3 bigrams = 7 grams -> <= 7 buckets
     assert occs.pop() <= 7
+
+
+def test_kl_against_both_empty_is_zero(spark):
+    """kl_against with BOTH inputs empty (a drift-gated first epoch where
+    every doc was rejected upstream): both distributions collapse to the
+    add-1 uniform, so the defined answer is (occupied=0, kl=0.0) — one
+    concrete row, never (NULL, NULL)."""
+    from rag_pipelines_spark.operators.drift import kl_against
+
+    empty = spark.createDataFrame([], "bucket INT, cnt LONG")
+    rows = kl_against(empty, empty, n_buckets=1000).collect()
+    assert len(rows) == 1
+    assert rows[0].occupied == 0
+    assert rows[0].kl == 0.0
+
+
+def test_kl_against_one_empty_side_still_defined(spark):
+    """Empty reference (first epoch vs no history): q is the uniform —
+    KL is finite and >= the quantization slack; occupied counts the
+    union of occupied buckets."""
+    from rag_pipelines_spark.operators.drift import kl_against
+
+    p = spark.createDataFrame([(1, 10), (2, 5)], "bucket INT, cnt LONG")
+    empty = spark.createDataFrame([], "bucket INT, cnt LONG")
+    rows = kl_against(p, empty, n_buckets=1000).collect()
+    assert len(rows) == 1
+    assert rows[0].occupied == 2
+    assert rows[0].kl is not None and rows[0].kl >= -1e-5

@@ -264,7 +264,8 @@ def test_term_pmi_cap_bounds_pair_emission(spark):
 
 def test_maxsim_matches_numpy_bruteforce(spark):
     """MaxSim over synthetic multi-vector frames equals a per-pair numpy
-    brute force: Σ_qtok max_dtok cos(q,d), rounded like the operator."""
+    brute force: Σ_qtok max_dtok cos(q,d), quantized to integer nanos
+    exactly like the operator (FLOOR(cos·1e9 + 0.5))."""
     import numpy as np
 
     from rag_pipelines_spark.operators.retrieval import (
@@ -290,16 +291,51 @@ def test_maxsim_matches_numpy_bruteforce(spark):
     for (q, d), score in got.items():
         qt = vecs[q].astype(np.float64).reshape(n_tok, tdim)
         dt = vecs[d].astype(np.float64).reshape(n_tok, tdim)
-        want = 0.0
+        want_nanos = 0
         for qv in qt:
-            cos = [
-                round(float(qv @ dv)
-                      / (math.sqrt(float(qv @ qv)) * math.sqrt(float(dv @ dv))),
-                      9)
+            cn = [
+                math.floor(
+                    float(qv @ dv)
+                    / (math.sqrt(float(qv @ qv)) * math.sqrt(float(dv @ dv)))
+                    * 1e9
+                    + 0.5
+                )
                 for dv in dt
             ]
-            want += max(cos)
-        assert score == pytest.approx(want, abs=1e-9), (q, d)
+            want_nanos += max(cn)
+        assert score == pytest.approx(want_nanos / 1e9, abs=1e-12), (q, d)
+
+
+def test_maxsim_zero_norm_tokens_ignored(spark):
+    """A zero-norm token sub-vector must not poison the score: its 0/0
+    cosine is NaN, and Spark MAX ranks NaN above every double — the
+    operator filters zero-norm tokens on both sides instead."""
+    from rag_pipelines_spark.operators.retrieval import (
+        embedding_tokens,
+        maxsim_scores,
+    )
+
+    # doc 1: first sub-vector is all-zero; doc 2: entirely zero vectors
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.5, 1.0]),
+            (1, [0.0, 0.0, 1.0, -1.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    toks = embedding_tokens(df, n_tokens=2, token_dim=2)
+    got = {
+        (r.query_id, r.doc_id): r.maxsim
+        for r in maxsim_scores(
+            toks.filter(F.col("id") == 0), toks, exclude_self=True
+        ).collect()
+    }
+    # doc 2 has no nonzero token -> no (0,2) pair at all; doc 1 scores
+    # only over its nonzero second token, finite and within bounds
+    assert set(got) == {(0, 1)}
+    assert math.isfinite(got[(0, 1)])
+    assert abs(got[(0, 1)]) <= 2.0 + 1e-9
 
 
 def test_maxsim_bounded_by_token_count(spark):
@@ -316,3 +352,129 @@ def test_maxsim_bounded_by_token_count(spark):
                            exclude_self=True)
     bad = scored.filter(F.abs(F.col("maxsim")) > 8.0 + 1e-9).count()
     assert bad == 0
+
+
+def _clustered_embeddings(spark, n=400, n_clusters=16, noise=0.05, seed=11):
+    """Tight topical clusters (member-center cosine ~0.94) — the regime
+    ANN pruning is FOR (SCALE.md 'ANN ladder, clustered regime'); the
+    driver fixture is hash-uniform, the documented worst case where
+    recall provably tracks probe fraction for any index."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(n):
+        v = centers[i % n_clusters] + noise * rng.normal(size=64)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_maxsim_pruned_scores_equal_exact_on_shared_pairs(spark):
+    """The pruned tier re-ranks candidates with the SAME arithmetic as
+    the exact tier, so every (query, doc) present in both outputs must
+    carry a bit-identical score — pruning may only remove pairs, never
+    perturb them."""
+    from rag_pipelines_spark.operators.retrieval import (
+        embedding_tokens,
+        maxsim_candidates_ivf,
+        maxsim_scores,
+    )
+
+    toks = embedding_tokens(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    )
+    qtoks = toks.filter(F.col("id") < 4)
+    exact = {
+        (r.query_id, r.doc_id): r.maxsim
+        for r in maxsim_scores(qtoks, toks, exclude_self=True).collect()
+    }
+    cand = maxsim_candidates_ivf(
+        qtoks, toks, n_cells=32, nprobe=2, min_matches=2, exclude_self=True
+    )
+    pruned = {
+        (r.query_id, r.doc_id): r.maxsim
+        for r in maxsim_scores(qtoks, toks, candidates=cand).collect()
+    }
+    assert pruned, "candidate generation produced nothing"
+    assert set(pruned) <= set(exact)
+    for pair, score in pruned.items():
+        assert score == exact[pair], pair  # bitwise, not approx
+
+
+def test_maxsim_pruned_recall_pin_clustered(spark):
+    """recall@5 of the pruned IVF tier vs the exact tier on a clustered
+    fixture, with the EXACT settings q_maxsim_pruned registers
+    (n_cells=128, nprobe=2, min_matches=4, refine off): observed
+    recall 1.0 at 27% probe fraction — pin >= 0.8 (slack for fixture
+    regeneration, not for a broken assigner)."""
+    from rag_pipelines_spark.operators.retrieval import (
+        embedding_tokens,
+        maxsim_candidates_ivf,
+        maxsim_scores,
+        topk_per_query,
+    )
+
+    toks = embedding_tokens(_clustered_embeddings(spark)).localCheckpoint()
+    qtoks = toks.filter(F.col("id") < 8)
+    exact_top = {
+        (r.query_id, r.doc_id)
+        for r in topk_per_query(
+            maxsim_scores(qtoks, toks, exclude_self=True),
+            5, score_col="maxsim",
+        ).collect()
+    }
+    cand = maxsim_candidates_ivf(
+        qtoks, toks, n_cells=128, nprobe=2, min_matches=4,
+        refine_iters=0, exclude_self=True,
+    )
+    # the candidate cut must be real, not the whole corpus in disguise
+    n_cand = cand.count()
+    assert n_cand < 0.5 * 8 * 400, n_cand
+    pruned_top = {
+        (r.query_id, r.doc_id)
+        for r in topk_per_query(
+            maxsim_scores(qtoks, toks, candidates=cand),
+            5, score_col="maxsim",
+        ).collect()
+    }
+    recall = len(exact_top & pruned_top) / len(exact_top)
+    assert recall >= 0.8, recall
+
+
+def test_maxsim_candidates_lsh_smoke(spark):
+    """The distribution-free LSH candidate generator (the tier for
+    adversarial/unknown geometry): produces a nonempty candidate set
+    whose re-ranked scores are a subset of the exact tier's, and the
+    min_matches knob is monotone (higher threshold, fewer pairs)."""
+    from rag_pipelines_spark.operators.retrieval import (
+        embedding_tokens,
+        maxsim_candidates_lsh,
+        maxsim_scores,
+    )
+
+    toks = embedding_tokens(_clustered_embeddings(spark, n=200))
+    toks = toks.localCheckpoint()
+    qtoks = toks.filter(F.col("id") < 4)
+    loose = maxsim_candidates_lsh(
+        qtoks, toks, bits=10, tables=4, min_matches=2, exclude_self=True
+    )
+    strict = maxsim_candidates_lsh(
+        qtoks, toks, bits=10, tables=4, min_matches=5, exclude_self=True
+    )
+    n_loose, n_strict = loose.count(), strict.count()
+    assert n_loose > 0
+    assert n_strict <= n_loose
+    exact = {
+        (r.query_id, r.doc_id): r.maxsim
+        for r in maxsim_scores(qtoks, toks, exclude_self=True).collect()
+    }
+    pruned = {
+        (r.query_id, r.doc_id): r.maxsim
+        for r in maxsim_scores(qtoks, toks, candidates=loose).collect()
+    }
+    assert set(pruned) <= set(exact)
+    for pair, score in pruned.items():
+        assert score == exact[pair], pair

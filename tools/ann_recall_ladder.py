@@ -13,6 +13,10 @@ brute-force work the index actually did).
 Usage:
     python tools/ann_recall_ladder.py [sf_dir ...]
     # default ladder: driver sf0.1, generated _testdata/sf1 + sf10
+    python tools/ann_recall_ladder.py --maxsim [sf_dir ...]
+    # MaxSim rung (round 10): recall@5 of the pruned late-interaction
+    # tier (maxsim_candidates_ivf -> exact re-rank) vs the exact
+    # brute-force tier, 8 queries, same probe-fraction accounting
 
 Prints one JSON line per (sf, method, setting); paste the table into
 SCALE.md.
@@ -115,13 +119,79 @@ def run_ladder(spark, sf_dir: str) -> list[dict]:
     return results
 
 
+def run_maxsim_ladder(spark, sf_dir: str) -> list[dict]:
+    """MaxSim rung: recall@5 of the IVF-pruned late-interaction tier vs
+    the exact brute-force tier (operators/retrieval.py), over the
+    settings around q_maxsim_pruned's registered config. 8 query ids,
+    probe fraction = surviving candidate pairs / (|Q|·(N−1))."""
+    from rag_pipelines_spark.operators.retrieval import (
+        embedding_tokens,
+        maxsim_candidates_ivf,
+        maxsim_scores,
+        topk_per_query,
+    )
+
+    k = 5
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_corpus = emb.count()
+    toks = embedding_tokens(emb).localCheckpoint(eager=True)
+    qtoks = toks.filter(F.col("id") < 8)
+    exact = _topk_sets(
+        topk_per_query(
+            maxsim_scores(qtoks, toks, exclude_self=True), k,
+            score_col="maxsim",
+        )
+        .selectExpr("query_id AS q_id", "doc_id AS c_id")
+        .collect()
+    )
+    denom = sum(len(v) for v in exact.values())
+    results = []
+    for n_cells, nprobe, m in (
+        (128, 2, 2), (128, 2, 4), (128, 1, 4), (256, 2, 4),
+    ):
+        t0 = time.time()
+        cand = maxsim_candidates_ivf(
+            qtoks, toks, n_cells=n_cells, nprobe=nprobe, min_matches=m,
+            refine_iters=0, exclude_self=True,
+        ).cache()
+        n_pairs = cand.count()
+        approx = _topk_sets(
+            topk_per_query(
+                maxsim_scores(qtoks, toks, candidates=cand), k,
+                score_col="maxsim",
+            )
+            .selectExpr("query_id AS q_id", "doc_id AS c_id")
+            .collect()
+        )
+        dt = time.time() - t0
+        cand.unpersist()
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        rec = {
+            "sf_dir": sf_dir,
+            "n_corpus": n_corpus,
+            "method": "maxsim_ivf",
+            "n_cells": n_cells,
+            "nprobe": nprobe,
+            "min_matches": m,
+            "recall_at_5": round(hits / denom, 4),
+            "cand_pairs": n_pairs,
+            "probe_frac": round(n_pairs / (len(exact) * (n_corpus - 1)), 4),
+            "sec": round(dt, 2),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    return results
+
+
 def main() -> None:
     from rag_pipelines_spark.session import get_spark
 
-    dirs = sys.argv[1:] or DEFAULT_DIRS
+    args = sys.argv[1:]
+    maxsim = "--maxsim" in args
+    dirs = [a for a in args if a != "--maxsim"] or DEFAULT_DIRS
     spark = get_spark("ann-recall-ladder")
     for d in dirs:
-        run_ladder(spark, d)
+        (run_maxsim_ladder if maxsim else run_ladder)(spark, d)
     spark.stop()
 
 

@@ -55,6 +55,12 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 from tools.driver_sim_lib import vhash  # shared with sf_diff.py
 
 qs, oracles = E.queries(), E.oracle_sql()
+# DRIVER_SIM_ONLY=q_a,q_b — targeted re-verification of just-changed
+# queries (full sweep stays the default; the driver itself has no filter)
+only = os.environ.get("DRIVER_SIM_ONLY")
+if only:
+    want = {n.strip() for n in only.split(",") if n.strip()}
+    qs = {n: f for n, f in qs.items() if n in want}
 n_pass = n_fail = n_rows_only = n_err = 0
 for name, fn in sorted(qs.items()):
     # per-query isolation like the real driver: one bad query records ERR
