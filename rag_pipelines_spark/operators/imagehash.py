@@ -98,6 +98,23 @@ def phash64_gray(gray) -> int:
     return bits - (1 << 64) if bits >= (1 << 63) else bits  # signed long
 
 
+def png_gray(content: bytes, path: str):
+    """REAL-pixel decoder for `phash_images`: stdlib PNG decode
+    (sources/binary.py::decode_png_rgb — zlib+struct, all five scanline
+    filters, no imaging libs) -> float64 channel-mean grayscale. This is
+    the decoder `q_image_phash_png` registers so the DCT path is
+    driver-exercised on genuine encoded bytes, not the md5 stub; a
+    production cluster swaps in a Pillow/opencv decoder through the same
+    (content, path) -> 2-D array seam."""
+    import numpy as np
+
+    from rag_pipelines_spark.sources.binary import decode_png_rgb
+
+    w, h, px = decode_png_rgb(bytes(content))
+    rgb = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    return rgb.astype(np.float64).mean(axis=2)
+
+
 def _stub_gray(content: bytes, path: str):
     """Deterministic pseudo-image from md5(content): exercises the full
     hash/band/join plumbing without an imaging dependency."""

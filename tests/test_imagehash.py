@@ -4,6 +4,7 @@ exact-recall guarantee vs a brute-force sweep, and plumbing behavior."""
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -163,3 +164,35 @@ def test_undecodable_rows_dropped_not_poison(spark, tmp_path):
     binaries = read_binary_dir(spark, str(tmp_path), glob="*.png")
     rows = phash_images(binaries, decoder=_png_decoder).collect()
     assert len(rows) == 1 and rows[0].path.endswith("ok.png")
+
+
+def test_checked_in_png_fixture_hash_pin():
+    """Exact-hash pin on the checked-in real PNG (r9 VERDICT 'Next' #5):
+    decode_png_rgb -> channel-mean gray -> phash64 of blob_a.png is a
+    CONSTANT. If this pin moves, either the decoder, the resample, the
+    DCT, or the fixture bytes changed — all of which invalidate the
+    q_image_phash_png driver row and must be deliberate
+    (tools/gen_png_fixtures.py regenerates byte-identical files)."""
+    import os
+
+    from rag_pipelines_spark.operators.imagehash import png_gray
+
+    fx = os.path.join(os.path.dirname(__file__), "fixtures", "png")
+    with open(os.path.join(fx, "blob_a.png"), "rb") as f:
+        content = f.read()
+    assert phash64_gray(png_gray(content, "blob_a.png")) == -2903759012727334156
+
+
+def test_q_image_phash_png_cluster_resolves(spark):
+    """The registered real-PNG query end-to-end: the checked-in fixture
+    set's near-dup cluster {base, noise twin, brightness twin} resolves
+    (each member counts 2 near-dups at d <= 3) while the two unrelated
+    images count 0."""
+    from rag_pipelines_spark.queries.sources import q_image_phash_png
+
+    rows = {os.path.basename(r.path): r.n_near_dups
+            for r in q_image_phash_png(spark, "unused").collect()}
+    assert rows == {
+        "blob_a.png": 2, "blob_a_noise.png": 2, "blob_a_bright.png": 2,
+        "blob_b.png": 0, "blob_c.png": 0,
+    }
