@@ -49,73 +49,75 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # The driver's correctness harness checks the FIRST 50 entries of queries()
 # in dict order (observed in CORRECTNESS_r01.json: exactly the first 50
 # registrations). We rotate a curated priority window each round so that,
-# across rounds, every query gets a driver-verified row. The round-9
-# window: (a) queries round 9 added or REWROTE (a rewritten operator's
-# old driver row certifies the old plan — it needs a fresh one),
-# including the round-9-continuation additions (maxsim, countmin,
-# cm-join-size, wordpiece, pagerank, bpe-state, leakage split, hard
-# negatives, diversity); (b) the r4-aged rows the r8 rotation could not
-# fit (oldest certification in the fleet; q_stratified_sample rolled to
-# r10 when (a) grew); (c) r5-aged rows roll entirely to round 10 —
-# never-certified queries outrank aged-but-green ones. Displaced rows
-# all hold green r5-r8 driver rows and stay green in driver_sim.
+# across rounds, every query gets a driver-verified row. The round-10
+# window: (a) queries round 10 added or REWROTE (a rewritten operator's
+# old driver row certifies the old plan — it needs a fresh one): the
+# pruned MaxSim tier, the nano-quantized MaxSim rewrite (its VALUES
+# changed, so q_maxsim_topk/q_hard_negatives r9 rows certify retired
+# arithmetic), the full-outer cm_join_size, the empty-input-defined
+# kl_against, the persist-across-steps power_iterate (value-neutral but
+# a new plan), and the real-pixel pHash query; (b) the r4-aged rows
+# (oldest certification in the fleet, displaced from the r9 window);
+# (c) r5-aged rows fill the remaining slots oldest-first in registry
+# order — the residue rolls to round 11. Displaced rows all hold green
+# r5+ driver rows and stay green in driver_sim.
 PRIORITY: tuple[str, ...] = (
-    # --- (a) round-9 new / rewritten ---
-    "q_maxsim_topk",  # NEW r9 (cont.): ColBERT late-interaction scoring
-    "q_countmin_serve",  # NEW r9 (cont.): 13th state family (Count-Min)
-    "q_cm_join_size",  # NEW r9 (cont.): sketch join-cardinality estimate
-    "q_wordpiece_vocab",  # NEW r9 (cont.): WordPiece tokenizer family
-    "q_wordpiece_encode",
-    "q_tokenizer_fertility",  # NEW r9 (cont.): tokenizer-quality eval
-    "q_table_profile",  # NEW r9 (cont.): per-column ANALYZE profiling
-    "q_batch_drift",  # NEW r9 (cont.): KL distribution-drift monitor
-    "q_drift_from_state",  # NEW r9 (cont.): 14th family (drift gate)
-    "q_image_phash",  # NEW r9 (cont.): pHash + banded Hamming near-dup
-    "q_pagerank",  # NEW r9 (cont.): quantized-integer graph ranking
-    "q_pagerank_checksum",
-    "q_pagerank_personalized",  # NEW r9 (cont.): curated-set expansion
-    "q_bpe_from_state",  # NEW r9 (cont.): 12th continuous-ingest family
-    "q_split_leakage_safe",  # NEW r9 (cont.): cluster-keyed split guard
-    "q_hard_negatives",  # NEW r9 (cont.): DPR-style negative mining
-    "q_ngram_diversity",  # NEW r9 (cont.): corpus diversity screens
-    "q_dsir_from_state",  # NEW r9: 9th continuous-ingest state family
-    "q_pretraining_prep_checksum_small",  # NEW r9: sf100-grade lifecycle twin
-    "q_dsir_weights",  # REWRITTEN r9: window-free broadcast totals
-    "q_dsir_weights_checksum",
-    "q_dsir_select",
-    "q_semantic_dedup",  # REWRITTEN r9: index-keyed margin UDF
-    "q_minhash_neardup",  # REWRITTEN r9: hot-bucket chunk split
-    "q_minhash_neardup_checksum",
-    "q_near_dedup",
-    "q_near_dedup_filter",
-    "q_kmeans_clusters",  # NEW r9: iterative clustering family
-    "q_kmeans_centroids",
-    "q_cluster_sample_balanced",
-    "q_pca_component",  # NEW r9: embedding post-processing family
+    # --- (a) round-10 new / rewritten ---
+    "q_maxsim_pruned",  # NEW r10: PLAID-style IVF-pruned MaxSim tier
+    "q_maxsim_topk",  # REWRITTEN r10: FLOOR-nano quantized cosine
+    "q_hard_negatives",  # REWRITTEN r10: same maxsim_scores arithmetic
+    "q_cm_join_size",  # REWRITTEN r10: full-outer keys, est=0 groups
+    "q_drift_from_state",  # REWRITTEN r10: empty-input-defined kl_against
+    "q_pca_component",  # REWRITTEN r10: persisted power-iteration frame
     "q_pca_project",
-    "q_embed_quantize",
-    "q_kmeans_from_state",  # NEW r9: 10th continuous-ingest family
-    "q_kmeans_clusters_checksum",  # NEW r9: sf-scaling twins
-    "q_kmeans_from_state_checksum",
-    "q_pca_project_checksum",
-    "q_embed_quantize_checksum",
-    "q_bpe_merges",  # NEW r9: BPE tokenizer training family
-    "q_bpe_encode",
-    "q_pca_from_state",  # NEW r9: 11th continuous-ingest family
+    "q_pca_from_state",
+    "q_image_phash_png",  # NEW r10: real-pixel decode -> DCT driver row
+    "q_maxsim_topk_small",  # NEW r10: bounded big-SF twin (oracle-checked)
     # --- (b) r4-aged rows (oldest certification in the fleet) ---
-    "q_mixture_weights",
-    "q_pack_bestfit",
-    "q_percentiles",
-    "q_pii_redact",
-    "q_pivot",
-    "q_quality_bins",
-    "q_quality_score",
-    "q_rag_context",
-    "q_retrieval_eval",
-    # --- (c) r5-aged rows all rolled to round 10: never-certified
-    # round-9-continuation queries outrank aged-but-green rows, and the
-    # twelve (a) additions consumed the tail slots (q_stratified_sample
-    # rolls with them) ---
+    "q_rollup_serve",
+    "q_rollup_source",
+    "q_rrf_fusion",
+    "q_schema_evolution",
+    "q_simhash",
+    "q_stratified_sample",
+    # --- (c) r5-aged rows, oldest-first fill; the residue (12 rows:
+    # q_selective_agg, q_sliding_agg, q_snapshot_diff, q_sort,
+    # q_stream_dedup, q_term_pmi, q_text_norm, q_token_stats, q_topk,
+    # q_tpch_q3, q_tpch_q5, q_scd2_versions) leads round 11 ---
+    "q_agg_rates",
+    "q_aqp_sum",
+    "q_author_format",
+    "q_checkpoint_semi",
+    "q_chunking",
+    "q_citation_concat",
+    "q_clean_boilerplate",
+    "q_coalesce_defaults",
+    "q_cube",
+    "q_doc_fingerprint",
+    "q_doi_extract",
+    "q_doi_norm",
+    "q_except",
+    "q_filter_length",
+    "q_filter_nullkey",
+    "q_grouping_sets",
+    "q_hash_sample",
+    "q_heavy_hitters",
+    "q_intersect",
+    "q_join_asof",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_range",
+    "q_join_right",
+    "q_json_get",
+    "q_jsonl_roundtrip",
+    "q_lang_dist",
+    "q_levenshtein_sim",
+    "q_md5_id",
+    "q_md_image_strip",
+    "q_partition_prune",
+    "q_prefix_strip",
+    "q_rolling_hash",
+    "q_scan_project",
 )
 
 
