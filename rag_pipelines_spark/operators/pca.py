@@ -45,6 +45,11 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from rag_pipelines_spark.operators.vecexpr import (
+    dbl_array_sql,
+    dec_to_dbl_sql,
+    hof_dot_dec_sql,
+)
 from rag_pipelines_spark.queries._util import dec_to_dbl
 
 __all__ = [
@@ -72,15 +77,22 @@ def column_means(
 ) -> list[float]:
     """Round-9 per-dimension means: one map-side-combinable agg of d
     decimal sums plus a count. Rounding happens in-engine; the collect
-    is d already-published doubles."""
-    sums = [
-        F.sum(F.col(vec_col)[i].cast("double").cast(_DEC)).alias(f"_s{i}")
-        for i in range(d)
-    ]
-    agg = df.agg(F.count("*").alias("n"), *sums)
-    row = agg.select(
+    is d already-published doubles.
+
+    r10: built as two selectExpr stages (agg row, then publish) instead
+    of d py4j-assembled Columns — one parse, flat codegen-able
+    expressions, identical arithmetic (vecexpr.py rationale)."""
+    agg = df.selectExpr(
+        "COUNT(*) AS n",
         *[
-            F.round(dec_to_dbl(F.col(f"_s{i}")) / F.col("n"), 9).alias(f"m{i}")
+            f"SUM(CAST(CAST(`{vec_col}`[{i}] AS DOUBLE) AS {_DEC}))"
+            f" AS _s{i}"
+            for i in range(d)
+        ],
+    )
+    row = agg.selectExpr(
+        *[
+            f"round({dec_to_dbl_sql(f'_s{i}')} / n, 9) AS m{i}"
             for i in range(d)
         ]
     ).collect()[0]
@@ -100,22 +112,71 @@ def _power_step_frame(
     df: DataFrame, means: list[float], v: list[float], vec_col: str = "embedding"
 ) -> DataFrame:
     """(dim, v) after one power step from literal direction `v`:
-    w_j = sum_i (x_ci . v) * x_cij through decimals (long-form agg,
-    shuffle = d rows), normalized by the broadcast 1-row n2 agg,
-    published round-9. dim is 1-based."""
-    xc = _centered(F.col(vec_col), means)
-    sc = dec_to_dbl(_dot_dec(xc, v))
-    long = df.select(sc.alias("_sc"), F.posexplode(xc).alias("pos", "_x"))
-    w = (
-        long.groupBy((F.col("pos") + 1).alias("dim"))
-        .agg(F.sum((F.col("_sc") * F.col("_x")).cast(_DEC)).alias("_ws"))
-        .select("dim", dec_to_dbl(F.col("_ws")).alias("w"))
+    w_j = sum_i (x_ci . v) * x_cij through decimals, normalized by n2,
+    published round-9. dim is 1-based.
+
+    r10 shape (guide §2.3/§2.4 + vecexpr.py rationale): ONE wide global
+    agg of d decimal sums replaces the posexplode(d x corpus rows) +
+    groupBy(dim) long-form agg — the per-row d-way explode and its
+    d-row shuffle drop out entirely; the score pass and the update pass
+    fuse into a single corpus scan. n2 and the round-9 normalization
+    happen on the 1-row agg result (the same exact decimal terms the
+    64-row SUM folded — both exact at these magnitudes), and the
+    (dim, v) frame is a posexplode of that single row. Values are
+    bit-identical to the r9 long-form shape (pinned in
+    tests/test_vecexpr.py; oracle hashes unchanged)."""
+    d = len(means)
+    # centered array + score via the SAME zip_with/aggregate HOFs as r9
+    # (JIT-friendly per-row runtime — see hof_fold_dec_sql rationale),
+    # built as SQL text; the HOFs are non-cheap so the optimizer
+    # materializes _xc/_scd here instead of inlining them 65x into the
+    # wide agg.
+    xc_sql = (
+        f"zip_with(`{vec_col}`, {dbl_array_sql(means)},"
+        f" (x, m) -> CAST(x AS DOUBLE) - m)"
     )
-    n2 = w.agg(
-        dec_to_dbl(F.sum((F.col("w") * F.col("w")).cast(_DEC))).alias("n2")
+    scored = (
+        df.selectExpr(f"{xc_sql} AS _xc")
+        .selectExpr(
+            f"{hof_dot_dec_sql('_xc', dbl_array_sql(v), cast_inputs=False)}"
+            f" AS _scd",
+            "_xc",
+        )
+        .selectExpr(f"{dec_to_dbl_sql('_scd')} AS _sc", "_xc")
     )
-    return w.crossJoin(F.broadcast(n2)).select(
-        "dim", F.round(F.col("w") / F.sqrt("n2"), 9).alias("v")
+    w1 = scored.selectExpr(
+        *[
+            f"SUM(CAST((_sc * _xc[{j}]) AS {_DEC})) AS _ws{j}"
+            for j in range(d)
+        ]
+    ).selectExpr(
+        *[f"{dec_to_dbl_sql(f'_ws{j}')} AS _w{j}" for j in range(d)]
+    )
+    # (dim, w) from the single agg row; n2 is the SAME Sum-typed decimal
+    # aggregate as r9 but expressed as an unpartitioned window over this
+    # d-row frame (d = 64 BY CONTRACT — tiny-frame window precedent,
+    # tests/test_plans.py TINY_FRAME_WINDOW_OK): consuming `w` once
+    # instead of self-joining it against its own 1-row agg keeps exactly
+    # ONE corpus pass per power step in the plan (the r9 shape evaluated
+    # the corpus agg subtree twice) and keeps the optimizer off a
+    # duplicated flat-expression subtree. Identical Sum buffer type ->
+    # identical value -> identical round-9 publication.
+    from pyspark.sql.window import Window
+
+    w = w1.select(
+        F.posexplode(
+            F.expr("array(" + ", ".join(f"_w{j}" for j in range(d)) + ")")
+        ).alias("pos", "w")
+    ).selectExpr("CAST(pos + 1 AS INT) AS dim", "w")
+    n2 = dec_to_dbl(
+        F.sum((F.col("w") * F.col("w")).cast(_DEC)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+    )
+    return w.select(
+        "dim", F.round(F.col("w") / F.sqrt(n2), 9).alias("v")
     )
 
 
@@ -176,9 +237,13 @@ def pca_project(
     the fitted direction — a zero-shuffle map over literal (means, v)."""
     means = column_means(df, d, vec_col)
     v = power_iterate(df, d, iters, means, vec_col)
-    xc = _centered(F.col(vec_col), means)
-    return df.select(
-        F.col(id_col), F.round(dec_to_dbl(_dot_dec(xc, v)), 9).alias("score")
+    xc_sql = (
+        f"zip_with(`{vec_col}`, {dbl_array_sql(means)},"
+        f" (x, m) -> CAST(x AS DOUBLE) - m)"
+    )
+    dot = hof_dot_dec_sql(xc_sql, dbl_array_sql(v), cast_inputs=False)
+    return df.selectExpr(f"`{id_col}`", f"{dot} AS _sd").selectExpr(
+        f"`{id_col}`", f"round({dec_to_dbl_sql('_sd')}, 9) AS score"
     )
 
 

@@ -445,7 +445,7 @@ def embedding_tokens(embs: DataFrame, *, id_col: str = "vec_id",
     tokens itself (a zero sub-vector has no defined cosine), so callers
     may pass this frame through unfiltered.
     """
-    from rag_pipelines_spark.queries.extensions import _dot_dec
+    from rag_pipelines_spark.operators.vecexpr import hof_dot_dec_sql
 
     toks = embs.select(
         F.col(id_col).alias("id"),
@@ -456,14 +456,21 @@ def embedding_tokens(embs: DataFrame, *, id_col: str = "vec_id",
             )
         ).alias("tok", "tvec"),
     )
-    return toks.withColumn(
-        "n2", _dot_dec(F.col("tvec"), F.col("tvec")).cast("double")
-    )
+    # n2 stays a higher-order-function fold ON PURPOSE (r10): the HOF is
+    # non-cheap to the optimizer, so it is materialized here — once per
+    # token row — instead of being collapsed past the downstream
+    # |Q|xcorpus join and recomputed per PAIR, which is exactly what
+    # happened with a flat cast-chain form (measured 9.2 s -> 19.1 s
+    # regression at sf0.1; OPTIMIZATION_r10.md). SQL-text build, same
+    # ArrayAggregate runtime, bit-identical (tests/test_retrieval.py).
+    sq = hof_dot_dec_sql("tvec", "tvec")
+    return toks.withColumn("n2", F.expr(f"CAST({sq} AS DOUBLE)"))
 
 
 def maxsim_scores(q_tokens: DataFrame, d_tokens: DataFrame, *,
                   exclude_self: bool = False,
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  token_dim: int = 8) -> DataFrame:
     """Late-interaction (MaxSim) relevance: for every (query, doc) pair,
     score = Σ over query tokens of max over doc tokens of the per-token
     cosine (Khattab & Zaharia 2020, ColBERT §3.2 — the interaction that
@@ -501,7 +508,10 @@ def maxsim_scores(q_tokens: DataFrame, d_tokens: DataFrame, *,
     regardless of corpus size, and any (query, doc) scored by both
     tiers gets the IDENTICAL value (same arithmetic, same filters).
     """
-    from rag_pipelines_spark.queries.extensions import _dot_dec
+    from rag_pipelines_spark.operators.vecexpr import (
+        dlit,
+        flat_dot_dec_sql,
+    )
 
     q = q_tokens.filter(F.col("n2") > 0).select(
         F.col("id").alias("query_id"),
@@ -524,11 +534,18 @@ def maxsim_scores(q_tokens: DataFrame, d_tokens: DataFrame, *,
         pairs = F.broadcast(q).crossJoin(d)
     if exclude_self:  # fixture mode: queries drawn from the corpus itself
         pairs = pairs.filter(F.col("query_id") != F.col("doc_id"))
-    cos_nanos = F.floor(
-        _dot_dec(F.col("q_vec"), F.col("d_vec")).cast("double")
-        / (F.sqrt("qn2") * F.sqrt("dn2"))
-        * F.lit(1e9)
-        + F.lit(0.5)
+    # r10 (vecexpr.py rationale): the per-pair token dot is a flat SQL
+    # decimal fold (one parse, whole-stage codegen) instead of the
+    # zip_with/aggregate HOF — this expression runs |Q|·n_tok·|corpus
+    # tokens| times, the single hottest expression in the retrieval
+    # tier. Identical arithmetic (tests/test_vecexpr.py).
+    dot = flat_dot_dec_sql(
+        [f"CAST(q_vec[{i}] AS DOUBLE)" for i in range(token_dim)],
+        [f"CAST(d_vec[{i}] AS DOUBLE)" for i in range(token_dim)],
+    )
+    cos_nanos = F.expr(
+        f"FLOOR(CAST({dot} AS DOUBLE) / (SQRT(qn2) * SQRT(dn2))"
+        f" * {dlit(1e9)} + {dlit(0.5)})"
     )
     per_qtok = (
         pairs.select("query_id", "doc_id", "q_tok", cos_nanos.alias("cn"))

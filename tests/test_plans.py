@@ -225,6 +225,11 @@ TINY_FRAME_WINDOW_OK = {
     "q_wordpiece_vocab",
     "q_wordpiece_encode",
     "q_tokenizer_fertility",
+    # r10: the power-step n2 normalization is a window over the d-row
+    # (d=64 BY CONTRACT) frame produced by the 1-row wide agg — replacing
+    # the r9 self-join against a 1-row n2 agg, which evaluated the corpus
+    # agg subtree twice per step (operators/pca.py _power_step_frame)
+    "q_pca_component",
 }
 
 

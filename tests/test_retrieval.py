@@ -284,7 +284,8 @@ def test_maxsim_matches_numpy_bruteforce(spark):
     got = {
         (r.query_id, r.doc_id): r.maxsim
         for r in maxsim_scores(
-            toks.filter(F.col("id") < 2), toks, exclude_self=True
+            toks.filter(F.col("id") < 2), toks, exclude_self=True,
+            token_dim=tdim,
         ).collect()
     }
     assert len(got) == 2 * 5
@@ -328,7 +329,8 @@ def test_maxsim_zero_norm_tokens_ignored(spark):
     got = {
         (r.query_id, r.doc_id): r.maxsim
         for r in maxsim_scores(
-            toks.filter(F.col("id") == 0), toks, exclude_self=True
+            toks.filter(F.col("id") == 0), toks, exclude_self=True,
+            token_dim=2,
         ).collect()
     }
     # doc 2 has no nonzero token -> no (0,2) pair at all; doc 1 scores
