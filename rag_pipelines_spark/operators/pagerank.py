@@ -46,12 +46,31 @@ Spark-first / 100 TB posture:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "personalized_pagerank"]
 
 TOTAL_MASS = 1_000_000_000_000_000  # 10^15: shared with the oracle
+
+# Deliberate join-strategy gate (guide §3.1): the per-iteration frames
+# (ranks, insum) are |nodes|-row, but they sit behind localCheckpoint —
+# ExistingRDD has no stats, so Catalyst can never pick the broadcast
+# join on its own and every iteration pays a full edge-list shuffle for
+# a sort-merge join against a frame thousands of times smaller. Below
+# this node count we supply the hint ourselves (restoring the stats the
+# checkpoint erased); above it the shuffle join is the right plan and
+# nothing changes. ~24 B/row -> the 4M default is a ~100 MB broadcast,
+# inside Spark's own 8 GB broadcast ceiling with wide margin.
+_BCAST_NODES_CAP = int(
+    os.environ.get("SPARK_GRAFT_PAGERANK_BCAST_NODES", "4000000")
+)
+
+
+def _maybe_bcast(df: DataFrame, small: bool) -> DataFrame:
+    return F.broadcast(df) if small else df
 
 
 def pagerank(
@@ -74,25 +93,43 @@ def pagerank(
     """
     n1 = nodes.select(F.col(node_col).alias("node")).localCheckpoint(eager=True)
     # 1-row parameter frame: n, s — broadcast everywhere it is needed,
-    # so no driver-side count() action exists in the plan
+    # so no driver-side count() action exists in the plan. Checkpointed
+    # so the per-iteration broadcast re-reads 1 row, not the node agg.
     params = n1.agg(
         F.count("*").alias("n"),
         F.expr(f"CAST({total_mass} AS BIGINT) div count(*)").alias("s"),
-    )
+    ).localCheckpoint(eager=True)
 
-    deg = (
-        edges.groupBy(F.col(src_col).alias("node"))
-        .agg(F.count("*").alias("outdeg"))
+    # The edge list is the ONLY corpus-sized frame; materialize the raw
+    # (src, dst) derivation exactly once. Before r10 the out-degree table
+    # was lazy, so the per-iteration dangling aggregate recomputed the
+    # entire upstream edge derivation (at the registered graph: the
+    # orders x lineitem join + distinct) EVERY iteration — ~8 corpus
+    # passes the profile showed as ~2.3 s of each step's wall. Nothing
+    # edge-sized is joined-and-rematerialized either: out-degrees ride
+    # the |nodes|-row frame below, so contributions are computed per
+    # NODE (r div outdeg on |nodes| rows) before the edge join, not per
+    # edge occurrence.
+    ec = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    deg = ec.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
     )
-    # corpus-sized frame, built once: (src, dst, outdeg)
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .join(deg.withColumnRenamed("node", "src"), "src")
-        .localCheckpoint(eager=True)
-    )
+    # Static per-node frame: outdeg (NULL = dangling — never a divisor,
+    # because dangling nodes match no edge src). The dangling set is
+    # STATIC across iterations: resolved once here instead of an
+    # anti-join per step.
+    nd = n1.join(deg, "node", "left").localCheckpoint(eager=True)
 
-    ranks = n1.crossJoin(F.broadcast(params)).select(
-        "node", F.col("s").cast("long").alias("r")
+    # node count for the join-strategy gate: params is already a
+    # materialized 1-row frame, so this is a 1-row driver read (the
+    # operators/graph.py convergence-scalar precedent), not a data
+    # collect.
+    small = params.first()["n"] <= _BCAST_NODES_CAP
+
+    ranks = nd.crossJoin(F.broadcast(params)).select(
+        "node", "outdeg", F.col("s").cast("long").alias("r")
     ).localCheckpoint(eager=True)
 
     base = (
@@ -100,22 +137,30 @@ def pagerank(
         + F.expr(f"({damping_num} * (dang div n)) div {damping_den}")
     )
     for _ in range(iters):
+        # |nodes|-row contributions frame broadcast into the edge join
+        # when the gate allows: the edge list (the one corpus-sized
+        # frame) is then scanned in place — zero edge shuffle per
+        # iteration; only the map-side-combined (dst, m) partials move.
         insum = (
-            ranks.join(e, ranks["node"] == e["src"])
-            .select("dst", F.expr("r div outdeg").alias("c"))
+            _maybe_bcast(
+                ranks.select("node", F.expr("r div outdeg").alias("c")),
+                small,
+            )
+            .join(ec, F.col("node") == ec["src"])
             .groupBy("dst")
             .agg(F.sum("c").alias("m"))
         )
         dang1 = (
-            ranks.join(deg, "node", "left_anti")
+            ranks.filter(F.col("outdeg").isNull())
             .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
         )
         ranks = (
-            n1.crossJoin(F.broadcast(params))
+            nd.crossJoin(F.broadcast(params))
             .crossJoin(F.broadcast(dang1))
-            .join(insum, n1["node"] == insum["dst"], "left")
+            .join(_maybe_bcast(insum, small), nd["node"] == insum["dst"], "left")
             .select(
                 "node",
+                "outdeg",
                 (
                     base
                     + F.expr(
@@ -163,23 +208,39 @@ def personalized_pagerank(
     params = sd.agg(
         F.count("*").alias("ns"),
         F.expr(f"CAST({total_mass} AS BIGINT) div count(*)").alias("s"),
+    ).localCheckpoint(eager=True)
+    # raw edge list materialized exactly once (same r10 fix as
+    # `pagerank`: a lazy out-degree table made every iteration's
+    # dangling aggregate replay the edge derivation); out-degrees ride
+    # the |nodes|-row frame so nothing edge-sized is joined twice
+    ec = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    deg = ec.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
     )
-    deg = (
-        edges.groupBy(F.col(src_col).alias("node"))
-        .agg(F.count("*").alias("outdeg"))
-    )
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .join(deg.withColumnRenamed("node", "src"), "src")
+    # is_seed and outdeg (NULL = dangling) are both STATIC: resolve once
+    # into per-node columns, so no per-iteration join against seeds or
+    # the degree table exists
+    marked = (
+        n1.join(sd.withColumn("_isseed", F.lit(1)), "node", "left")
+        .join(deg, "node", "left")
+        .select(
+            "node",
+            F.coalesce("_isseed", F.lit(0)).alias("_isseed"),
+            "outdeg",
+        )
         .localCheckpoint(eager=True)
     )
-    # is_seed once, reused every iteration
-    marked = n1.join(
-        sd.withColumn("_isseed", F.lit(1)), "node", "left"
-    ).select("node", F.coalesce("_isseed", F.lit(0)).alias("_isseed"))
+    # join-strategy gate on the TOTAL node count (not the seed count in
+    # `params`): 1-row driver read of a materialized agg.
+    small = (
+        n1.agg(F.count("*").alias("n")).first()["n"] <= _BCAST_NODES_CAP
+    )
     ranks = marked.crossJoin(F.broadcast(params)).select(
         "node",
         "_isseed",
+        "outdeg",
         F.when(F.col("_isseed") == 1, F.col("s").cast("long"))
         .otherwise(F.lit(0).cast("long"))
         .alias("r"),
@@ -190,23 +251,29 @@ def personalized_pagerank(
         + F.expr(f"({damping_num} * (dang div ns)) div {damping_den}")
     )
     for _ in range(iters):
+        # same gated-broadcast discipline as `pagerank`: ranks/insum are
+        # |nodes|-row, the edge list never shuffles when the gate allows
         insum = (
-            ranks.join(e, ranks["node"] == e["src"])
-            .select("dst", F.expr("r div outdeg").alias("c"))
+            _maybe_bcast(
+                ranks.select("node", F.expr("r div outdeg").alias("c")),
+                small,
+            )
+            .join(ec, F.col("node") == ec["src"])
             .groupBy("dst")
             .agg(F.sum("c").alias("m"))
         )
         dang1 = (
-            ranks.join(deg, "node", "left_anti")
+            ranks.filter(F.col("outdeg").isNull())
             .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
         )
         ranks = (
             marked.crossJoin(F.broadcast(params))
             .crossJoin(F.broadcast(dang1))
-            .join(insum, marked["node"] == insum["dst"], "left")
+            .join(_maybe_bcast(insum, small), marked["node"] == insum["dst"], "left")
             .select(
                 "node",
                 "_isseed",
+                "outdeg",
                 (
                     F.when(F.col("_isseed") == 1, seed_base).otherwise(
                         F.lit(0).cast("long")
