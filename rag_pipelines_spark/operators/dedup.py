@@ -442,15 +442,22 @@ def near_dedup_pairs(
     (shuffle keyed on id, candidate-sized probe side), so post-LSH work
     is output-sized. `array_intersect` on the already-distinct shingle
     arrays gives the exact intersection cardinality. The shingle frame
-    feeds three plan branches (band keys + both verify sides); Spark
-    recomputes the Arrow-UDF subtree per branch, so a caller running this
-    at scale should `.persist()` the input (or write shingles once) — the
-    extra cost is bounded re-shingling, never an extra shuffle.
+    feeds three plan branches (band keys + both verify sides) and the
+    Arrow-UDF subtree defeats exchange reuse, so it is materialized ONCE
+    via localCheckpoint (r10: Spark recomputed it per branch — three
+    full shingle passes). The storage cost is the distinct-shingle
+    arrays — the frame a scale deployment persists or writes out anyway
+    (SCALE.md signatures-once discipline).
     """
     toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
-    sh = toks.select(
-        F.col(id_col), word_shingles(F.col("ws"), shingle_size).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    sh = (
+        toks.select(
+            F.col(id_col),
+            word_shingles(F.col("ws"), shingle_size).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint(eager=True)
+    )
     keys = minhash_band_keys(
         df, id_col, text_col, n_hashes, bands, shingle_size, shingles_df=sh
     )

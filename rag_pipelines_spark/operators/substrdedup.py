@@ -104,8 +104,13 @@ def duplicated_ngram_spans(
     Merging is the classic island scheme: a hit starts a new island iff
     its start exceeds (running max end of prior hits) + 1, so touching
     spans fuse into one maximal covered run.
+
+    occ is materialized once (same two-branch recompute as
+    substring_dedup — see that docstring).
     """
-    occ = ngram_occurrences(df, id_col, text_col, n)
+    occ = ngram_occurrences(df, id_col, text_col, n).localCheckpoint(
+        eager=True
+    )
     hits = _dup_occurrences(occ, min_count)
     return merge_covered_spans(hits, n, id_col)
 
@@ -196,8 +201,18 @@ def substring_dedup(
     identical in the SQL oracle). Documents keep their surviving tokens in
     original order, space-joined; a doc whose every token was covered
     comes back as the empty string.
+
+    The occurrence frame feeds two plan branches (the gram-count
+    aggregate and the join probe side) whose exchanges do not
+    canonicalize to one, so without materialization the gram build — an
+    md5 per token n-gram, the dominant per-row cost — runs TWICE
+    (measured: ~2x the scan cost at sf0.1, r10). localCheckpoint runs
+    it once; the stored frame is (id, pos, 32-char digest) — O(corpus
+    tokens), the op's documented shuffle lower bound anyway.
     """
-    occ = ngram_occurrences(df, id_col, text_col, n)
+    occ = ngram_occurrences(df, id_col, text_col, n).localCheckpoint(
+        eager=True
+    )
     w = Window.partitionBy("gh").orderBy("id", "pos")
     nonkeeper = (
         _dup_occurrences(occ, min_count)
