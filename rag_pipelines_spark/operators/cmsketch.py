@@ -52,6 +52,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rag_pipelines_spark.operators.freqsketch import _join_null_safe
+from rag_pipelines_spark.operators.statefs import backend_for, is_uri
 from rag_pipelines_spark.operators.state import (
     commit_version,
     epoch_already_applied,
@@ -97,7 +98,28 @@ def cm_partial(batch: DataFrame, keys: list[str], item_col: str, *,
 
 
 def _read_meta(spark, live: str) -> tuple[int, int]:
-    m = spark.read.parquet(os.path.join(live, "meta")).collect()[0]
+    # meta is two ints — a backend text file since r10 (reading it as a
+    # Spark parquet job cost ~0.2-0.3 s per read, 3+ reads per serve
+    # query; the text read is ~1 ms through the same statefs backend the
+    # crash drills exercise). Legacy parquet `meta` dirs still resolve.
+    from rag_pipelines_spark.operators.statefs import backend_for
+
+    fs = backend_for(live)
+    pj = os.path.join(live, "meta.json")
+    if fs.isfile(pj):
+        import json
+
+        m = json.loads(fs.read_text(pj))
+        return int(m["depth"]), int(m["width"])
+    p = os.path.join(live, "meta")
+    if not is_uri(p):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(p)
+        return int(tbl.column("depth")[0].as_py()), int(
+            tbl.column("width")[0].as_py()
+        )
+    m = spark.read.parquet(p).collect()[0]
     return int(m.depth), int(m.width)
 
 
@@ -150,16 +172,15 @@ def merge_cm(spark, batch: DataFrame, state_path: str, *,
             counters.coalesce(state_partitions).write.mode(
                 "overwrite"
             ).parquet(os.path.join(vdir, "counters"))
-            # range+lit, NOT createDataFrame: a 1-row local-relation
-            # parquet write costs ~6 s/job on this build (Python local
-            # data serializes through a fresh RDD job); range() stays
-            # JVM-side and writes in ~0.5 s. Measured: the meta write
-            # was 5.8-6.8 s of every merge's 7 s commit.
-            spark.range(1).select(
-                F.lit(depth).cast("int").alias("depth"),
-                F.lit(width).cast("int").alias("width"),
-            ).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(vdir, "meta")
+            # meta = two ints: an atomic backend text file, not a Spark
+            # parquet job. History: createDataFrame cost ~6 s/commit,
+            # the r9 range()+lit rewrite ~0.5 s — still a whole job for
+            # two ints; the text publish is ~1 ms and rides the same
+            # statefs backend (temp + rename) the crash drills cover.
+            import json
+
+            backend_for(state_path).publish_text(
+                vdir, "meta.json", json.dumps({"depth": depth, "width": width})
             )
 
         commit_version(

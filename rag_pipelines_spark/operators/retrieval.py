@@ -112,6 +112,15 @@ def bm25_scores(docs: DataFrame, queries: DataFrame, *, id_col: str = "doc_id",
     # skips (size(split(NULL)) is NULL) and avgdl/idf silently skew.
     docs_nn = docs.filter(F.col(text_col).isNotNull())
     hits = term_hits(docs_nn, uterms, id_col=id_col, text_col=text_col)
+    if corpus_stats is None:
+        # the hits frame feeds TWO branches below (the dfreq aggregate
+        # and the scoring join) and term_hits' corpus × |terms| array
+        # scan is the expensive subtree — materialize it once (r10;
+        # measured ~2x the scan cost uncut). The stored frame is
+        # (doc_id, dl, term, tf) for MATCHING pairs only — no token
+        # arrays, bounded by matches, not the corpus. The state-served
+        # path (corpus_stats given) consumes hits once — no cut needed.
+        hits = hits.localCheckpoint(eager=True)
 
     if corpus_stats is not None:
         terms_state, totals = corpus_stats
