@@ -35,6 +35,8 @@ decimals exactly like q_cosine_topk.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -548,13 +550,54 @@ def maxsim_scores(q_tokens: DataFrame, d_tokens: DataFrame, *,
     # zip_with/aggregate HOF — this expression runs |Q|·n_tok·|corpus
     # tokens| times, the single hottest expression in the retrieval
     # tier. Identical arithmetic (tests/test_vecexpr.py).
+    #
+    # r10 second pass (guide §1.2 per-task work): even flat, the decimal
+    # fold pays one CAST(double AS DECIMAL) per term per pair — a
+    # BigDecimal construction each, measured ~80% of the scoring stage.
+    # The contract output, though, is FLOOR(cos·1e9 + 0.5): an INTEGER.
+    # The plain-double dot differs from the decimal dot by at most
+    #   q_err = token_dim·0.5e-15        (per-term HALF_UP quantization)
+    #   s_err = 2e-15·Σ|q_i·d_i|         (≥ 2x the (n-1)·eps·Σ|t| double
+    #                                     summation bound + the final
+    #                                     decimal→double cast ulp)
+    # so in y = cos·1e9 + 0.5 units the two paths diverge by less than
+    #   m = 1e-5 + (q_err + s_err)·1e9/denom
+    # (the flat 1e-5 covers the ~ulp(1e9)≈2.4e-7 rounding of the shared
+    # /denom·1e9+0.5 ops with ~10x margin). FLOOR(y) can only differ
+    # between the paths when y_dbl lies within m of an integer — so the
+    # decimal fold is evaluated ONLY on those boundary-risky rows
+    # (lazy CASE WHEN branch; ~1e-5 of rows at the default margin), and
+    # every row's published value still comes from arithmetic that
+    # provably equals the full-decimal evaluation. Equality with the
+    # always-decimal path is pinned in tests/test_retrieval.py
+    # (SPARK_GRAFT_MAXSIM_GUARD=1e9 forces the decimal branch on every
+    # row) and by the unchanged oracle hashes.
     dot = flat_dot_dec_sql(
         [f"CAST(q_vec[{i}] AS DOUBLE)" for i in range(token_dim)],
         [f"CAST(d_vec[{i}] AS DOUBLE)" for i in range(token_dim)],
     )
+    dot_dbl = " + ".join(
+        f"(CAST(q_vec[{i}] AS DOUBLE) * CAST(d_vec[{i}] AS DOUBLE))"
+        for i in range(token_dim)
+    )
+    abs_dot = " + ".join(
+        f"ABS(CAST(q_vec[{i}] AS DOUBLE) * CAST(d_vec[{i}] AS DOUBLE))"
+        for i in range(token_dim)
+    )
+    guard = float(os.environ.get("SPARK_GRAFT_MAXSIM_GUARD", "1.0"))
+    denom = "(SQRT(qn2) * SQRT(dn2))"
+    y_dbl = f"(({dot_dbl}) / {denom} * {dlit(1e9)} + {dlit(0.5)})"
+    margin = (
+        f"({dlit(guard)} * ({dlit(1e-5)}"
+        f" + ({dlit(token_dim * 0.5e-15)} + {dlit(2e-15)} * ({abs_dot}))"
+        f" * {dlit(1e9)} / {denom}))"
+    )
+    frac = f"({y_dbl} - FLOOR({y_dbl}))"
     cos_nanos = F.expr(
-        f"FLOOR(CAST({dot} AS DOUBLE) / (SQRT(qn2) * SQRT(dn2))"
-        f" * {dlit(1e9)} + {dlit(0.5)})"
+        f"CASE WHEN {frac} >= {margin} AND {frac} <= (1.0 - {margin})"
+        f" THEN FLOOR({y_dbl})"
+        f" ELSE FLOOR(CAST({dot} AS DOUBLE) / {denom}"
+        f" * {dlit(1e9)} + {dlit(0.5)}) END"
     )
     per_qtok = (
         pairs.select("query_id", "doc_id", "q_tok", cos_nanos.alias("cn"))

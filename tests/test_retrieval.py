@@ -480,3 +480,74 @@ def test_maxsim_candidates_lsh_smoke(spark):
     assert set(pruned) <= set(exact)
     for pair, score in pruned.items():
         assert score == exact[pair], pair
+
+
+def test_maxsim_guarded_double_equals_decimal_path(spark, monkeypatch):
+    """The r10 guarded evaluation (double fast path, decimal fold only on
+    boundary-risky rows) must be bit-identical to the always-decimal
+    evaluation — on random pairs, on cosines planted within 1e-12..1e-6
+    of FLOOR(cos*1e9+0.5) boundaries (forcing the risky branch), on
+    near-zero norms (margin blows up -> decimal), and on large-magnitude
+    vectors (the summation-error term of the margin scales up)."""
+    import math as m
+
+    import numpy as np
+
+    from rag_pipelines_spark.operators.retrieval import (
+        embedding_tokens,
+        maxsim_scores,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+
+    def add(vec):
+        nonlocal vid
+        rows.append((vid, [float(x) for x in vec]))
+        vid += 1
+
+    # queries: axis vector + a random one (ids 0, 1)
+    add([1.0, 0.0, 0.0, 0.0] * 4)
+    add(rng.normal(size=16))
+    # random corpus
+    for _ in range(20):
+        add(rng.normal(size=16))
+    # boundary-planted: first token [c, s, 0, 0] vs query token
+    # [1, 0, 0, 0] has cosine ~c/sqrt(c^2+s^2); plant c at FLOOR
+    # boundaries (k - 0.5)/1e9 +- delta
+    for k in (1_000_000, 250_000_000, 999_999_999):
+        for delta in (0.0, 1e-12, -1e-12, 1e-10, -1e-10, 1e-7, -1e-7, 1e-6):
+            c = (k - 0.5) / 1e9 + delta
+            s = m.sqrt(max(0.0, 1.0 - c * c))
+            add([c, s, 0.0, 0.0] + list(rng.normal(size=12)))
+    # small norm (1e-5 scale: n2 ~1e-10 survives the scale-15 decimal
+    # quantization, unlike 1e-8 whose n2 rounds to the filtered 0) and
+    # large magnitude (1e3 scale)
+    add(list(1e-5 * rng.normal(size=16)))
+    add(list(1e3 * rng.normal(size=16)))
+
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    toks = embedding_tokens(df, n_tokens=4, token_dim=4).localCheckpoint(
+        eager=True
+    )
+    q = toks.filter(F.col("id") < 2)
+
+    monkeypatch.delenv("SPARK_GRAFT_MAXSIM_GUARD", raising=False)
+    got = {
+        (r.query_id, r.doc_id): r.maxsim
+        for r in maxsim_scores(
+            q, toks, exclude_self=True, token_dim=4
+        ).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_MAXSIM_GUARD", "1e9")
+    want = {
+        (r.query_id, r.doc_id): r.maxsim
+        for r in maxsim_scores(
+            q, toks, exclude_self=True, token_dim=4
+        ).collect()
+    }
+    assert got.keys() == want.keys() and len(got) == 2 * (vid - 1)
+    for k in want:
+        # bitwise: both are one CAST(nanos AS DOUBLE)/1e9
+        assert got[k] == want[k], k
