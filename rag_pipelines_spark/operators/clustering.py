@@ -40,6 +40,9 @@ match_fda_pubmed.py; clustering is the corpus-curation generalization).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -115,31 +118,104 @@ def assign_clusters(
             "assign_clusters needs at least one centroid (empty input "
             "frame? seed_centroids returns [] on one)"
         )
-    # r10 (vecexpr.py rationale): the k per-centroid distances are the
-    # SAME zip_with/aggregate decimal folds as r9, but built as ONE
-    # parsed SQL string instead of k*d py4j-assembled Column nodes —
-    # measured 1.31 s -> 0.28 s plan construction per assignment pass
-    # at k=8, d=64, with the identical (JIT-friendly) HOF runtime and
-    # bit-identical output (tests/test_clustering.py). Same
-    # lexicographic (dist, cluster) argmin, zero shuffle. The argmin
-    # struct is computed once in its own projection; field extraction
-    # references it instead of duplicating the k folds.
+    # r10 (vecexpr.py rationale): built as ONE parsed SQL string instead
+    # of k*d py4j-assembled Column nodes — measured 1.31 s -> 0.28 s plan
+    # construction per assignment pass at k=8, d=64.
+    #
+    # r10 second pass (the maxsim_scores guarded-evaluation recipe): the
+    # k exact-decimal distance folds pay one CAST(double AS DECIMAL)
+    # BigDecimal construction per dim per centroid per row (~1.9 s per
+    # assignment pass at sf0.1), but the argmin only needs the ORDER of
+    # the distances. Each decimal distance differs from its plain-double
+    # twin by <= 64*0.5e-15 (per-term HALF_UP quantization) +
+    # (d-1)*eps*dist (left-to-right summation; terms are squares, so
+    # sum of |terms| = the distance itself). So when the two smallest
+    # DOUBLE distances are separated by more than the summed margins,
+    # the decimal order is provably the same and the winner needs no
+    # decimal at all; only boundary-risky rows (and exact decimal ties,
+    # which land inside any margin) fall back to the full decimal
+    # argmin — preserving the lexicographic tie-to-lowest-cluster
+    # contract bit-for-bit. The published `dist` is ALWAYS the winner's
+    # exact decimal fold (one CASE branch — evaluated only when a
+    # caller selects the column; Lloyd's intermediate passes never do).
+    # SPARK_GRAFT_KMEANS_GUARD scales the margin (1e9 forces the
+    # decimal argmin on every row; equality is pinned in
+    # tests/test_clustering.py and by the unchanged oracle hashes).
+    import os as _os
+
     from rag_pipelines_spark.operators.vecexpr import hof_sqdist_dec_sql
 
-    cand_structs = [
+    guard = float(_os.environ.get("SPARK_GRAFT_KMEANS_GUARD", "1.0"))
+    dec_structs = [
         f"named_struct('dist', {hof_sqdist_dec_sql(f'`{vec_col}`', [float(c) for c in cen])},"
         f" 'cluster', {int(j)})"
         for j, cen in centroids
     ]
-    best = f"array_min(array({', '.join(cand_structs)}))"
-    return df.selectExpr(
-        f"`{id_col}`", f"`{vec_col}`", f"{best} AS _best"
-    ).selectExpr(
-        f"`{id_col}`",
-        f"`{vec_col}`",
-        "_best.cluster AS cluster",
-        "_best.dist AS dist",
+    dec_best = f"array_min(array({', '.join(dec_structs)}))"
+    dist_expr = "CASE cluster " + " ".join(
+        f"WHEN {int(j)} THEN {hof_sqdist_dec_sql(f'`{vec_col}`', [float(c) for c in cen])}"
+        for j, cen in centroids
+    ) + " END"
+    am = _guarded_argmin_udf(centroids, guard)
+    cluster_expr = (
+        "CASE WHEN NOT _g.risky THEN _g.j"
+        f" ELSE ({dec_best}).cluster END"
     )
+    return (
+        df.withColumn("_g", am(F.col(vec_col)))
+        .selectExpr(
+            f"`{id_col}`", f"`{vec_col}`", f"{cluster_expr} AS cluster"
+        )
+        .selectExpr(
+            f"`{id_col}`", f"`{vec_col}`", "cluster", f"{dist_expr} AS dist"
+        )
+    )
+
+
+def _guarded_argmin_udf(centroids: list[tuple[int, list[float]]],
+                        guard: float):
+    """Arrow-vectorized double argmin + boundary-risk flag for the
+    guarded assignment (one numpy broadcast per batch — the
+    operators/similarity.py LSH-bucketize precedent for exactly this
+    interpreted-per-element trap; measured ~1 s/pass as an aggregate-HOF
+    fold at sf0.1, ~0.1 s vectorized).
+
+    Per-dim (x - c)^2 is the identical IEEE double math the decimal fold
+    quantizes; numpy's pairwise summation error is <= ceil(log2 d)*eps*
+    dist (tighter than the left-to-right bound). risky = the two
+    smallest double distances sit within margin = guard * (1e-12 +
+    d*1e-15 + 1.4e-14*(d0+d1)) of each other — covering 2x the per-term
+    HALF_UP quantization (d*0.5e-15 per distance) plus summation, so a
+    non-risky double winner IS the decimal winner. Decimal ties (equal
+    exact distances) have double gap <= margin, so the tie-to-lowest-
+    cluster contract always reaches the decimal branch."""
+    from pyspark.sql.functions import pandas_udf
+
+    order = sorted(centroids, key=lambda t: t[0])
+    C = np.asarray([c for _, c in order], dtype=np.float64)  # (k, d)
+    js = np.asarray([j for j, _ in order], dtype=np.int32)
+    d = C.shape[1]
+    k = C.shape[0]
+
+    @pandas_udf("struct<j: int, risky: boolean>")
+    def f(s: pd.Series) -> pd.DataFrame:
+        if len(s) == 0:  # Arrow can hand a 0-row batch; np.stack([]) raises
+            return pd.DataFrame(
+                {"j": np.array([], dtype=np.int32),
+                 "risky": np.array([], dtype=bool)}
+            )
+        X = np.stack(s.to_numpy())  # (n, d) float64
+        dists = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        best = dists.argmin(axis=1)  # first (lowest j) on exact ties
+        if k > 1:
+            two = np.partition(dists, 1, axis=1)[:, :2]
+            margin = guard * (1e-12 + d * 1e-15 + 1.4e-14 * two.sum(axis=1))
+            risky = (two[:, 1] - two[:, 0]) <= margin
+        else:
+            risky = np.zeros(len(best), dtype=bool)
+        return pd.DataFrame({"j": js[best], "risky": risky})
+
+    return f
 
 
 def assign_clusters_join(

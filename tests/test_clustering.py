@@ -107,3 +107,32 @@ def test_seed_centroids_partitioning_invariant(spark):
     a = seed_centroids(emb, k=8)
     b = seed_centroids(emb.repartition(13, "vec_id"), k=8)
     assert a == b
+
+
+def test_guarded_argmin_equals_forced_decimal_argmin(spark):
+    """The r10 guarded fast path (double argmin unless boundary-risky)
+    must be row-identical — cluster AND exact decimal dist — to the
+    all-decimal argmin (SPARK_GRAFT_KMEANS_GUARD=1e9 pushes every row
+    down the decimal branch). Runs a full Lloyd fit so the pin covers
+    the iterated assignment, not just one pass."""
+    import os
+
+    emb = _emb(spark)
+
+    def rows():
+        assigned, cents = kmeans_fit(emb, k=8, iters=2, d=64)
+        return (
+            sorted(
+                (r["vec_id"], r["cluster"], r["dist"])
+                for r in assigned.collect()
+            ),
+            cents,
+        )
+
+    fast = rows()
+    os.environ["SPARK_GRAFT_KMEANS_GUARD"] = "1e9"
+    try:
+        slow = rows()
+    finally:
+        del os.environ["SPARK_GRAFT_KMEANS_GUARD"]
+    assert fast == slow
