@@ -113,18 +113,31 @@ def _prune(items: DataFrame, keys: list[str], m: int):
     subtraction (keys..., _d) actually applied — the increment to the
     group's realized error bound (absent group => 0). Window partitions
     are per-GROUP (bounded at the merged summary size
-    <= 2m + distinct(batch), never data-sized)."""
+    <= 2m + distinct(batch), never data-sized).
+
+    r10: the per-group subtraction rides a second window over the SAME
+    partition keys (unordered/unbounded, so it shares the row_number's
+    exchange) instead of the old d-frame left-join — one fewer join +
+    exchange pair per prune in a path that is pure tiny-stage scheduling
+    overhead at serve time. NULL group keys need no special casing here:
+    partitionBy groups NULLs together natively (the join formulation
+    needed <=> for the same guarantee). max() over the single rk==m+1
+    row IS that row's est — values bit-identical."""
     w = W.partitionBy(*keys).orderBy(F.col("est").desc(), F.col("item"))
-    ranked = items.withColumn("_rk", F.row_number().over(w))
+    wg = W.partitionBy(*keys)
+    ranked = items.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_dd",
+        F.max(F.when(F.col("_rk") == m + 1, F.col("est"))).over(wg),
+    )
     d = ranked.filter(F.col("_rk") == m + 1).select(
         *keys, F.col("est").cast(_CNT).alias("_d")
     )
     pruned = (
-        _join_null_safe(ranked.filter(F.col("_rk") <= m), d, keys, "left")
+        ranked.filter(F.col("_rk") <= m)
         .select(
             *keys,
             "item",
-            (F.col("est") - F.coalesce(F.col("_d"), F.lit(0).cast(_CNT)))
+            (F.col("est") - F.coalesce(F.col("_dd"), F.lit(0).cast(_CNT)))
             .cast(_CNT)
             .alias("est"),
         )
@@ -162,16 +175,29 @@ def freq_partial(batch: DataFrame, keys: list[str], item_col: str,
     # out instead of funneling
     counted = _sized(counted, _derived_partitions(counted, partial_partitions))
     items, d = _prune(counted, keys, m)
+    # totals via union-sum instead of a null-safe d-join (r10): the raw
+    # counts contribute (est, 0) and the <=1-per-group pruning row
+    # contributes (0, _d); one groupBy replaces the join+exchange pair.
+    # groupBy keeps NULL group keys natively; decimal sums are exact, so
+    # n_total = sum(est) and err = _d-or-0 are bit-identical to the
+    # join formulation.
     totals = (
-        _join_null_safe(
-            counted.groupBy(*keys)
-            .agg(F.sum("est").cast(_CNT).alias("n_total")),
-            d, keys, "left",
-        )
-        .select(
+        counted.select(
             *keys,
-            "n_total",
-            F.coalesce(F.col("_d"), F.lit(0).cast(_CNT)).alias("err"),
+            F.col("est").alias("_nt"),
+            F.lit(0).cast(_CNT).alias("_er"),
+        )
+        .unionByName(
+            d.select(
+                *keys,
+                F.lit(0).cast(_CNT).alias("_nt"),
+                F.col("_d").alias("_er"),
+            )
+        )
+        .groupBy(*keys)
+        .agg(
+            F.sum("_nt").cast(_CNT).alias("n_total"),
+            F.sum("_er").cast(_CNT).alias("err"),
         )
     )
     return items, totals
@@ -221,22 +247,24 @@ def merge_freq(spark, batch: DataFrame, state_path: str, *,
             n_parts = _derived_partitions(summed, state_partitions)
             summed = _sized(summed, n_parts)
             items, d = _prune(summed, keys, m)
+            # same union-sum shape as freq_partial's totals (r10): old +
+            # batch totals rows and the <=1-per-group merge-prune row
+            # (0, _d) fold in one groupBy — no null-safe d-join. Exact
+            # decimal sums; bit-identical to the join formulation.
             totals = (
-                _join_null_safe(
-                    o_totals.unionByName(b_totals)
-                    .groupBy(*keys)
-                    .agg(
-                        F.sum("n_total").cast(_CNT).alias("n_total"),
-                        F.sum("err").cast(_CNT).alias("err"),
-                    ),
-                    d, keys, "left",
+                o_totals.unionByName(b_totals)
+                .select(*keys, "n_total", "err")
+                .unionByName(
+                    d.select(
+                        *keys,
+                        F.lit(0).cast(_CNT).alias("n_total"),
+                        F.col("_d").alias("err"),
+                    )
                 )
-                .select(
-                    *keys,
-                    "n_total",
-                    (F.col("err") + F.coalesce(F.col("_d"), F.lit(0).cast(_CNT)))
-                    .cast(_CNT)
-                    .alias("err"),
+                .groupBy(*keys)
+                .agg(
+                    F.sum("n_total").cast(_CNT).alias("n_total"),
+                    F.sum("err").cast(_CNT).alias("err"),
                 )
             )
         else:
