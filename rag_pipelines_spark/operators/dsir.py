@@ -122,6 +122,17 @@ def dsir_logweights(
     any partitioning); the paper's Gumbel-perturbed resampling drops in
     by adding noise seeded from md5(id) before the sort.
     """
+    # Deliberately NOT materialized (r10 measured negative result): the
+    # corpus feature frame feeds two consumers (the raw bucket-count agg
+    # and the scoring join), so the positions-explode + per-feature md5
+    # runs twice. A localCheckpoint of cf — the batch-3 "shingles once"
+    # move — was tried and measured SLOWER at sf1 (isolated min-of-3:
+    # 4.77 s -> 5.95 s): the feature frame is |occurrences|-sized
+    # (~2 rows per token), so writing + re-reading it costs more than
+    # re-running the cheap JVM explode+md5 over the column-pruned text
+    # scan. Unlike the shingle frames (Arrow-UDF-produced, expensive to
+    # recompute), this recompute is pure codegen — the same
+    # recompute-vs-materialize call the pretraining pipeline documents.
     cf = hashed_ngram_features(corpus, id_col, text_col, n_buckets)
     tf = hashed_ngram_features(target, id_col, text_col, n_buckets)
 

@@ -51,6 +51,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rag_pipelines_spark.operators.concurrency import checkpoint_all
+
 __all__ = ["pagerank", "personalized_pagerank"]
 
 TOTAL_MASS = 1_000_000_000_000_000  # 10^15: shared with the oracle
@@ -91,27 +93,28 @@ def pagerank(
     (src, dst) list — deduplicate upstream if multiplicity is not
     intended (parallel edges weight the contribution).
     """
-    n1 = nodes.select(F.col(node_col).alias("node")).localCheckpoint(eager=True)
+    # The node projection and the raw edge derivation are independent
+    # job chains — materialize them overlapped (guide §2.6) instead of
+    # back to back. The edge list is the ONLY corpus-sized frame;
+    # materialize the raw (src, dst) derivation exactly once. Before r10
+    # the out-degree table was lazy, so the per-iteration dangling
+    # aggregate recomputed the entire upstream edge derivation (at the
+    # registered graph: the orders x lineitem join + distinct) EVERY
+    # iteration — ~8 corpus passes the profile showed as ~2.3 s of each
+    # step's wall. Nothing edge-sized is joined-and-rematerialized
+    # either: out-degrees ride the |nodes|-row frame below, so
+    # contributions are computed per NODE (r div outdeg on |nodes| rows)
+    # before the edge join, not per edge occurrence.
+    n1, ec = checkpoint_all(
+        nodes.select(F.col(node_col).alias("node")),
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+    )
     # 1-row parameter frame: n, s — broadcast everywhere it is needed,
     # so no driver-side count() action exists in the plan. Checkpointed
     # so the per-iteration broadcast re-reads 1 row, not the node agg.
     params = n1.agg(
         F.count("*").alias("n"),
         F.expr(f"CAST({total_mass} AS BIGINT) div count(*)").alias("s"),
-    ).localCheckpoint(eager=True)
-
-    # The edge list is the ONLY corpus-sized frame; materialize the raw
-    # (src, dst) derivation exactly once. Before r10 the out-degree table
-    # was lazy, so the per-iteration dangling aggregate recomputed the
-    # entire upstream edge derivation (at the registered graph: the
-    # orders x lineitem join + distinct) EVERY iteration — ~8 corpus
-    # passes the profile showed as ~2.3 s of each step's wall. Nothing
-    # edge-sized is joined-and-rematerialized either: out-degrees ride
-    # the |nodes|-row frame below, so contributions are computed per
-    # NODE (r div outdeg on |nodes| rows) before the edge join, not per
-    # edge occurrence.
-    ec = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)
     deg = ec.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("outdeg")
@@ -199,22 +202,20 @@ def personalized_pagerank(
     link mass flows to anyone. All floor divisions on non-negative
     BIGINTs — bit-identical across engines by construction.
     """
-    n1 = nodes.select(F.col(node_col).alias("node")).localCheckpoint(eager=True)
-    sd = (
-        seeds.select(F.col(seed_col).alias("node"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # nodes / seeds / raw edges are three independent job chains —
+    # materialize them overlapped (guide §2.6). The edge list is
+    # materialized exactly once (same r10 fix as `pagerank`: a lazy
+    # out-degree table made every iteration's dangling aggregate replay
+    # the edge derivation); out-degrees ride the |nodes|-row frame so
+    # nothing edge-sized is joined twice.
+    n1, sd, ec = checkpoint_all(
+        nodes.select(F.col(node_col).alias("node")),
+        seeds.select(F.col(seed_col).alias("node")).distinct(),
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
     )
     params = sd.agg(
         F.count("*").alias("ns"),
         F.expr(f"CAST({total_mass} AS BIGINT) div count(*)").alias("s"),
-    ).localCheckpoint(eager=True)
-    # raw edge list materialized exactly once (same r10 fix as
-    # `pagerank`: a lazy out-degree table made every iteration's
-    # dangling aggregate replay the edge derivation); out-degrees ride
-    # the |nodes|-row frame so nothing edge-sized is joined twice
-    ec = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)
     deg = ec.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("outdeg")

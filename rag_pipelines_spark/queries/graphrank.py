@@ -89,6 +89,34 @@ _FINAL_SELECT = (
 )
 
 
+# Narrow node encoding (optimization guide §2.3 — "narrower types"):
+# the rank lattice depends only on graph STRUCTURE, so the iterations
+# run on one BIGINT per node (customers ride 2*key, suppliers 2*key+1 —
+# injective, both TPC-H keys are positive ints) instead of a
+# "c:<key>"/"s:<key>" string. That halves-to-thirds the bytes of the
+# edge checkpoint and of every per-iteration hash/probe (8 iterations x
+# |edges| long hashes instead of string hashes), and at cluster scale
+# shrinks the one per-iteration shuffle (the map-side-combined insum
+# partials) the same way. The string form the oracle computes is
+# re-derived expression-wise from the long at output — a projection,
+# not a join — so the published (node, rank) rows are bit-identical.
+
+
+def _enc_c(col: str):
+    return F.col(col).cast("long") * 2
+
+
+def _enc_s(col: str):
+    return F.col(col).cast("long") * 2 + 1
+
+
+def _decode_node():
+    half = F.expr("CAST(node div 2 AS STRING)")
+    return F.when(
+        F.pmod(F.col("node"), F.lit(2)) == 0, F.concat(F.lit("c:"), half)
+    ).otherwise(F.concat(F.lit("s:"), half))
+
+
 def _graph_frames(spark, sf_dir):
     pairs = (
         t(spark, sf_dir, "orders")
@@ -99,23 +127,17 @@ def _graph_frames(spark, sf_dir):
         .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
         .distinct()
     )
-    c_id = F.concat(F.lit("c:"), F.col("ck").cast("string"))
-    s_id = F.concat(F.lit("s:"), F.col("sk").cast("string"))
+    c_id = _enc_c("ck")
+    s_id = _enc_s("sk")
     edges = pairs.select(c_id.alias("src"), s_id.alias("dst")).unionByName(
         pairs.select(s_id.alias("src"), c_id.alias("dst"))
     )
     nodes = (
         t(spark, sf_dir, "customer")
-        .select(
-            F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias(
-                "node"
-            )
-        )
+        .select(_enc_c("c_custkey").alias("node"))
         .unionByName(
             t(spark, sf_dir, "supplier").select(
-                F.concat(
-                    F.lit("s:"), F.col("s_suppkey").cast("string")
-                ).alias("node")
+                _enc_s("s_suppkey").alias("node")
             )
         )
     )
@@ -138,7 +160,7 @@ def _graph_frames(spark, sf_dir):
 def q_pagerank(spark, sf_dir):
     nodes, edges = _graph_frames(spark, sf_dir)
     return pagerank(nodes, edges, iters=_ITERS).select(
-        "node", F.col("rank").alias("rank_num")
+        _decode_node().alias("node"), F.col("rank").alias("rank_num")
     )
 
 
@@ -224,16 +246,12 @@ def q_pagerank_personalized(spark, sf_dir):
     seeds = (
         t(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") % 10 == 0)
-        .select(
-            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias(
-                "node"
-            )
-        )
+        .select(_enc_s("s_suppkey").alias("node"))
     )
     return (
         personalized_pagerank(nodes, edges, seeds, iters=_ITERS)
         .filter(F.col("rank") > 0)
-        .select("node", F.col("rank").alias("rank_num"))
+        .select(_decode_node().alias("node"), F.col("rank").alias("rank_num"))
     )
 
 

@@ -1250,19 +1250,27 @@ def q_cm_join_size(spark, sf_dir):
         cm_partial,
     )
 
+    from rag_pipelines_spark.operators.concurrency import checkpoint_all
+
     w = 4096
-    cmo = cm_partial(
-        t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")),
-        [], "k", depth=4, width=w,
-    ).localCheckpoint(eager=True)  # each sketch feeds one product join
+    # the orders and lineitem sketches are independent scans — overlap
+    # their materialization jobs (guide §2.6) instead of running them
+    # back to back; cmo feeds one product join, cml is consumed twice
+    # (the self-join), cmc stays lazy (single consumer)
+    cmo, cml = checkpoint_all(
+        cm_partial(
+            t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")),
+            [], "k", depth=4, width=w,
+        ),
+        cm_partial(
+            t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k")),
+            [], "k", depth=4, width=w,
+        ),
+    )
     cmc = cm_partial(
         t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k")),
         [], "k", depth=4, width=w,
     )
-    cml = cm_partial(
-        t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k")),
-        [], "k", depth=4, width=w,
-    ).localCheckpoint(eager=True)  # self-join consumes it twice
     oc = cm_join_size(cmo, cmc).select(
         F.lit("orders_customer").alias("pair"), "est"
     )

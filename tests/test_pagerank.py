@@ -125,3 +125,65 @@ def test_random_graphs_match_reference(spark, data):
     assert _spark_ranks(spark, nodes, edges, iters) == _ref(
         nodes, edges, iters
     )
+
+
+def test_narrow_encoding_decodes_to_reference_strings(spark):
+    # r10 optimization: q_pagerank runs the iterations on BIGINT-encoded
+    # nodes (customers 2k, suppliers 2k+1 — guide §2.3 narrower types)
+    # and re-derives the "c:<key>"/"s:<key>" strings at output. Pin the
+    # encode->decode round trip AND that rank values are representation-
+    # independent: the same graph run with string ids and with the long
+    # encoding must produce identical (string node, rank) sets.
+    from pyspark.sql import functions as F
+
+    from rag_pipelines_spark.queries.graphrank import (
+        _decode_node,
+        _enc_c,
+        _enc_s,
+    )
+
+    cust = spark.createDataFrame([(7,), (19,)], "c_custkey int")
+    supp = spark.createDataFrame([(7,), (240,)], "s_suppkey int")
+    enc = cust.select(_enc_c("c_custkey").alias("node")).unionByName(
+        supp.select(_enc_s("s_suppkey").alias("node"))
+    )
+    got = sorted(
+        r["node"] for r in enc.select(_decode_node().alias("node")).collect()
+    )
+    assert got == ["c:19", "c:7", "s:240", "s:7"]
+
+    # representation independence of the rank lattice
+    edges_s = [("c:7", "s:7"), ("s:7", "c:7"), ("c:19", "s:240")]
+    enc_map = {"c:7": 14, "c:19": 38, "s:7": 15, "s:240": 481}
+    nodes_s = list(enc_map)
+    ndf_s = spark.createDataFrame([(v,) for v in nodes_s], "node string")
+    edf_s = spark.createDataFrame(edges_s, "src string, dst string")
+    ndf_l = spark.createDataFrame(
+        [(enc_map[v],) for v in nodes_s], "node long"
+    )
+    edf_l = spark.createDataFrame(
+        [(enc_map[a], enc_map[b]) for a, b in edges_s], "src long, dst long"
+    )
+    dec = {v: k for k, v in enc_map.items()}
+    r_str = {
+        r["node"]: r["rank"] for r in pagerank(ndf_s, edf_s, iters=3).collect()
+    }
+    r_long = {
+        dec[r["node"]]: r["rank"]
+        for r in pagerank(ndf_l, edf_l, iters=3).collect()
+    }
+    assert r_str == r_long
+
+
+def test_checkpoint_all_preserves_rows(spark):
+    # guide §2.6 helper: overlapped eager materialization must return
+    # exactly the frames the sequential calls would, in input order
+    from rag_pipelines_spark.operators.concurrency import checkpoint_all
+
+    a = spark.range(100).withColumnRenamed("id", "x")
+    b = spark.range(7)
+    ca, cb = checkpoint_all(a, b)
+    assert sorted(r["x"] for r in ca.collect()) == list(range(100))
+    assert cb.count() == 7
+    (one,) = checkpoint_all(a)
+    assert one.count() == 100
