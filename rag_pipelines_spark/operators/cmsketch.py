@@ -126,7 +126,8 @@ def _read_meta(spark, live: str) -> tuple[int, int]:
 def merge_cm(spark, batch: DataFrame, state_path: str, *,
              keys: list[str], item_col: str, depth: int = 4,
              width: int = 1024, epoch: int | None = None,
-             state_partitions: int = 1) -> None:
+             state_partitions: int = 1,
+             partial: DataFrame | None = None) -> None:
     """Fold one batch into the Count-Min state (element-wise counter
     add). Additive state: pass `epoch` (foreachBatch's epoch_id) for
     exactly-once under replay. (depth, width) are pinned in the state's
@@ -135,7 +136,15 @@ def merge_cm(spark, batch: DataFrame, state_path: str, *,
 
     State files default to ONE partition: the counter table is hard-
     capped at |groups|·depth·width rows (~4k per group at the 4×1024
-    default) — `state_partitions` fans out for high-cardinality keys."""
+    default) — `state_partitions` fans out for high-cardinality keys.
+
+    `partial`, when given, is this batch's counter frame already
+    produced by `cm_partial(batch, keys, item_col, depth, width)` with
+    the SAME parameters and already materialized (localCheckpoint) — a
+    caller draining several pending batches builds the per-batch
+    partials concurrently (operators/concurrency.checkpoint_all) while
+    the state folds stay strictly sequential; counters are element-wise
+    adds, so state bytes are bit-identical to the sequential path."""
     if epoch_already_applied(state_path, "count-min state", epoch):
         return
     # materialize the batch partial BEFORE anything else (freqsketch
@@ -144,7 +153,7 @@ def merge_cm(spark, batch: DataFrame, state_path: str, *,
     # merge union + the state write) reads the KB-sized counter frame —
     # a lazy partial would re-run the corpus agg inside the write job,
     # where a coalesce(1) would ALSO collapse it to one task
-    b = cm_partial(
+    b = partial if partial is not None else cm_partial(
         batch, keys, item_col, depth=depth, width=width
     ).localCheckpoint(eager=True)
     with writer_lease(state_path, what="count-min state"):

@@ -18,10 +18,30 @@ descriptions, which these short materialization jobs don't set).
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, TypeVar
 
 from pyspark.sql import DataFrame
 
-__all__ = ["checkpoint_all"]
+__all__ = ["checkpoint_all", "run_all"]
+
+_T = TypeVar("_T")
+
+
+def run_all(*thunks: Callable[[], _T]) -> tuple[_T, ...]:
+    """Run independent job-submitting callables concurrently.
+
+    The generalization of `checkpoint_all` for work that is not a bare
+    localCheckpoint — e.g. building one sketch partial per pending batch
+    (each a checkpoint + a metadata count), or the two table writes of a
+    two-table state commit. Results return in input order; with a single
+    thunk no pool is spun up; exceptions propagate unchanged (the first
+    raising thunk's exception, as with sequential execution).
+    """
+    if len(thunks) == 1:
+        return (thunks[0](),)
+    with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return tuple(f.result() for f in futures)
 
 
 def checkpoint_all(*dfs: DataFrame) -> tuple[DataFrame, ...]:
@@ -31,7 +51,6 @@ def checkpoint_all(*dfs: DataFrame) -> tuple[DataFrame, ...]:
     this degenerates to the plain sequential call (no pool spun up).
     Exceptions from any job propagate to the caller unchanged.
     """
-    if len(dfs) == 1:
-        return (dfs[0].localCheckpoint(eager=True),)
-    with ThreadPoolExecutor(max_workers=min(4, len(dfs))) as pool:
-        return tuple(pool.map(lambda d: d.localCheckpoint(eager=True), dfs))
+    return run_all(*[
+        (lambda d=d: d.localCheckpoint(eager=True)) for d in dfs
+    ])

@@ -206,7 +206,8 @@ def freq_partial(batch: DataFrame, keys: list[str], item_col: str,
 def merge_freq(spark, batch: DataFrame, state_path: str, *,
                keys: list[str], item_col: str, m: int,
                epoch: int | None = None,
-               state_partitions: int | None = None) -> None:
+               state_partitions: int | None = None,
+               partial: tuple[DataFrame, DataFrame] | None = None) -> None:
     """Fold one batch into the frequent-items state.
 
     Merge rule (mergeable-summaries MG): per-item ests ADD across the two
@@ -220,11 +221,21 @@ def merge_freq(spark, batch: DataFrame, state_path: str, *,
     file, avoiding a shuffle-partition-count spray of tiny files re-read
     every merge, while a high-cardinality group key (e.g. per-domain)
     fans out automatically instead of funneling one task (r5 advice).
+
+    `partial`, when given, is this batch's (items, totals) summary
+    already produced by `freq_partial(batch, keys, item_col, m, ...)`
+    with the SAME keys/item_col/m — a caller draining several pending
+    batches (backfill/catch-up) builds the per-batch partials
+    concurrently (operators/concurrency.run_all: each partial's
+    materialization job overlaps the others and the earlier merges'
+    fsync-bound commits) while the state folds stay strictly sequential.
+    The fold consumes exactly the frame the internal call would have
+    produced, in the same order — state bytes are bit-identical.
     """
     if epoch_already_applied(state_path, "freq-sketch state", epoch):
         return  # replayed micro-batch: already folded in
-    b_items, b_totals = freq_partial(batch, keys, item_col, m,
-                                     partial_partitions=state_partitions)
+    b_items, b_totals = partial if partial is not None else freq_partial(
+        batch, keys, item_col, m, partial_partitions=state_partitions)
     with writer_lease(state_path, what="freq-sketch state"):
         # authoritative re-check INSIDE the lease (see rollup.py: the
         # pre-lease check is a fast path; a concurrent holder may have
@@ -276,11 +287,18 @@ def merge_freq(spark, batch: DataFrame, state_path: str, *,
                                      // _ROWS_PER_STATE_PARTITION)))
 
         def _write(vdir: str) -> None:
-            _sized(items, n_parts).write.mode("overwrite").parquet(
-                os.path.join(vdir, "items")
-            )
-            _sized(totals, n_parts).write.mode("overwrite").parquet(
-                os.path.join(vdir, "totals")
+            # the two state tables derive from the same checkpointed
+            # summed frame and write to disjoint paths — overlap the two
+            # KB-sized write jobs (guide §2.6); the version only becomes
+            # live at the MANIFEST flip after BOTH jobs return, so the
+            # commit atomicity contract is unchanged
+            from rag_pipelines_spark.operators.concurrency import run_all
+
+            run_all(
+                lambda: _sized(items, n_parts).write.mode(
+                    "overwrite").parquet(os.path.join(vdir, "items")),
+                lambda: _sized(totals, n_parts).write.mode(
+                    "overwrite").parquet(os.path.join(vdir, "totals")),
             )
 
         commit_version(

@@ -56,7 +56,8 @@ def hll_partial(batch: DataFrame, keys: list[str], item_col: str,
 def merge_hll(spark, batch: DataFrame, state_path: str, *,
               keys: list[str], item_col: str, lgk: int = DEFAULT_LGK,
               epoch: int | None = None,
-              state_partitions: int = 1) -> None:
+              state_partitions: int = 1,
+              partial: DataFrame | None = None) -> None:
     """Fold one batch into the per-group HLL state.
 
     union(state ∪ partial(batch)) at the register level; additive state,
@@ -64,10 +65,18 @@ def merge_hll(spark, batch: DataFrame, state_path: str, *,
     replay (operators/state.py::applied_epoch). All sketches in a state
     dir share one lgk (hll_union_agg would raise on a mismatch — the
     loud failure we want, not a silent precision downgrade).
+
+    `partial`, when given, is this batch's (keys..., sketch) frame from
+    `hll_partial(batch, keys, item_col, lgk)` with the SAME params — a
+    caller draining several pending batches materializes the per-batch
+    sketch partials concurrently (operators/concurrency.checkpoint_all)
+    while the register-union folds stay sequential. Register union is
+    per-slot MAX (associative/idempotent), so the state is identical.
     """
     if epoch_already_applied(state_path, "hll-sketch state", epoch):
         return  # replayed micro-batch: already folded in
-    partial = hll_partial(batch, keys, item_col, lgk)
+    if partial is None:
+        partial = hll_partial(batch, keys, item_col, lgk)
     with writer_lease(state_path, what="hll-sketch state"):
         # authoritative re-check INSIDE the lease (see rollup.py: the
         # pre-lease check is a fast path; a concurrent holder may have

@@ -329,8 +329,17 @@ def merge_corpus_stats(spark, batch: DataFrame, state_path: str, *,
             terms, totals = b_terms, b_totals
 
         def _write(vdir: str) -> None:
-            terms.write.mode("overwrite").parquet(os.path.join(vdir, "terms"))
-            totals.write.mode("overwrite").parquet(os.path.join(vdir, "totals"))
+            # two independent write jobs to disjoint paths inside the
+            # uncommitted version dir — overlap them (guide §2.6); the
+            # MANIFEST flip after both return stays the commit point
+            from rag_pipelines_spark.operators.concurrency import run_all
+
+            run_all(
+                lambda: terms.write.mode("overwrite").parquet(
+                    os.path.join(vdir, "terms")),
+                lambda: totals.write.mode("overwrite").parquet(
+                    os.path.join(vdir, "totals")),
+            )
 
         commit_version(
             state_path,

@@ -260,13 +260,23 @@ def _sql_fusion_block() -> str:
     "is independent of corpus size",
 )
 def q_rrf_fusion(spark, sf_dir):
+    from rag_pipelines_spark.operators.concurrency import run_all
+
     docs = t(spark, sf_dir, "documents")
-    lex = topk_per_query(
-        bm25_scores(docs, _queries_df(spark), qterms=_qterms_df(spark)), 20
-    ).select(
-        "query_id", "doc_id", "rk"
+    # the two rankers are independent job chains: the lexical side
+    # materializes the bm25 term-hits frame (eager checkpoint inside
+    # bm25_scores), the vector side is the brute-force cosine ranking —
+    # overlap the hits checkpoint with an eager materialization of the
+    # (per-query-small) top-20 vector list (guide §2.6), then fuse the
+    # two small ranked lists. Same rows on both sides, so the fused
+    # output is bit-identical to the sequential composition.
+    lex, vec = run_all(
+        lambda: topk_per_query(
+            bm25_scores(docs, _queries_df(spark), qterms=_qterms_df(spark)),
+            20,
+        ).select("query_id", "doc_id", "rk"),
+        lambda: _cosine_ranked(spark, sf_dir, 20).localCheckpoint(eager=True),
     )
-    vec = _cosine_ranked(spark, sf_dir, 20)
     fused = rrf_fuse(lex, vec)
     return topk_per_query(fused, 10, score_col="rrf").select(
         "query_id", "doc_id", "rrf", "rk"

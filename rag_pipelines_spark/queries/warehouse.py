@@ -428,7 +428,12 @@ def q_histogram_quantiles(spark, sf_dir):
 def q_freq_topk_serve(spark, sf_dir):
     import shutil
 
-    from rag_pipelines_spark.operators.freqsketch import freq_topk, merge_freq
+    from rag_pipelines_spark.operators.concurrency import run_all
+    from rag_pipelines_spark.operators.freqsketch import (
+        freq_partial,
+        freq_topk,
+        merge_freq,
+    )
     from rag_pipelines_spark.queries.sources import _scratch
 
     state = _scratch("freq-serve", sf_dir)
@@ -445,14 +450,24 @@ def q_freq_topk_serve(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
-    for r in range(3):
+    # three pending batches -> build the three partials CONCURRENTLY
+    # (each is an independent batch-only job chain; guide §2.6), then
+    # fold them into state strictly in order — identical state bytes,
+    # the backfill/catch-up pipelining posture of a continuous ingest
+    batches = [toks.filter(F.col("doc_id") % 3 == r) for r in range(3)]
+    partials = run_all(*[
+        (lambda b=b: freq_partial(b, ["lang"], "term", 64))
+        for b in batches
+    ])
+    for b, p in zip(batches, partials):
         merge_freq(
             spark,
-            toks.filter(F.col("doc_id") % 3 == r),
+            b,
             state,
             keys=["lang"],
             item_col="term",
             m=64,
+            partial=p,
         )
     return freq_topk(spark, state, keys=["lang"], k=10)
 
@@ -487,13 +502,24 @@ def q_distinct_sketch_serve(spark, sf_dir):
     state = _scratch("hll-serve", sf_dir)
     shutil.rmtree(state, ignore_errors=True)  # additive state: fresh per run
     ev = t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
-    for r in range(3):
+    # materialize the three batch sketch partials concurrently (guide
+    # §2.6), fold sequentially — register union is per-slot MAX, so the
+    # state is identical to the all-sequential path
+    from rag_pipelines_spark.operators.concurrency import checkpoint_all
+    from rag_pipelines_spark.operators.hllsketch import hll_partial
+
+    batches = [ev.filter(F.col("event_id") % 3 == r) for r in range(3)]
+    partials = checkpoint_all(*[
+        hll_partial(b, ["event_type"], "user_id") for b in batches
+    ])
+    for b, p in zip(batches, partials):
         merge_hll(
             spark,
-            ev.filter(F.col("event_id") % 3 == r),
+            b,
             state,
             keys=["event_type"],
             item_col="user_id",
+            partial=p,
         )
     return hll_estimate(read_hll(spark, state), ["event_type"])
 
@@ -1168,15 +1194,27 @@ def q_countmin_serve(spark, sf_dir):
         )
         .localCheckpoint(eager=True)  # signatures-once (q_freq_topk_serve)
     )
-    for r in range(3):
+    # three pending batches: materialize the three counter partials
+    # concurrently (guide §2.6), fold sequentially — counters add
+    # element-wise, so the state is identical to the sequential path
+    from rag_pipelines_spark.operators.cmsketch import cm_partial
+    from rag_pipelines_spark.operators.concurrency import checkpoint_all
+
+    batches = [toks.filter(F.col("doc_id") % 3 == r) for r in range(3)]
+    partials = checkpoint_all(*[
+        cm_partial(b, ["lang"], "term", depth=4, width=1024)
+        for b in batches
+    ])
+    for b, p in zip(batches, partials):
         merge_cm(
             spark,
-            toks.filter(F.col("doc_id") % 3 == r),
+            b,
             state,
             keys=["lang"],
             item_col="term",
             depth=4,
             width=1024,
+            partial=p,
         )
     langs = t(spark, sf_dir, "documents").select("lang").distinct()
     items = spark.createDataFrame(
