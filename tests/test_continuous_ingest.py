@@ -18,6 +18,10 @@ from pyspark.sql.types import (
 
 from rag_pipelines_spark.streaming.incremental import continuous_ingest_pipeline
 
+# Fsync-bound slow partition (tools/slow_tests.txt): deselected by the
+# default `-m "not slow"` addopts; run via tools/run_slow_suite.sh.
+pytestmark = pytest.mark.slow
+
 SCHEMA = StructType(
     [
         StructField("doc_id", IntegerType()),

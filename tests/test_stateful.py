@@ -9,6 +9,10 @@ import os
 
 import pytest
 
+# Fsync-bound slow partition (tools/slow_tests.txt): deselected by the
+# default `-m "not slow"` addopts; run via tools/run_slow_suite.sh.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def spark():

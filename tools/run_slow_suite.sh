@@ -30,7 +30,10 @@ fi
 mapfile -t SLOW < <(grep -v '^#' tools/slow_tests.txt | grep -v '^$')
 
 echo "# pytest_r${N}_slow: HEAD=$(git rev-parse HEAD) tree=$(git rev-parse 'HEAD^{tree}') date=$(date -u +%FT%TZ)" > "$LOG"
-if python -m pytest "${SLOW[@]}" -q >> "$LOG" 2>&1; then
+# `-m slow` overrides the repo-default `addopts = -m "not slow"`
+# (pytest.ini) — the slow modules carry `pytestmark = pytest.mark.slow`
+# and would otherwise be deselected even when named explicitly.
+if python -m pytest "${SLOW[@]}" -m slow -q >> "$LOG" 2>&1; then
     echo "# exit=0" >> "$LOG"
     tail -2 "$LOG"
     echo "slow partition green: ${LOG}"
