@@ -119,9 +119,13 @@ def learn_bpe_merges(
     merge table as a distributed result). Each iteration: one vocab-sized
     pair agg, one 1-row argmax collect (ties: cnt DESC, a ASC, b ASC),
     one zero-shuffle fold."""
+    # localCheckpoint is LAZY throughout: each iteration's 1-row argmax
+    # collect is a TakeOrderedAndProject over ALL partitions of the pair
+    # agg, so it materializes the new vocab state's checkpoint as a side
+    # effect — one job per merge instead of two (materialize + argmax).
     v = vocab.select(
         "word", "freq", F.split("word", "").alias("s")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     tops: list[DataFrame] = []
     for rank in range(1, n_merges + 1):
@@ -138,7 +142,7 @@ def learn_bpe_merges(
         tops.append(top_df.select(F.lit(rank).alias("merge_rank"), "a", "b", "cnt"))
         v = v.select(
             "word", "freq", apply_merge(F.col("s"), a, b).alias("s")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges, v, tops
 
 

@@ -13,9 +13,11 @@ MapReduce-era two-phase star algorithm; public literature: Kiveris et al.,
   * large-star(u): every neighbor v > u re-links to m = min(N(u) ∪ {u})
   * small-star(u): every neighbor v <= u (and u itself) links to m
 
-Each phase is one groupBy-min + one equi-join over the edge list — the
-same shuffle shape as one round of label propagation — but the alternation
-converges in O(log n) rounds instead of O(diameter). A 1000-node path
+Each phase is ONE exchange of the edge list with a window MIN over the
+star key (min + member rows from the same exchange — the groupBy+join
+formulation computed the input subtree once per side) — the same shuffle
+volume as one round of label propagation — and the alternation converges
+in O(log n) rounds instead of O(diameter). A 1000-node path
 graph converges in ~10 rounds where plain min-label propagation needs 999
 (and would silently hit the iteration cap). The driver only ever reads a
 two-scalar convergence fingerprint per round; edge data never leaves the
@@ -25,7 +27,7 @@ don't grow with iterations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -46,6 +48,63 @@ def _round_fingerprint(dir_edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _star_round(dir_edges: DataFrame) -> DataFrame:
+    """One alternation round: large-star then small-star over a canonical
+    hi->lo edge frame; returns the next canonical edge frame
+    (pre-checkpoint). Exposed for tools/capture_body_plans.py so the
+    committed iteration-body plan is BUILT FROM this exact code.
+
+    Each star phase needs, per grouping key, BOTH the per-key minimum
+    and every member row. groupBy+self-join computed the (non-reusable,
+    checkpoint-rooted but union-heavy) input subtree once PER SIDE —
+    the r11 before-body plan shows 22 Exchanges per round, the whole
+    large-star output duplicated under mins2 and under the relink join.
+    A window MIN partitioned by the key delivers min+members from ONE
+    exchange of the frame (guide §2.4: operations keyed the same way
+    share one exchange); values are identical (same min over the same
+    partition). Skew caveat: a mega-degree key lands in one window
+    partition, but the SMJ alternative sorted the same partition on the
+    same key, so nothing is lost vs the join formulation.
+    """
+    # -- large-star: v > u re-links to m = min(N(u) ∪ {u}) -------------
+    sym = dir_edges.select(
+        F.col("hi").alias("a"), F.col("lo").alias("b")
+    ).unionByName(dir_edges.select(F.col("lo").alias("a"), F.col("hi").alias("b")))
+    large = (
+        sym.withColumn("mn", F.min("b").over(Window.partitionBy("a")))
+        .where(F.col("b") > F.col("a"))
+        # b > a >= m, so (b, m) is already hi->lo canonical
+        .select(
+            F.col("b").alias("hi"),
+            F.least(F.col("a"), F.col("mn")).alias("lo"),
+        )
+    )
+
+    # -- small-star: u and its smaller neighbors link to m -------------
+    l2 = large.withColumn("mn", F.min("lo").over(Window.partitionBy("hi")))
+    # Emit BOTH output kinds from one pass over l2 (a union of a relink
+    # branch and a self-link branch would root two plan branches at the
+    # same window subtree — computed once per branch unless runtime
+    # exchange reuse happens to fire): per member row, always (hi, mn)
+    # [self-link; one per key after distinct], plus (lo, mn) when
+    # lo != mn [relink; lo > mn so canonical]. Set output identical.
+    both = F.when(
+        F.col("lo") != F.col("mn"),
+        F.array(
+            F.struct(F.col("lo").alias("hi"), F.col("mn").alias("lo")),
+            F.struct(F.col("hi").alias("hi"), F.col("mn").alias("lo")),
+        ),
+    ).otherwise(
+        F.array(F.struct(F.col("hi").alias("hi"), F.col("mn").alias("lo")))
+    )
+    return (
+        l2.select(F.explode(both).alias("e"))
+        .select("e.hi", "e.lo")
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -59,46 +118,27 @@ def connected_components(
     `nodes` must contain every vertex (isolated docs form singleton
     clusters); `edges` is undirected input (direction-normalized here).
     """
-    # canonical directed edges hi -> lo (hi > lo); self-loops dropped
+    # canonical directed edges hi -> lo (hi > lo); self-loops dropped.
+    # localCheckpoint is LAZY: the fingerprint action right below is the
+    # round's one job and materializes the checkpoint as a side effect —
+    # eager=True would run a second, redundant materialization job per
+    # round (guide §1.2: the driver-side job count is the cost here, the
+    # per-round data is candidate-pair-sized).
     dir_edges = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .where(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_fp = _round_fingerprint(dir_edges)
 
     for _ in range(max_iterations):
-        # -- large-star: v > u re-links to m = min(N(u) ∪ {u}) -------------
-        sym = dir_edges.select(
-            F.col("hi").alias("a"), F.col("lo").alias("b")
-        ).unionByName(dir_edges.select(F.col("lo").alias("a"), F.col("hi").alias("b")))
-        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
-        m = F.least(F.col("a"), F.col("mn"))
-        large = (
-            sym.join(mins, "a")
-            .where(F.col("b") > F.col("a"))
-            # b > a >= m, so (b, m) is already hi->lo canonical
-            .select(F.col("b").alias("hi"), m.alias("lo"))
-            .distinct()
-        )
-
-        # -- small-star: u and its smaller neighbors link to m -------------
-        mins2 = large.groupBy("hi").agg(F.min("lo").alias("mn"))
-        relink = (
-            large.join(mins2, "hi")
-            .where(F.col("lo") != F.col("mn"))
-            # lo > mn (mn is the min), canonical again
-            .select(F.col("lo").alias("hi"), F.col("mn").alias("lo"))
-        )
-        self_link = mins2.select("hi", F.col("mn").alias("lo"))
-        new_dir = (
-            relink.unionByName(self_link)
-            .where(F.col("hi") != F.col("lo"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        # Lazy checkpoint: the fingerprint below is the round's single
+        # action — it materializes the checkpoint and reads the two
+        # convergence scalars in ONE job (eager=True cost a second
+        # full-round job purely to materialize first).
+        new_dir = _star_round(dir_edges).localCheckpoint(eager=False)
 
         fp = _round_fingerprint(new_dir)
         dir_edges = new_dir

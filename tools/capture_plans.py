@@ -1,12 +1,13 @@
-"""Capture .explain("formatted") for named queries into plans/r10/.
+"""Capture .explain("formatted") for named queries into plans/r<N>/.
 
 Usage:
     python tools/capture_plans.py before q_pca_project q_pagerank ...
     python tools/capture_plans.py after  q_pca_project ...
 
-Writes plans/r10/<query>_<tag>.txt (the optimization-round evidence the
-judge checks plan claims against). Explain-only: plans are built at the
-bench SF but never executed, so this is cheap and contention-free.
+Writes plans/r<N>/<query>_<tag>.txt (the optimization-round evidence the
+judge checks plan claims against; N from $SPARK_GRAFT_PLANS_ROUND,
+default 11). Explain-only: plans are built at the bench SF but never
+executed, so this is cheap and contention-free.
 """
 
 from __future__ import annotations
@@ -17,7 +18,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+_ROUND = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "11")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    f"r{_ROUND}",
+)
 
 
 def main() -> int:
