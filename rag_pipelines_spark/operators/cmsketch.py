@@ -153,13 +153,39 @@ def merge_cm(spark, batch: DataFrame, state_path: str, *,
     # merge union + the state write) reads the KB-sized counter frame —
     # a lazy partial would re-run the corpus agg inside the write job,
     # where a coalesce(1) would ALSO collapse it to one task
-    b = partial if partial is not None else cm_partial(
-        batch, keys, item_col, depth=depth, width=width
+    # defensively materialize EITHER source (r10 ADVICE): a caller-
+    # supplied lazy partial would silently reintroduce the re-run-inside-
+    # the-write pathology this comment warns about; localCheckpoint on an
+    # already-checkpointed KB-sized frame is a few ms — cheap insurance
+    b = (
+        partial
+        if partial is not None
+        else cm_partial(batch, keys, item_col, depth=depth, width=width)
     ).localCheckpoint(eager=True)
     with writer_lease(state_path, what="count-min state"):
         if epoch_already_applied(state_path, "count-min state", epoch):
             return
         live = live_version_dir(state_path, what="count-min state")
+        if live is None and partial is not None:
+            # FIRST fold of a caller-built partial (r10 ADVICE): the
+            # geometry guards below only compare LATER merges against
+            # meta.json, so a partial built with different depth/width
+            # would be written as state unchecked and meta would record
+            # the CALL's geometry, not the bytes'. Validate on the
+            # KB-sized counter frame: a non-empty cm_partial carries
+            # every d in 0..depth-1 (the depth explode), and every
+            # bucket is < width by construction.
+            bounds = b.agg(
+                F.max("d").alias("md"), F.max("bucket").alias("mb")
+            ).first()
+            if bounds["md"] is not None and (
+                int(bounds["md"]) != depth - 1 or int(bounds["mb"]) >= width
+            ):
+                raise ValueError(
+                    "count-min partial geometry mismatch: partial has "
+                    f"max d={bounds['md']} max bucket={bounds['mb']}, "
+                    f"merge called with depth={depth} width={width}"
+                )
         if live is not None:
             sd, sw = _read_meta(spark, live)
             if (sd, sw) != (depth, width):

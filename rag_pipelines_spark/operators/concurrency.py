@@ -34,8 +34,14 @@ def run_all(*thunks: Callable[[], _T]) -> tuple[_T, ...]:
     localCheckpoint — e.g. building one sketch partial per pending batch
     (each a checkpoint + a metadata count), or the two table writes of a
     two-table state commit. Results return in input order; with a single
-    thunk no pool is spun up; exceptions propagate unchanged (the first
-    raising thunk's exception, as with sequential execution).
+    thunk no pool is spun up. Failure semantics differ from sequential
+    execution (r10 ADVICE): ALL thunks run to completion even when an
+    earlier one raises (side-effecting thunks such as overlapped parquet
+    writes still execute), and the exception propagated afterwards is
+    the first in INPUT order, not the first to raise temporally —
+    harmless at current call sites because commit_version only flips the
+    MANIFEST after its write_fn succeeds, so an orphaned side effect is
+    never visible state.
     """
     if len(thunks) == 1:
         return (thunks[0](),)

@@ -75,6 +75,7 @@ def merge_hll(spark, batch: DataFrame, state_path: str, *,
     """
     if epoch_already_applied(state_path, "hll-sketch state", epoch):
         return  # replayed micro-batch: already folded in
+    caller_partial = partial is not None
     if partial is None:
         partial = hll_partial(batch, keys, item_col, lgk)
     with writer_lease(state_path, what="hll-sketch state"):
@@ -84,6 +85,21 @@ def merge_hll(spark, batch: DataFrame, state_path: str, *,
         if epoch_already_applied(state_path, "hll-sketch state", epoch):
             return
         live = live_version_dir(state_path, what="hll-sketch state")
+        if live is None and caller_partial:
+            # FIRST fold of a caller-built partial (r10 ADVICE): later
+            # merges fail loudly on an lgk mismatch inside hll_union_agg,
+            # but the first version would be written unchecked, silently
+            # rebasing the state's precision on the caller's error. Probe
+            # by unioning the partial's sketches with one declared-lgk
+            # sketch — hll_union_agg raises on differing lgConfigK
+            # (allowDifferentLgConfigK defaults to false). One tiny job
+            # over the |groups|-row frame, only on state creation.
+            probe = spark.range(1).agg(
+                F.hll_sketch_agg(F.col("id"), F.lit(lgk)).alias("sketch")
+            )
+            partial.select("sketch").unionByName(probe).agg(
+                F.hll_union_agg("sketch")
+            ).first()
         if live is not None:
             merged = (
                 spark.read.parquet(live)

@@ -202,3 +202,43 @@ def test_join_size_grouped_reports_one_sided_groups(spark, tmp_path):
     # en shared (sparse regime -> exact: 2*1 + 1*2 = 4); fr only in a,
     # de only in b -> both reported with est=0, neither dropped
     assert out == {"en": 4, "fr": 0, "de": 0}
+
+
+def test_first_fold_partial_geometry_validated(spark, tmp_path):
+    """r10 ADVICE: a caller-built partial with the WRONG geometry must be
+    rejected on the FIRST fold too (later merges are covered by the
+    meta.json guard) — otherwise it would be written as state and meta
+    would record the call's geometry, not the bytes'."""
+    df = _stream(spark)
+    wrong = cm_partial(df, ["grp"], "item", depth=8, width=64).localCheckpoint()
+    state = str(tmp_path / "cm_firstfold")
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        merge_cm(spark, df, state, keys=["grp"], item_col="item",
+                 depth=4, width=64, partial=wrong)
+    # a CORRECT caller partial on the first fold is accepted and serves
+    # the same bytes as the internal path
+    right = cm_partial(df, ["grp"], "item", depth=4, width=64).localCheckpoint()
+    merge_cm(spark, df, state, keys=["grp"], item_col="item",
+             depth=4, width=64, partial=right)
+    a = read_cm(spark, state)[0].orderBy("grp", "d", "bucket").collect()
+    state2 = str(tmp_path / "cm_firstfold_internal")
+    merge_cm(spark, df, state2, keys=["grp"], item_col="item",
+             depth=4, width=64)
+    b = read_cm(spark, state2)[0].orderBy("grp", "d", "bucket").collect()
+    assert a == b
+
+
+def test_first_fold_lazy_partial_is_materialized_defensively(spark, tmp_path):
+    """r10 ADVICE: a LAZY (un-checkpointed) caller partial must not
+    reintroduce the re-run-inside-the-write pathology — merge_cm now
+    materializes either source itself; state bytes are identical."""
+    df = _stream(spark)
+    lazy = cm_partial(df, [], "item", depth=4, width=64)  # no checkpoint
+    state = str(tmp_path / "cm_lazy")
+    merge_cm(spark, df, state, keys=[], item_col="item",
+             depth=4, width=64, partial=lazy)
+    a = read_cm(spark, state)[0].orderBy("d", "bucket").collect()
+    state2 = str(tmp_path / "cm_lazy_internal")
+    merge_cm(spark, df, state2, keys=[], item_col="item",
+             depth=4, width=64)
+    assert a == read_cm(spark, state2)[0].orderBy("d", "bucket").collect()

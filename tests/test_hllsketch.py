@@ -158,3 +158,32 @@ def test_merge_hll_empty_batch_preserves_state(spark, tmp_path):
         map(tuple, hll_estimate(read_hll(spark, state), ["event_type"]).collect())
     )
     assert after == before
+
+
+def test_first_fold_partial_lgk_validated(spark, tmp_path):
+    """r10 ADVICE: a caller-built partial with the wrong lgk must be
+    rejected on the FIRST fold (later merges fail inside hll_union_agg)
+    — otherwise the state's precision is silently rebased."""
+    import pytest
+
+    ev = _events(spark)
+    wrong = hll_partial(ev, ["event_type"], "user_id", lgk=13).localCheckpoint()
+    state = str(tmp_path / "hll_firstfold")
+    with pytest.raises(Exception, match="(?i)lgconfigk|union"):
+        merge_hll(spark, ev, state, keys=["event_type"],
+                  item_col="user_id", partial=wrong)
+    # correct-lgk caller partial accepted; serves same estimates as internal
+    right = hll_partial(ev, ["event_type"], "user_id").localCheckpoint()
+    merge_hll(spark, ev, state, keys=["event_type"], item_col="user_id",
+              partial=right)
+    a = sorted(
+        (r.event_type, r.n_distinct_est)
+        for r in hll_estimate(read_hll(spark, state), ["event_type"]).collect()
+    )
+    state2 = str(tmp_path / "hll_firstfold_internal")
+    merge_hll(spark, ev, state2, keys=["event_type"], item_col="user_id")
+    b = sorted(
+        (r.event_type, r.n_distinct_est)
+        for r in hll_estimate(read_hll(spark, state2), ["event_type"]).collect()
+    )
+    assert a == b
