@@ -45,6 +45,24 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Shuffled-hash over sort-merge when the per-partition build side
+        # fits (guide §3.1/§9): hash build skips both sort passes. r11
+        # A/B at sf1 on the join-heavy set (tpch q3/q5/q9/q21,
+        # q_join_inner, q_near_dedup): 22.95 -> 17.72 s at 32 cores
+        # (1.30x) and 20.43 -> 17.05 s at 8 cores (1.20x), every query
+        # >= 1.0x. The AQE threshold bounds the runtime SMJ->SHJ rewrite
+        # to partitions whose build side is < 256 MB (with AQE
+        # coalescing targeting ~64 MB partitions, an OOM-safe margin);
+        # both knobs are env-overridable for cluster postures where
+        # build-side memory is tighter.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_THRESHOLD", "256m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
