@@ -243,7 +243,33 @@ def line_dedup(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), esc)).alias("pos", "line")
     )
     w = Window.partitionBy("line").orderBy(id_col, "pos")
-    kept = lines.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    # The keeper decision needs the global window (shuffle lower bound),
+    # but the REBUILD does not need the whole corpus: only docs that
+    # LOST a line can change (r11: 8 of 5000 docs at sf0.1), and
+    # split-on-sep then join-with-sep is the identity for every string,
+    # so an untouched doc's rebuilt form IS its original text. Keep only
+    # the output-sized removal events (the guide §8 decision table,
+    # materialized once — it feeds the affected-id set and the
+    # anti-join probe), re-derive the affected docs' lines from source
+    # (same split => same positions, deterministic), and pass everything
+    # else through verbatim. The second O(corpus-text) shuffle (the
+    # rebuild groupBy) shrinks to the affected fraction; the
+    # affected-id joins broadcast a tiny set.
+    removed = (
+        lines.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(id_col, "pos")
+        .localCheckpoint(eager=True)
+    )
+    affected = removed.select(id_col).distinct()
+    src = df.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("_txt")
+    )
+    aff = src.join(affected, id_col)
+    aff_lines = aff.select(
+        F.col(id_col), F.posexplode(F.split(F.col("_txt"), esc)).alias("pos", "line")
+    )
+    kept = aff_lines.join(removed, [id_col, "pos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -253,10 +279,17 @@ def line_dedup(
             sep,
         ).alias(out_col)
     )
-    ids = df.select(id_col)
-    return ids.join(rebuilt, id_col, "left").select(
+    # a doc whose every line was removed has no kept rows -> "" (the
+    # pre-r11 left-join form gave the same); a NULL text never explodes
+    # into lines, so it is never affected and passes through as "" via
+    # the coalesce above (also the pre-r11 behavior)
+    aff_out = aff.select(id_col).join(rebuilt, id_col, "left").select(
         id_col, F.coalesce(out_col, F.lit("")).alias(out_col)
     )
+    untouched = src.join(affected, id_col, "left_anti").select(
+        F.col(id_col), F.col("_txt").alias(out_col)
+    )
+    return untouched.unionByName(aff_out)
 
 
 # ---------------------------------------------------------------------------
