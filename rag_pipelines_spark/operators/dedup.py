@@ -282,14 +282,22 @@ def line_dedup(
     # a doc whose every line was removed has no kept rows -> "" (the
     # pre-r11 left-join form gave the same); a NULL text never explodes
     # into lines, so it is never affected and passes through as "" via
-    # the coalesce above (also the pre-r11 behavior)
+    # the coalesce above (also the pre-r11 behavior).
+    # Single-branch pass-through (src LEFT JOIN the affected-sized
+    # rebuild, coalesce to the original text) instead of a
+    # union(untouched, affected): a union splices TWO copies of the
+    # source subtree into every downstream consumer, and in persist-free
+    # compositions (q_pretraining_prep's registered form) that fan-out
+    # compounds multiplicatively through later stages — measured 16->60
+    # exchanges in prep's static plan before this form. "" is non-NULL,
+    # so the coalesce keeps fully-deduped docs empty.
     aff_out = aff.select(id_col).join(rebuilt, id_col, "left").select(
-        id_col, F.coalesce(out_col, F.lit("")).alias(out_col)
+        id_col, F.coalesce(out_col, F.lit("")).alias("_aff_txt")
     )
-    untouched = src.join(affected, id_col, "left_anti").select(
-        F.col(id_col), F.col("_txt").alias(out_col)
+    return src.join(aff_out, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("_aff_txt", "_txt").alias(out_col),
     )
-    return untouched.unionByName(aff_out)
 
 
 # ---------------------------------------------------------------------------

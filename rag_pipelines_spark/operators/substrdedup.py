@@ -261,13 +261,16 @@ def substring_dedup(
     )
     # an affected doc whose EVERY token was covered has no kept rows ->
     # absent from rebuilt -> empty string (the pre-r11 left-join gave
-    # the same)
+    # the same). Single-branch pass-through (src LEFT JOIN the
+    # affected-sized rebuild, coalesce to the original text) instead of
+    # a union(untouched, affected): a union splices two copies of the
+    # source subtree into every downstream consumer of the operator
+    # (see line_dedup's rationale). "" is non-NULL, so fully-covered
+    # docs stay empty through the coalesce.
     aff_out = aff_docs.select("id").join(rebuilt, "id", "left").select(
-        "id", F.coalesce(out_col, F.lit("")).alias(out_col)
+        "id", F.coalesce(out_col, F.lit("")).alias("_aff_txt")
     )
-    untouched = src.join(affected, "id", "left_anti").select(
-        "id", F.col("_txt").alias(out_col)
-    )
-    return untouched.unionByName(aff_out).select(
-        F.col("id").alias(id_col), F.col(out_col)
+    return src.join(aff_out, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("_aff_txt", "_txt").alias(out_col),
     )
