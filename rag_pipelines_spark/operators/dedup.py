@@ -255,11 +255,15 @@ def line_dedup(
     # else through verbatim. The second O(corpus-text) shuffle (the
     # rebuild groupBy) shrinks to the affected fraction; the
     # affected-id joins broadcast a tiny set.
+    # lazy: the decision table is materialized by whichever consumer's
+    # broadcast build touches it first inside the final action — an
+    # eager checkpoint here cost one extra blocking job per call
+    # (measured ~+0.15 s at sf0.1 where the whole query is ~0.6 s)
     removed = (
         lines.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") > 1)
         .select(id_col, "pos")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     affected = removed.select(id_col).distinct()
     src = df.select(
@@ -291,7 +295,7 @@ def line_dedup(
     # compounds multiplicatively through later stages — measured 16->60
     # exchanges in prep's static plan before this form. "" is non-NULL,
     # so the coalesce keeps fully-deduped docs empty.
-    aff_out = aff.select(id_col).join(rebuilt, id_col, "left").select(
+    aff_out = affected.join(rebuilt, id_col, "left").select(
         id_col, F.coalesce(out_col, F.lit("")).alias("_aff_txt")
     )
     return src.join(aff_out, id_col, "left").select(

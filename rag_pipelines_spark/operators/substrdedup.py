@@ -267,7 +267,7 @@ def substring_dedup(
     # source subtree into every downstream consumer of the operator
     # (see line_dedup's rationale). "" is non-NULL, so fully-covered
     # docs stay empty through the coalesce.
-    aff_out = aff_docs.select("id").join(rebuilt, "id", "left").select(
+    aff_out = affected.join(rebuilt, "id", "left").select(
         "id", F.coalesce(out_col, F.lit("")).alias("_aff_txt")
     )
     return src.join(aff_out, "id", "left").select(
